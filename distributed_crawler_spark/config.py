@@ -1,0 +1,43 @@
+"""Engine configuration mirroring the reference's crawl settings.
+
+Reference: /root/reference/src/common/config.py:27-30
+  CRAWL_DELAY = 1 (politeness — becomes the round structure, not a sleep)
+  MAX_DEPTH = 3
+  MAX_URLS_PER_DOMAIN = 100
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Per-job crawl parameters (reference config.py:27-30 defaults)."""
+
+    max_depth: int = 3
+    max_urls_per_domain: int = 100
+    job_id: str = "job-test-0001"
+    user_agent: str = "DistributedCrawler/1.0"
+    respect_robots: bool = True
+    # skew handling: hosts holding more than this fraction of the round's
+    # candidates are salted into `salt_buckets` sub-partitions
+    skew_host_fraction: float = 0.05
+    salt_buckets: int = 16
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Session-level knobs; env-overridable for the bench harness."""
+
+    cores: int = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or 0
+    driver_memory: str = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    sf_dir: str = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def resolved_shuffle_partitions(self) -> int:
+        # match parallelism to cores in local mode, not the 200 default:
+        # at cluster scale this is set to ~2-3x total executor cores (or
+        # left to AQE coalescing from a high initial value).
+        return self.shuffle_partitions or max(self.cores, 8)

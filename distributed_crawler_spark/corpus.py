@@ -1,0 +1,233 @@
+"""Deterministic synthetic Common-Crawl-style corpus.
+
+Two surfaces, one arithmetic model:
+
+1. **Arithmetic model** (``model_*``): pages / link graph / robots rules /
+   seeds derived purely arithmetically from the driver-provided
+   ``documents`` table (doc_id), so the exact same corpus is expressible
+   as native Spark expressions AND as a DuckDB SQL CTE block — this is
+   what makes the crawl-round queries oracle-checkable.
+
+2. **HTML corpus** (``build_html_corpus``): a real pages table matching
+   BASELINE.json:input_hint — ``(url:string, warc_ts:timestamp,
+   html:binary, text:string, lang:string)`` — where ``html`` embeds the
+   document text, metadata, absolute/relative/javascript:/mailto:/fragment
+   links (exercising crawler_node.py:86-129 and the reference's
+   test_crawl_quality.py:82-136 behaviors), and ``text`` is the golden
+   soup-path extraction (indexer_node.py:133-158) — the byte-identical
+   target.
+
+Graph properties required by FIXTURES.md §1: reachable depth > max_depth,
+a mega-domain (host 0 holds ~40% of URLs → skew/salting path), cross-domain
+links, duplicate in-links (dedup path), dangling relative links
+(fetch-miss path), robots-disallowed hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.extract import extract_text_soup_udf
+
+# ---- the arithmetic model constants (shared Spark ↔ DuckDB) --------------
+HOST_MOD = 97            # non-mega hosts: doc_id % 97
+MEGA_MOD, MEGA_LT = 5, 2  # doc_id % 5 < 2  → host 0 (the mega-domain, ~40%)
+LINK_COEFFS = [(2, 1), (3, 7), (5, 13)]   # targets: (a*d + b) % N
+ROBOTS_MOD = 7
+ROBOTS_PAGE_REMAINDER = 3   # host_id % 7 == 3 → Disallow: /p/1
+ROBOTS_PAGE_PREFIX = "/p/1"
+ROBOTS_ALL_REMAINDER = 5    # host_id % 7 == 5 → Disallow: /
+SEED_COUNT = 10
+
+
+def _host_id_expr(d):
+    return F.when(d % MEGA_MOD < MEGA_LT, F.lit(0)).otherwise(d % HOST_MOD)
+
+
+def _url_expr(host_id, d):
+    return F.concat(
+        F.lit("https://h"), host_id.cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"),
+    )
+
+
+def model_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic pages: (doc_id, host_id, host, url, path, text, lang).
+    Pure native expressions over the documents table — no Python."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = F.col("doc_id")
+    host_id = _host_id_expr(d)
+    return docs.select(
+        d.alias("doc_id"),
+        host_id.alias("host_id"),
+        F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.com")).alias("host"),
+        _url_expr(host_id, d).alias("url"),
+        F.concat(F.lit("/p/"), d.cast("string")).alias("path"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def model_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic link graph: (src_url, dst_url), 3 out-links per page to
+    (a*d+b) % N. Cross joins against a 1-row count — broadcast, free."""
+    pages = model_pages_df(spark, sf_dir)
+    n = pages.agg(F.count("*").alias("n"))
+    d = F.col("doc_id")
+    targets = F.array(*[(F.lit(a) * d + F.lit(b)) % F.col("n") for a, b in LINK_COEFFS])
+    exploded = (
+        pages.crossJoin(F.broadcast(n))
+        .select(F.col("url").alias("src_url"), F.explode(targets).alias("t"))
+    )
+    t = F.col("t")
+    host_id_t = _host_id_expr(t)
+    return exploded.select(
+        "src_url", _url_expr(host_id_t, t).alias("dst_url"), t.alias("dst_doc_id")
+    )
+
+
+def model_robots_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic robots rules: (host, path_prefix) disallow rows.
+    Hosts absent from this table are allowed by default (utils.py:64-66)."""
+    pages = model_pages_df(spark, sf_dir)
+    hid = F.col("host_id")
+    return (
+        pages.select("host_id", "host").distinct()
+        .filter(hid % ROBOTS_MOD == ROBOTS_PAGE_REMAINDER)
+        .select("host", F.lit(ROBOTS_PAGE_PREFIX).alias("path_prefix"))
+        .unionByName(
+            pages.select("host_id", "host").distinct()
+            .filter(hid % ROBOTS_MOD == ROBOTS_ALL_REMAINDER)
+            .select("host", F.lit("/").alias("path_prefix"))
+        )
+    )
+
+
+def model_seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeds = urls of doc_id < SEED_COUNT."""
+    return (
+        model_pages_df(spark, sf_dir)
+        .filter(F.col("doc_id") < SEED_COUNT)
+        .select("url")
+    )
+
+
+# ---- the same model as DuckDB SQL CTEs (oracle side) ---------------------
+
+def model_sql_ctes() -> str:
+    """WITH-clause body (no leading WITH) defining pages/links/robots/seeds
+    over the pre-registered `documents` view, byte-equivalent to the
+    model_*_df outputs."""
+    a1, b1 = LINK_COEFFS[0]
+    a2, b2 = LINK_COEFFS[1]
+    a3, b3 = LINK_COEFFS[2]
+    return f"""
+nn AS (SELECT count(*) AS n FROM documents),
+pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {MEGA_MOD} < {MEGA_LT} THEN 0
+              ELSE doc_id % {HOST_MOD} END AS host_id,
+         'h' || (CASE WHEN doc_id % {MEGA_MOD} < {MEGA_LT} THEN 0
+                      ELSE doc_id % {HOST_MOD} END) || '.example.com' AS host,
+         'https://h' || (CASE WHEN doc_id % {MEGA_MOD} < {MEGA_LT} THEN 0
+                              ELSE doc_id % {HOST_MOD} END)
+            || '.example.com/p/' || doc_id AS url,
+         '/p/' || doc_id AS path,
+         text, lang
+  FROM documents
+),
+links AS (
+  SELECT p.url AS src_url,
+         'https://h' || (CASE WHEN t.t % {MEGA_MOD} < {MEGA_LT} THEN 0
+                              ELSE t.t % {HOST_MOD} END)
+            || '.example.com/p/' || t.t AS dst_url,
+         t.t AS dst_doc_id
+  FROM pages p, nn,
+       LATERAL (SELECT unnest([({a1}*p.doc_id+{b1}) % nn.n,
+                               ({a2}*p.doc_id+{b2}) % nn.n,
+                               ({a3}*p.doc_id+{b3}) % nn.n]) AS t) t
+),
+robots AS (
+  SELECT DISTINCT host, '{ROBOTS_PAGE_PREFIX}' AS path_prefix
+  FROM pages WHERE host_id % {ROBOTS_MOD} = {ROBOTS_PAGE_REMAINDER}
+  UNION ALL
+  SELECT DISTINCT host, '/' AS path_prefix
+  FROM pages WHERE host_id % {ROBOTS_MOD} = {ROBOTS_ALL_REMAINDER}
+),
+seeds AS (SELECT url FROM pages WHERE doc_id < {SEED_COUNT})
+"""
+
+
+# ---- real HTML corpus (input_hint shape) ----------------------------------
+
+def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages table per input_hint: (url, warc_ts, html:binary, text, lang).
+
+    html embeds: lang attr, <title>, meta description/keywords, body text,
+    a <script> block (must be stripped from extracted text), and five links:
+    absolute (t1), relative same-host path to t2 (dangling when host(t2) !=
+    host(d) — the fetch-miss path), javascript:, mailto:, and t3 with a
+    #fragment (normalized away). ``text`` is the golden soup-path
+    extraction computed by the same UDF the engine uses.
+    """
+    pages = model_pages_df(spark, sf_dir)
+    n = pages.agg(F.count("*").alias("n"))
+    d = F.col("doc_id")
+    targets = [(F.lit(a) * d + F.lit(b)) % F.col("n") for a, b in LINK_COEFFS]
+    t1, t2, t3 = targets
+    url_t1 = _url_expr(_host_id_expr(t1), t1)
+    url_t3 = _url_expr(_host_id_expr(t3), t3)
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        d.cast("string"), F.lit(" page</title>"),
+        F.lit('<meta name="description" content="synthetic doc '),
+        d.cast("string"), F.lit(' of source "'),
+        F.lit('"><meta name="keywords" content="'),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)),
+        F.lit('"></head><body><p>'), F.col("text"), F.lit("</p>"),
+        F.lit("<script>var x = "), d.cast("string"), F.lit(";</script>"),
+        F.lit('<a href="'), url_t1, F.lit('">next</a>'),
+        F.lit('<a href="/p/'), t2.cast("string"), F.lit('">rel</a>'),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="mailto:a@example.com">mail</a>'),
+        F.lit('<a href="'), url_t3, F.lit('#frag">frag</a>'),
+        F.lit("</body></html>"),
+    )
+    with_html = (
+        pages.crossJoin(F.broadcast(n))
+        .withColumn("html", html.cast("binary"))
+        .withColumn(
+            "warc_ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=d.cast("double")),
+        )
+    )
+    return with_html.select(
+        "url", "warc_ts", "html",
+        extract_text_soup_udf(F.col("html")).alias("text"),
+        "lang",
+    )
+
+
+def build_html_corpus(spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = 32) -> str:
+    """Materialize the HTML corpus + seeds + robots as parquet under
+    out_dir. Pages are repartitioned by xxhash64(url) — the same bucketing
+    the frontier uses, so the per-round fetch join co-partitions (at
+    cluster scale: Iceberg `bucket(N, url_hash)` storage-partitioned join,
+    no corpus shuffle)."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages = html_pages_df(spark, sf_dir)
+    (
+        pages.repartition(buckets, F.xxhash64(F.col("url")))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "pages.parquet"))
+    )
+    model_seeds_df(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "seeds.parquet")
+    )
+    model_robots_df(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "robots.parquet")
+    )
+    return out_dir

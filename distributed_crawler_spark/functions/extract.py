@@ -1,0 +1,237 @@
+"""HTML parsing / text extraction — the engine's only heavy Python path,
+run as vectorized Arrow pandas UDFs (BASELINE.json:input_hint: no per-row
+Python UDFs).
+
+Reproduces the reference's two extraction paths:
+  * regex path   — /root/reference/src/common/utils.py:44-51
+    (strip tags → collapse whitespace → strip)
+  * soup path    — /root/reference/src/indexer/indexer_node.py:133-158
+    (drop <script>/<style>, get_text, split lines, split double-space
+    chunks, join non-blank chunks with '\\n') — this is the
+    byte-identical-extracted-text target.
+  * page parse   — /root/reference/src/crawler/crawler_node.py:86-129
+    (title / meta description / meta keywords / html@lang / a@href links,
+    urljoin-resolved, http(s)-only, normalized; list fields joined with
+    ' ' after strip).
+
+The container has no lxml/selectolax/bs4, so parsing uses the stdlib
+``html.parser`` state machine — still batch-amortized via Arrow: one
+Python invocation per ~10k-row Arrow batch, not per row. On a real
+cluster, swapping ``_PageParser`` for selectolax is a one-function change.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .urls import normalize_url_py
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class _PageParser(HTMLParser):
+    """One-pass collector: text nodes (minus script/style), <title> text,
+    meta description/keywords, html@lang, a@href in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.text_parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.descriptions: list[str] = []
+        self.keywords: list[str] = []
+        self.hrefs: list[str] = []
+        self.lang: str | None = None
+        self._skip_depth = 0          # inside <script>/<style>
+        self._title_depth = 0
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if tag == "title":
+            self._title_depth += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+        elif tag == "meta":
+            d = dict(attrs)
+            name = (d.get("name") or "").lower()
+            content = d.get("content")
+            if content is not None:
+                if name == "description":
+                    self.descriptions.append(content)
+                elif name == "keywords":
+                    self.keywords.append(content)
+        elif tag == "html" and self.lang is None:
+            for k, v in attrs:
+                if k == "lang" and v:
+                    self.lang = v
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag in ("script", "style"):
+            self._skip_depth -= 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "title":
+            self._title_depth = max(0, self._title_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        self.text_parts.append(data)
+        if self._title_depth:
+            self.title_parts.append(data)
+
+
+# ---------------------------------------------------------------------------
+# Python reference implementations (used by the UDFs, the corpus generator,
+# and the pytest golden fixtures).
+# ---------------------------------------------------------------------------
+
+def extract_text_regex_py(html: str | None) -> str | None:
+    """Regex path parity with utils.py:44-51: tags → space, collapse
+    whitespace, strip. Script/style contents LEAK into the text here,
+    exactly as in the reference."""
+    if html is None:
+        return None
+    text = re.sub(r"<[^>]+>", " ", html)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def extract_text_soup_py(html: str | None) -> str | None:
+    """Soup path parity with indexer_node.py:133-158: decompose
+    script/style, get_text, line-split, double-space chunk-split, join
+    non-blank chunks with newlines. (Comments are excluded; fixture HTML
+    avoids the bs4 comment ambiguity.)"""
+    if html is None:
+        return None
+    if not html:
+        return ""
+    p = _PageParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return html
+    text = "".join(p.text_parts)
+    lines = (line.strip() for line in text.splitlines())
+    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
+    return "\n".join(chunk for chunk in chunks if chunk)
+
+
+def parse_page_py(html: str | None, base_url: str | None) -> dict:
+    """Full page parse parity with crawler_node.py:86-129.
+
+    Returns title/description/keywords joined like the reference's
+    ItemLoader cleanup (strip each part, join with ' '), the soup-path
+    text, http(s)-only urljoin-resolved normalized links, and html@lang.
+    """
+    empty = {
+        "title": "", "description": "", "keywords": "",
+        "text": None, "links": [], "language": None,
+    }
+    if html is None:
+        return empty
+    p = _PageParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return empty
+
+    title = " ".join(t.strip() for t in p.title_parts if t)
+    description = " ".join(d.strip() for d in p.descriptions if d)
+    keywords = " ".join(p.keywords)
+
+    links: list[str] = []
+    for href in p.hrefs:
+        try:
+            absolute = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        # crawler_node.py:128: keep only http(s), then normalize
+        if absolute.startswith("http://") or absolute.startswith("https://"):
+            links.append(normalize_url_py(absolute))
+
+    text = "".join(p.text_parts)
+    lines = (line.strip() for line in text.splitlines())
+    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
+    soup_text = "\n".join(chunk for chunk in chunks if chunk)
+
+    return {
+        "title": title,
+        "description": description,
+        "keywords": keywords,
+        "text": soup_text,
+        "links": links,
+        "language": p.lang,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs.
+# ---------------------------------------------------------------------------
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("keywords", StringType()),
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("language", StringType()),
+    ]
+)
+
+
+def _decode(b) -> str | None:
+    if b is None:
+        return None
+    if isinstance(b, (bytes, bytearray)):
+        return bytes(b).decode("utf-8", errors="ignore")
+    return str(b)
+
+
+@pandas_udf(PARSED_SCHEMA)
+def parse_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Vectorized page parse: html binary + base url → struct per
+    PARSED_SCHEMA. One Python call per Arrow batch."""
+    rows = [parse_page_py(_decode(h), u) for h, u in zip(html, url)]
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(StringType())
+def extract_text_regex_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda h: extract_text_regex_py(_decode(h)))
+
+
+@pandas_udf(StringType())
+def extract_text_soup_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda h: extract_text_soup_py(_decode(h)))
+
+
+def native_text_regex(html_col):
+    """JVM-native equivalent of the regex extraction path for the scale
+    hot path (whole-stage codegen; no Python at all). Matches
+    extract_text_regex_py output."""
+    s = F.col(html_col).cast(StringType()) if isinstance(html_col, str) else html_col.cast(StringType())
+    return F.trim(F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"\s+", " "))

@@ -1,0 +1,113 @@
+"""URL canonicalization and keying.
+
+Reproduces the reference's URL semantics (cited for parity checking):
+  * ``normalize_url``      — /root/reference/src/common/utils.py:15-36
+    (add https:// if schemeless, drop fragment, strip trailing slash from
+    non-root path, reassemble via urlunparse)
+  * ``get_domain``         — /root/reference/src/common/utils.py:10-13
+    (urlparse().netloc — keeps port/userinfo, unlike Spark's
+    parse_url(..,'HOST'))
+
+Two implementations of each:
+  * a **native Column expression** (JVM-side, whole-stage-codegen'd) — the
+    hot path used inside crawl rounds at 10^10-URL scale; zero Python.
+  * a **vectorized Arrow pandas UDF** wrapping the exact urllib logic — the
+    parity path; tests assert native ≡ urllib on adversarial inputs.
+
+Dedup keys are ``xxhash64(canonical_url)`` per BASELINE.json:north_rule.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_SCHEME_RE = "^https?://"
+
+
+# ---------------------------------------------------------------------------
+# Python reference implementations (single-value; used by the pandas UDFs,
+# the pure-Python oracle simulator in tests, and the corpus generator).
+# ---------------------------------------------------------------------------
+
+def normalize_url_py(url: str | None) -> str | None:
+    """Exact behavioral twin of the reference's normalize_url
+    (utils.py:15-36): schemeless → https://, fragment dropped, trailing
+    slash stripped from paths longer than '/'."""
+    if not url:
+        return None
+    if not url.startswith(("http://", "https://")):
+        url = f"https://{url}"
+    parsed = urlparse(url)
+    parsed = parsed._replace(fragment="")
+    path = parsed.path
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    parsed = parsed._replace(path=path)
+    return urlunparse(parsed)
+
+
+def get_domain_py(url: str) -> str:
+    """urlparse().netloc (utils.py:10-13) — keeps port and userinfo."""
+    return urlparse(url).netloc
+
+
+# ---------------------------------------------------------------------------
+# Native Column expressions (the scale path).
+# ---------------------------------------------------------------------------
+
+def normalize_url(url: Column) -> Column:
+    """JVM-native canonicalization equivalent to ``normalize_url_py`` for
+    http(s)/schemeless URLs.
+
+    Steps mirror utils.py:15-36: (1) prefix https:// when schemeless,
+    (2) cut at the first '#', (3) strip one trailing '/' from the path when
+    the path is longer than '/', preserving any query string.
+    """
+    with_scheme = F.when(
+        url.rlike(_SCHEME_RE), url
+    ).otherwise(F.concat(F.lit("https://"), url))
+    no_frag = F.regexp_replace(with_scheme, "#.*", "")
+    # split off the query string so the trailing-slash rule sees only the path
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.substr(no_frag, F.length(base) + F.lit(1))
+    # path longer than '/' ending in '/' → strip one trailing slash
+    # (utils.py:30-32; '/.*/$' so that a bare '//' path also strips)
+    stripped = F.when(
+        base.rlike(r"^https?://[^/]+/.*/$"),
+        F.substr(base, F.lit(1), F.length(base) - F.lit(1)),
+    ).otherwise(base)
+    return F.when(url.isNull() | (url == ""), F.lit(None).cast(StringType())).otherwise(
+        F.concat(stripped, query)
+    )
+
+
+def get_domain(url: Column) -> Column:
+    """netloc of an absolute URL: everything between 'scheme://' and the
+    first '/', '?' or '#'. Exact netloc semantics (port kept), unlike
+    parse_url(url,'HOST')."""
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+
+
+def url_hash(url: Column) -> Column:
+    """64-bit dedup key on the canonical URL (north_rule: xxhash64)."""
+    return F.xxhash64(url)
+
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs (exact-parity path; vectorized, no per-row Python UDF).
+# ---------------------------------------------------------------------------
+
+@pandas_udf(StringType())
+def normalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(normalize_url_py)
+
+
+@pandas_udf(StringType())
+def get_domain_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: get_domain_py(u) if u else None)

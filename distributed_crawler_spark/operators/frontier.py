@@ -1,0 +1,123 @@
+"""One crawl round as a pure DataFrame → DataFrame transformation.
+
+This is the Spark-first recast of the reference's whole distributed loop
+(SURVEY.md §3.1): what the reference does with 4 SQS hops + DynamoDB
+point-lookups per URL (master_node.py:315-448 _enqueue_url,
+crawler_node.py:402-596 fetch, 666-837 result handling,
+master_node.py:450-539 result→enqueue recursion) becomes one bounded
+Spark job per round:
+
+    pending_r → fetch-join pages → parse UDF → extracted_r
+             → explode links → normalize → depth gate → anti-join seen
+             → robots filter → salted host-budget window → pending_{r+1}
+
+Scale notes:
+  * the fetch join keys on unique canonical urls; with frontier and pages
+    both bucketed on xxhash64(url) (Iceberg bucket transform at cluster
+    scale) it is a storage-partitioned join — the 10^10-row corpus never
+    shuffles.
+  * the URL-seen anti-join is the scaling bottleneck (SURVEY §7.4.3);
+    the seen side stays bucketed on xxhash64(url) so only the candidate
+    side shuffles. (Bloom prefilter planned as a strict optimization —
+    correctness never depends on it.)
+  * all per-row work is in one Arrow-vectorized parse UDF; everything
+    else is JVM-native and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.extract import parse_page_udf
+from ..functions.urls import get_domain
+from .politeness import host_budget_filter, robots_filter
+
+
+@dataclass
+class RoundResult:
+    """Outputs of one crawl round (all lazy DataFrames)."""
+
+    cohort: DataFrame        # (url, host, depth, status, round) — final statuses
+    extracted: DataFrame     # (url, title, description, keywords, text, links, language, fetch_ts)
+    next_pending: DataFrame  # (url, host, depth) for round+1
+    fetched: DataFrame       # pending ⋈ pages (for lineage byte counts)
+
+
+def crawl_round(
+    pending: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    host_counts: DataFrame | None,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> RoundResult:
+    """Process all pending URLs of ``round_no`` (depth == round_no).
+
+    pending: (url, host, depth); pages: input_hint corpus table;
+    seen: (url) every URL ever scheduled; host_counts: (host, n_scheduled).
+    """
+    # --- simulated fetch: left join marks misses as failed --------------
+    fetched = pending.join(
+        pages.select("url", "warc_ts", "html"), on="url", how="left"
+    )
+
+    hit = F.col("html").isNotNull()
+    cohort = fetched.select(
+        "url",
+        "host",
+        "depth",
+        F.when(hit, F.lit("completed")).otherwise(F.lit("failed")).alias("status"),
+        F.lit(round_no).alias("round"),
+    )
+
+    # --- parse (the only Python, Arrow-batched) --------------------------
+    parsed = (
+        fetched.filter(hit)
+        .withColumn("parsed", parse_page_udf(F.col("html"), F.col("url")))
+    )
+    extracted = parsed.select(
+        "url",
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.description").alias("description"),
+        F.col("parsed.keywords").alias("keywords"),
+        F.col("parsed.text").alias("text"),
+        F.col("parsed.links").alias("links"),
+        F.col("parsed.language").alias("language"),
+        F.col("warc_ts").alias("fetch_ts"),
+    )
+
+    # --- discover next round's candidates -------------------------------
+    next_depth = round_no + 1
+    if next_depth > cfg.max_depth:
+        next_pending = pending.select("url", "host", "depth").limit(0)
+        return RoundResult(cohort, extracted, next_pending, fetched)
+
+    candidates = (
+        extracted.select(F.explode("links").alias("url"))
+        # links are already normalized http(s) URLs (parse_page_py), so
+        # only dedup within the round; canonical order for budget is url asc
+        .distinct()
+        .withColumn("host", get_domain(F.col("url")))
+        .withColumn("depth", F.lit(next_depth))
+    )
+
+    # URL-seen dedup: left anti vs every URL ever scheduled
+    # (master_node.py:336-339,352-391 collapsed into one set-oriented join)
+    fresh = candidates.join(seen.select("url"), on="url", how="left_anti")
+
+    if cfg.respect_robots:
+        fresh = robots_filter(fresh, robots)
+
+    budgeted = host_budget_filter(
+        fresh,
+        host_counts,
+        cfg.max_urls_per_domain,
+        salt_buckets=cfg.salt_buckets,
+    )
+    next_pending = budgeted.select("url", "host", "depth")
+    return RoundResult(cohort, extracted, next_pending, fetched)

@@ -1,0 +1,111 @@
+"""Robots.txt enforcement and per-host politeness budgets.
+
+Reference semantics reproduced:
+  * robots allow/deny — /root/reference/src/common/utils.py:53-66
+    (prefix rules per host; **default-allow** when the host has no rules /
+    robots fetch fails) and the behavioral spec in
+    src/tests/test_crawl_quality.py:195-220 (Disallow path prefixes).
+  * per-domain budget — /root/reference/src/master/master_node.py:340-343,
+    439-441: at most max_urls_per_domain URLs ever enqueued per host,
+    consumed in crawl order; URL #101 is dropped permanently.
+
+Scale design:
+  * robots rules are a small per-host table → **broadcast join** (no
+    shuffle of the 10^10-row candidate set).
+  * the budget is a per-host top-k ranking window. A mega-domain holding
+    40% of candidates would make one window partition dominate, so we use
+    **two-phase salted ranking**: rank within (host, salt) first — any URL
+    ranked > budget inside its salt bucket cannot be in the host's global
+    top-budget — then the exact window runs over ≤ salt_buckets × budget
+    survivors per host. No partition processes more than ~budget×k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_filter(
+    candidates: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop candidate URLs disallowed by the per-host prefix rules.
+
+    ``robots`` is (host, path_prefix) disallow rows. Default-allow: hosts
+    with no rules pass (left join + null check — utils.py:64-66).
+    A prefix of '/' disallows the entire host.
+    """
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    joined = candidates.withColumn("__path", path).join(
+        F.broadcast(robots.select(F.col("host").alias(host_col), "path_prefix")),
+        on=host_col,
+        how="left",
+    )
+    denied = F.col("path_prefix").isNotNull() & F.col("__path").startswith(
+        F.col("path_prefix")
+    )
+    # a URL may match several rules after the join — deny if ANY matches
+    key_cols = [c for c in candidates.columns]
+    return (
+        joined.withColumn("__denied", denied)
+        .groupBy(*key_cols)
+        .agg(F.max(F.col("__denied").cast("int")).alias("__any_denied"))
+        .filter(F.col("__any_denied") == 0)
+        .drop("__any_denied")
+    )
+
+
+def host_budget_filter(
+    candidates: DataFrame,
+    prior_host_counts: DataFrame | None,
+    max_urls_per_domain: int,
+    host_col: str = "host",
+    order_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep, per host, the first (budget − already_consumed) candidates in
+    canonical order (ascending ``order_col`` — the defined crawl order
+    within a round, SURVEY.md §2.7 frontier priority).
+
+    ``prior_host_counts`` is (host, n_scheduled) consumed so far across
+    earlier rounds (master_node.py:340-343 counter); None ⇒ zero.
+
+    Two-phase salted top-k (see module docstring) keeps the mega-domain
+    window partition bounded.
+    """
+    out_cols = candidates.columns
+
+    # phase 1: cheap per-(host, salt) prefilter — survivor bound per host
+    # is salt_buckets * budget regardless of host size
+    salted = candidates.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    )
+    w_salt = Window.partitionBy(host_col, "__salt").orderBy(order_col)
+    pre = (
+        salted.withColumn("__srn", F.row_number().over(w_salt))
+        .filter(F.col("__srn") <= max_urls_per_domain)
+        .drop("__salt", "__srn")
+    )
+
+    # phase 2: exact per-host ranking over the bounded survivor set
+    w_host = Window.partitionBy(host_col).orderBy(order_col)
+    ranked = pre.withColumn("host_budget_rank", F.row_number().over(w_host))
+    if prior_host_counts is not None:
+        prior = prior_host_counts.select(
+            F.col("host").alias(host_col), F.col("n_scheduled").alias("__prior")
+        )
+        ranked = ranked.join(F.broadcast(prior), host_col, "left").withColumn(
+            "__prior", F.coalesce(F.col("__prior"), F.lit(0))
+        )
+    else:
+        ranked = ranked.withColumn("__prior", F.lit(0))
+    return (
+        ranked.filter(
+            F.col("host_budget_rank") + F.col("__prior") <= max_urls_per_domain
+        )
+        .select(*out_cols, "host_budget_rank")
+    )

@@ -1,0 +1,272 @@
+"""The iterative crawl driver: bounded Spark job per round, append-only
+state, per-partition lineage rows, exact checkpoint resume.
+
+Replaces the reference's master poll loops (master_node.py:1210-1216) and
+its SQS visibility-timeout/retry machinery (SURVEY.md §2.10): a crashed
+round is simply re-run — rounds are idempotent because dedup and budget
+are deterministic functions of the prior state.
+
+State layout (append-only — the frontier is NEVER rewritten; at cluster
+scale each directory is an Iceberg table and each round a snapshot):
+
+    state_dir/
+      pending/round=R/    (url, host, depth)      cohort to fetch in round R
+      cohort/round=R/     (url, host, depth, status, round)  final statuses
+      extracted/round=R/  parse output
+      lineage/round=R/    (round, partition_id, urls_in, urls_out, bytes, wall_ms)
+
+Resume: the max round with a lineage marker is the last committed round;
+restart reads pending/round=R+1 and reconstructs seen/host-counts from
+cohorts 0..R ∪ pending R+1. (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics".)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.urls import get_domain, normalize_url
+from .frontier import crawl_round
+from .politeness import host_budget_filter, robots_filter
+
+PENDING, COHORT, EXTRACTED, LINEAGE = "pending", "cohort", "extracted", "lineage"
+
+
+def _p(state_dir: str, table: str, rnd: int) -> str:
+    return os.path.join(state_dir, table, f"round={rnd}")
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def seed_frontier(
+    spark: SparkSession,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Normalize seed URLs (master_node.py:266) and apply the same gates
+    candidates face (robots, host budget) to produce round-0 pending."""
+    cand = (
+        seeds.select(normalize_url(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+        .withColumn("host", get_domain(F.col("url")))
+        .withColumn("depth", F.lit(0))
+    )
+    if cfg.respect_robots:
+        cand = robots_filter(cand, robots)
+    return host_budget_filter(
+        cand, None, cfg.max_urls_per_domain, salt_buckets=cfg.salt_buckets
+    ).select("url", "host", "depth")
+
+
+class CrawlScheduler:
+    """Runs the round loop against a pages corpus, persisting state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        state_dir: str,
+        cfg: CrawlConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.state_dir = state_dir
+        self.cfg = cfg or CrawlConfig()
+
+    # -- state reconstruction ------------------------------------------
+
+    def committed_rounds(self) -> list[int]:
+        d = os.path.join(self.state_dir, LINEAGE)
+        if not os.path.isdir(d):
+            return []
+        rounds = []
+        for name in os.listdir(d):
+            if name.startswith("round=") and _exists(os.path.join(d, name)):
+                rounds.append(int(name.split("=")[1]))
+        return sorted(rounds)
+
+    def _read(self, table: str, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(_p(self.state_dir, table, rnd))
+
+    def _seen_and_counts(self, upto_round: int, include_pending_round: int | None):
+        """seen = every URL ever scheduled (cohorts ≤ upto_round plus the
+        not-yet-processed pending cohort); host_counts likewise."""
+        parts = [self._read(COHORT, r).select("url", "host") for r in range(upto_round + 1)]
+        if include_pending_round is not None:
+            parts.append(
+                self._read(PENDING, include_pending_round).select("url", "host")
+            )
+        if not parts:
+            return None, None
+        seen = parts[0]
+        for p in parts[1:]:
+            seen = seen.unionByName(p)
+        counts = seen.groupBy("host").agg(F.count("*").alias("n_scheduled"))
+        return seen, counts
+
+    # -- the loop --------------------------------------------------------
+
+    def run(
+        self,
+        seeds: DataFrame | None = None,
+        resume: bool = False,
+        stop_after_round: int | None = None,
+    ) -> dict:
+        """Run the crawl to completion (or resume it). Returns summary
+        stats. ``seeds`` is required for a fresh run. ``stop_after_round``
+        simulates a crash between rounds (resume-test hook)."""
+        cfg = self.cfg
+        if resume:
+            committed = self.committed_rounds()
+            if not committed:
+                resume = False
+        if not resume:
+            if seeds is None:
+                raise ValueError("seeds required for a fresh run")
+            if os.path.isdir(self.state_dir):
+                shutil.rmtree(self.state_dir)
+            pending0 = seed_frontier(self.spark, seeds, self.robots, cfg)
+            pending0.write.mode("overwrite").parquet(_p(self.state_dir, PENDING, 0))
+            start_round = 0
+        else:
+            last = committed[-1]
+            start_round = last + 1
+            if not _exists(_p(self.state_dir, PENDING, start_round)):
+                # crawl already finished
+                return self.summary()
+
+        rnd = start_round
+        while rnd <= cfg.max_depth and _exists(_p(self.state_dir, PENDING, rnd)):
+            self._run_round(rnd)
+            if stop_after_round is not None and rnd >= stop_after_round:
+                break
+            nxt = _p(self.state_dir, PENDING, rnd + 1)
+            if not _exists(nxt):
+                break
+            # empty next cohort ⇒ done
+            if self.spark.read.parquet(nxt).limit(1).count() == 0:
+                break
+            rnd += 1
+        return self.summary()
+
+    def _run_round(self, rnd: int) -> None:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        pending = self._read(PENDING, rnd)
+        seen, counts = self._seen_and_counts(rnd - 1, include_pending_round=rnd)
+
+        res = crawl_round(
+            pending, self.pages, self.robots, seen, counts, cfg, rnd
+        )
+        res.extracted.write.mode("overwrite").parquet(
+            _p(self.state_dir, EXTRACTED, rnd)
+        )
+        res.cohort.write.mode("overwrite").parquet(_p(self.state_dir, COHORT, rnd))
+        if rnd + 1 <= cfg.max_depth:
+            res.next_pending.write.mode("overwrite").parquet(
+                _p(self.state_dir, PENDING, rnd + 1)
+            )
+
+        # lineage: per-partition input/output/byte counts; committing this
+        # row is what marks the round durable (written LAST — the commit
+        # point; a crash before this re-runs the whole round idempotently)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = (
+            res.fetched.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("urls_in"),
+                F.sum(F.when(F.col("html").isNotNull(), 1).otherwise(0)).alias(
+                    "urls_out"
+                ),
+                F.coalesce(F.sum(F.length(F.col("html"))), F.lit(0)).alias("bytes"),
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "partition_id",
+                "urls_in",
+                "urls_out",
+                "bytes",
+                F.lit(wall_ms).alias("wall_ms"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(_p(self.state_dir, LINEAGE, rnd))
+
+    # -- results ---------------------------------------------------------
+
+    def frontier(self) -> DataFrame:
+        """The full frontier: union of all committed cohorts plus any
+        unprocessed pending cohort (status='pending')."""
+        committed = self.committed_rounds()
+        parts = [self._read(COHORT, r) for r in committed]
+        nxt = (committed[-1] + 1) if committed else 0
+        if _exists(_p(self.state_dir, PENDING, nxt)):
+            parts.append(
+                self._read(PENDING, nxt).select(
+                    "url", "host", "depth",
+                    F.lit("pending").alias("status"),
+                    F.lit(nxt).alias("round"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def crawl_order(self) -> DataFrame:
+        """Canonical crawl order: (seq, round, url) ordered by
+        (round, url) over scheduled URLs — the defined total order the
+        reference's emergent BFS converges to (SURVEY.md §7.4.1)."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy("round", "url")
+        return (
+            self.frontier()
+            .select("round", "url")
+            .withColumn("seq", F.row_number().over(w))
+            .select("seq", "round", "url")
+        )
+
+    def url_seen(self) -> DataFrame:
+        return self.frontier().select("url", F.xxhash64("url").alias("url_hash"))
+
+    def extracted_all(self) -> DataFrame:
+        committed = self.committed_rounds()
+        parts = [self._read(EXTRACTED, r) for r in committed]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def lineage_all(self) -> DataFrame:
+        committed = self.committed_rounds()
+        parts = [self._read(LINEAGE, r) for r in committed]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def summary(self) -> dict:
+        front = self.frontier()
+        by_status = {
+            r["status"]: r["n"]
+            for r in front.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "rounds": self.committed_rounds(),
+            "by_status": by_status,
+            "total_scheduled": sum(by_status.values()),
+        }

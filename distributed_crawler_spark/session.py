@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Arrow enabled (all Python-boundary work is vectorized pandas UDFs per
+BASELINE.json:input_hint), AQE on (runtime skew-join splitting + partition
+coalescing — the backstop behind the explicit salting in
+operators/politeness.py).
+
+On a real cluster this module is the only place that changes: master URL,
+executor sizing, and an Iceberg catalog (spark.sql.catalog.* configs) get
+injected here; everything downstream is master-agnostic DataFrame code
+shipped via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "distributed_crawler_spark",
+    engine: EngineConfig | None = None,
+) -> SparkSession:
+    engine = engine or EngineConfig()
+    n = cores or engine.cores
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(engine.resolved_shuffle_partitions() if cores is None else max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", engine.driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the local-mode
+    equivalent of `spark-submit --py-files pkg.zip`): the Arrow UDFs
+    close over functions defined here, so workers must import it."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "distributed_crawler_spark_pyfiles")
+    archive = zip_path + ".zip"
+    if not os.path.exists(archive):
+        staging = tempfile.mkdtemp()
+        shutil.copytree(pkg_dir, os.path.join(staging, "distributed_crawler_spark"))
+        shutil.make_archive(zip_path, "zip", staging)
+        shutil.rmtree(staging)
+    try:
+        spark.sparkContext.addPyFile(archive)
+    except Exception:
+        pass  # already added in this context
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,116 @@
+"""Crawl-order / URL-seen / extracted-text / politeness parity between the
+Spark engine and the pure-Python oracle simulator (SURVEY.md §5.2 tests
+2-6), plus the resume test."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.config import CrawlConfig
+from distributed_crawler_spark.operators.scheduler import CrawlScheduler
+
+from .oracle_sim import load_corpus, simulate
+
+MAX_DEPTH = 3
+BUDGET = 8  # small budget so the gate actually binds at sf0.001
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    pages, robots, seeds = load_corpus(corpus_dir)
+    return simulate(pages, robots, seeds, MAX_DEPTH, BUDGET)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_dir):
+    state = "/tmp/dcs_state_parity"
+    shutil.rmtree(state, ignore_errors=True)
+    sched = CrawlScheduler(
+        spark,
+        spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        state,
+        CrawlConfig(max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET),
+    )
+    sched.run(seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"))
+    return sched
+
+
+def test_crawl_order_parity(engine, oracle):
+    order_oracle, _, _ = oracle
+    got = [
+        (r["seq"], r["round"], r["url"])
+        for r in engine.crawl_order().orderBy("seq").collect()
+        if r["round"] in {rnd for _, rnd, _ in order_oracle}
+    ]
+    # compare the processed prefix (oracle order excludes the unprocessed
+    # pending tail; engine crawl_order includes it — trim to oracle length)
+    assert got[: len(order_oracle)] == order_oracle
+
+
+def test_url_seen_parity(engine, oracle):
+    _, frontier_oracle, _ = oracle
+    got = {r["url"] for r in engine.url_seen().collect()}
+    assert got == set(frontier_oracle)
+
+
+def test_status_and_depth_parity(engine, oracle):
+    _, frontier_oracle, _ = oracle
+    got = {
+        r["url"]: (r["depth"], r["status"])
+        for r in engine.frontier().collect()
+    }
+    assert got == frontier_oracle
+
+
+def test_extracted_text_byte_parity(engine, oracle):
+    _, _, extracted_oracle = oracle
+    got = {
+        r["url"]: r["text"] for r in engine.extracted_all().select("url", "text").collect()
+    }
+    assert got == extracted_oracle
+
+
+def test_politeness_invariants(engine):
+    front = engine.frontier()
+    # no host over budget (master_node.py:340-343)
+    over = front.groupBy("host").count().filter(F.col("count") > BUDGET).count()
+    assert over == 0
+    # depth never exceeds max_depth (master_node.py:332-334)
+    assert front.filter(F.col("depth") > MAX_DEPTH).count() == 0
+
+
+def test_lineage_shape(engine):
+    rows = engine.lineage_all().collect()
+    assert {c for c in engine.lineage_all().columns} == {
+        "round", "partition_id", "urls_in", "urls_out", "bytes", "wall_ms"
+    }
+    assert sum(r["urls_in"] for r in rows) == engine.frontier().filter(
+        F.col("status") != "pending"
+    ).count()
+
+
+def test_resume_equals_uninterrupted(spark, corpus_dir, engine, oracle):
+    """Kill after round 1, resume, compare final state (SURVEY §5.2.5)."""
+    state = "/tmp/dcs_state_resume"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET)
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    sched = CrawlScheduler(spark, pages, robots, state, cfg)
+    sched.run(seeds=seeds, stop_after_round=1)
+    assert sched.committed_rounds() == [0, 1]
+
+    resumed = CrawlScheduler(spark, pages, robots, state, cfg)
+    resumed.run(resume=True)
+
+    want = {
+        (r["url"], r["depth"], r["status"]) for r in engine.frontier().collect()
+    }
+    got = {(r["url"], r["depth"], r["status"]) for r in resumed.frontier().collect()}
+    assert got == want

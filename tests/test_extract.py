@@ -1,0 +1,99 @@
+"""HTML extraction parity with the reference's behavioral spec:
+crawler_node.py:86-129 (metadata/links), utils.py:44-51 (regex text),
+indexer_node.py:133-158 (soup text), test_crawl_quality.py:48-136
+(script/style stripping, link filtering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.functions.extract import (
+    extract_text_regex_py,
+    extract_text_soup_py,
+    native_text_regex,
+    parse_page_py,
+    parse_page_udf,
+)
+
+FIXTURE = (
+    '<html lang="en"><head><title>My Title</title>'
+    '<meta name="description" content="A test page">'
+    '<meta name="keywords" content="k1 k2">'
+    "<style>body {color: red}</style></head>"
+    "<body><h1>Head  line</h1><p>Body text here.</p>"
+    "<script>var hidden = 'SECRET';</script>"
+    '<a href="https://other.com/page/">abs</a>'
+    '<a href="/rel/path">rel</a>'
+    '<a href="javascript:void(0)">js</a>'
+    '<a href="mailto:x@y.z">mail</a>'
+    '<a href="#frag">frag-only</a>'
+    "</body></html>"
+)
+
+
+def test_soup_text_strips_script_and_style():
+    text = extract_text_soup_py(FIXTURE)
+    assert "SECRET" not in text
+    assert "color: red" not in text
+    assert "Body text here." in text
+    # double-space inside an element splits into chunks joined by \n
+    assert "Head\nline" in text
+
+
+def test_regex_text_leaks_script_like_reference():
+    # utils.py:44-51 keeps script text (tags only are stripped)
+    text = extract_text_regex_py(FIXTURE)
+    assert "SECRET" in text
+    assert "<" not in text
+
+
+def test_link_extraction_filters_and_normalizes():
+    parsed = parse_page_py(FIXTURE, "https://base.com/dir/page")
+    # http(s) only (crawler_node.py:128; test_crawl_quality.py:82-107)
+    assert "https://other.com/page" in parsed["links"]  # trailing / stripped
+    assert "https://base.com/rel/path" in parsed["links"]  # urljoin resolved
+    assert not any("javascript" in l for l in parsed["links"])
+    assert not any("mailto" in l for l in parsed["links"])
+    # fragment-only href resolves to the base page (normalized, no #)
+    assert "https://base.com/dir/page" in parsed["links"]
+
+
+def test_metadata_extraction():
+    parsed = parse_page_py(FIXTURE, "https://base.com/")
+    assert parsed["title"] == "My Title"
+    assert parsed["description"] == "A test page"
+    assert parsed["keywords"] == "k1 k2"
+    assert parsed["language"] == "en"
+
+
+def test_udf_matches_python(spark):
+    df = spark.createDataFrame(
+        [(FIXTURE.encode(), "https://base.com/dir/page")], ["html", "url"]
+    )
+    row = df.select(
+        parse_page_udf(F.col("html"), F.col("url")).alias("p")
+    ).collect()[0]["p"]
+    want = parse_page_py(FIXTURE, "https://base.com/dir/page")
+    assert row["title"] == want["title"]
+    assert row["text"] == want["text"]
+    assert list(row["links"]) == want["links"]
+
+
+def test_native_regex_text_matches_python(spark):
+    df = spark.createDataFrame([(FIXTURE.encode(),)], ["html"])
+    got = df.select(native_text_regex(F.col("html")).alias("t")).collect()[0]["t"]
+    assert got == extract_text_regex_py(FIXTURE)
+
+
+def test_corpus_text_byte_identical(spark, corpus_dir):
+    """input_hint invariant: extracted text per url is byte-identical to
+    the corpus golden text column."""
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    from distributed_crawler_spark.functions.extract import extract_text_soup_udf
+
+    mismatches = (
+        pages.withColumn("re_text", extract_text_soup_udf(F.col("html")))
+        .filter(F.col("re_text") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
