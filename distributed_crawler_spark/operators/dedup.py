@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference only deduplicates URLs (exact set membership,
+master_node.py:69-70,336-391); a 100 TB text corpus additionally needs
+content-level dedup. All operators here are pure DataFrame compositions
+(no UDFs): hashing is md5-based (portable to the DuckDB oracle, see
+functions/hashing.py), shingling uses transform/sequence array lambdas.
+
+Scale notes:
+  * exact dedup: one hash-aggregate, shuffles only (hash, id) pairs.
+  * minhash-LSH: signatures are H per-doc mins computed from an exploded
+    (doc, shingle, seed) frame — map-side partial min, tiny shuffle;
+    band buckets then self-join only within buckets (the classic
+    shingle→minhash→band→bucket-join pipeline). Candidate pairs are
+    verified with exact Jaccard before being reported.
+  * simhash: bit-vote aggregation per doc — one explode + one groupBy.
+  * n-gram Jaccard: exact pairwise, but joined only on shared shingles
+    (inverted-index join), never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import phash
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Array-lambda
+    based — tokens never leave the JVM."""
+    toks = F.split(F.col(text_col), " ")
+    # sequence(1, k) DESCENDS when k < 1 — guard the short-doc case
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    canonical (min id) keeper and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash): min over shingles of seeded portable hashes.
+    Partial aggregation makes this map-side cheap."""
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select(id_col, "shingle", seeds)
+        .withColumn(
+            "h",
+            phash(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, exact-Jaccard
+    verified: (id_a < id_b, jaccard). Buckets join only docs sharing a
+    band signature — no pairwise blowup."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .withColumn("band_key", F.md5(F.concat_ws(",", F.col("band"), F.col("sig.minhash").cast("string"))))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_for_pairs(cand, docs, id_col, text_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for given candidate (id_a, id_b)
+    pairs: |A∩B| via a shingle join, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All near-duplicate pairs by exact n-gram Jaccard ≥ threshold,
+    candidate-generated through the shared-shingle inverted index."""
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return (
+        cand.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-doc SimHash: tokens vote ±1 on each bit of their hash; the
+    signature packs the winning bits. (id, simhash)."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("h", phash(F.col("token")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select(id_col, "h", bit)
+        .withColumn(
+            "vote",
+            # F.shiftright needs a literal count — the SQL form takes a column
+            F.when(
+                F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

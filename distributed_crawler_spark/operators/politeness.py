@@ -35,28 +35,24 @@ def robots_filter(
     """Drop candidate URLs disallowed by the per-host prefix rules.
 
     ``robots`` is (host, path_prefix) disallow rows. Default-allow: hosts
-    with no rules pass (left join + null check — utils.py:64-66).
-    A prefix of '/' disallows the entire host.
+    with no rules pass (utils.py:64-66). A prefix of '/' disallows the
+    entire host.
+
+    Zero-shuffle: rules are pre-aggregated to one array per host (tiny),
+    broadcast, and applied with a map-side array `exists` — the candidate
+    side never moves. (A join producing one output row per matching rule
+    would need a dedup shuffle over the 10^10-row candidate set.)
     """
+    rules_per_host = robots.groupBy("host").agg(
+        F.collect_list("path_prefix").alias("__prefixes")
+    ).withColumnRenamed("host", host_col)
     path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    joined = candidates.withColumn("__path", path).join(
-        F.broadcast(robots.select(F.col("host").alias(host_col), "path_prefix")),
-        on=host_col,
-        how="left",
+    joined = candidates.join(F.broadcast(rules_per_host), on=host_col, how="left")
+    denied = F.col("__prefixes").isNotNull() & F.exists(
+        F.col("__prefixes"), lambda p: path.startswith(p)
     )
-    denied = F.col("path_prefix").isNotNull() & F.col("__path").startswith(
-        F.col("path_prefix")
-    )
-    # a URL may match several rules after the join — deny if ANY matches
-    key_cols = [c for c in candidates.columns]
-    return (
-        joined.withColumn("__denied", denied)
-        .groupBy(*key_cols)
-        .agg(F.max(F.col("__denied").cast("int")).alias("__any_denied"))
-        .filter(F.col("__any_denied") == 0)
-        .drop("__any_denied")
-    )
+    return joined.filter(~denied).select(*candidates.columns)
 
 
 def host_budget_filter(

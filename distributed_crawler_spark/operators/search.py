@@ -1,0 +1,204 @@
+"""Search & ranking — the reference's "query engine" rebuilt as DataFrame
+aggregation (SURVEY.md §2.8).
+
+Reference semantics reproduced:
+  * postings build      — indexer's term→(url, tf) index (Whoosh schema,
+    indexer_node.py:108-118; add_document 181-225) as explode + groupBy.
+  * TF scoring          — search_interface.py:436-441 (sum stored per-url
+    term counts for query terms).
+  * BM25 ranking        — Whoosh's default BM25F retrieval
+    (indexer_node.py:246-251); classic BM25 with k1=1.2, b=0.75 and the
+    Lucene/Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+  * substring scoring   — search_interface.py:209-227 (+3 title contains,
+    +2 description contains) and the term-granular variant :496-590.
+  * per-doc top-k terms — indexer_node.py:91-93 FreqDist.most_common(10).
+  * suggest             — search_interface.py:822-846 (prefix + frequency
+    top-5).
+
+Scale notes: postings/docstats are built once per corpus snapshot (at
+cluster scale: written as an Iceberg table bucketed by term). Per-query
+work touches only the query terms' postings — Catalyst pushes
+``term IN (...)`` into the parquet scan. The df/idf side of BM25 is a
+handful of rows per query → broadcast. Scores are rounded to 4 decimals
+to make cross-engine comparison (and top-k tie-breaks) deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 4
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization (portable to the SQL oracle; the NLTK
+    stem/stopword pipeline of indexer_node.py:75-94 is in
+    functions/text.py as the non-oracle path)."""
+    return df.withColumn("token", F.explode(F.split(F.col(text_col), " "))).filter(
+        F.col("token") != ""
+    )
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term, tf) — the inverted index as a table."""
+    return (
+        tokenize(docs.select(id_col, text_col), text_col)
+        .groupBy(id_col, F.col("token").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, dl) document lengths in tokens."""
+    return (
+        tokenize(docs.select(id_col, text_col), text_col)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dl"))
+    )
+
+
+def tf_scores(
+    postings: DataFrame, query_terms: list[str], id_col: str = "doc_id", topk: int = 10
+) -> DataFrame:
+    """search_interface.py:436-441: score = Σ tf over query terms."""
+    return (
+        postings.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+) -> DataFrame:
+    """Classic BM25 over the postings table, fully declarative:
+
+        score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    idf/df/avgdl are tiny aggregates (broadcast side); the only big join
+    keys on the postings of the query terms (pre-filtered scan).
+    """
+    postings = build_postings(docs, id_col, text_col)
+    stats = doc_stats(docs, id_col, text_col)
+    n_docs = docs.agg(F.count("*").alias("n"))
+    qp = postings.filter(F.col("term").isin(query_terms))
+    df_t = qp.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = stats.agg(F.avg("dl").alias("avgdl"))
+
+    idf = (
+        df_t.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("term", "idf")
+    )
+
+    scored = (
+        qp.join(F.broadcast(idf), "term")
+        .join(stats, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)
+
+
+def substring_scores(
+    docs: DataFrame,
+    query: str,
+    title_col,
+    desc_col,
+    id_col: str = "doc_id",
+    topk: int = 20,
+) -> DataFrame:
+    """search_interface.py:209-227 (v1): 3 if query in title else 2 if in
+    description; keep score>0, top-k. title_col/desc_col are Columns."""
+    q = F.lit(query.lower())
+    score = (
+        F.when(F.contains(F.lower(title_col), q), F.lit(3))
+        .when(F.contains(F.lower(desc_col), q), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    return (
+        docs.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def term_boost_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    title_col,
+    desc_col,
+    id_col: str = "doc_id",
+    topk: int = 20,
+) -> DataFrame:
+    """Term-granular variant (search_interface.py:496-590): +3 per term in
+    title, +1 per term in description; additive when-chain, no UDF."""
+    score = F.lit(0)
+    for t in query_terms:
+        tl = F.lit(t.lower())
+        score = (
+            score
+            + F.when(F.contains(F.lower(title_col), tl), F.lit(3)).otherwise(F.lit(0))
+            + F.when(F.contains(F.lower(desc_col), tl), F.lit(1)).otherwise(F.lit(0))
+        )
+    return (
+        docs.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """indexer_node.py:91-93: FreqDist(tokens).most_common(10) per doc —
+    ranking window, deterministic tie-break on term."""
+    postings = build_postings(docs, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.col("term"))
+    return (
+        postings.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "rank")
+    )
+
+
+def suggest(
+    queries_df: DataFrame, prefix: str, query_col: str = "query", k: int = 5
+) -> DataFrame:
+    """search_interface.py:822-846: repeated queries with prefix,
+    frequency-ordered top-5."""
+    return (
+        queries_df.filter(F.col(query_col).startswith(prefix))
+        .groupBy(query_col)
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.col(query_col))
+        .limit(k)
+    )

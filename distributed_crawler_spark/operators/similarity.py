@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors with sign-random-projection LSH so each query probes only its
+bucket (candidates ∩ bucket, then exact re-rank). All math is native
+(`aggregate`/`zip_with` — JVM, codegen'd); the LSH hyperplanes are
+derived deterministically from the portable hash so the DuckDB oracle
+can reproduce them.
+
+Scale notes: brute force is a broadcast of the query vector + one pass —
+fine for one query over 10^9 vectors but not for k-NN joins; the LSH
+variant turns a k-NN join into an equi-join on bucket id. IVF (k-means
+coarse quantizer) is the next step up — same probe structure, learned
+centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. One scan,
+    no shuffle except the final TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.round(cosine(vec, q), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-NN join (each query row × all vectors, windowed top-k).
+    Quadratic — the correctness baseline the LSH path is measured
+    against; only for bounded query sets."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
+    )
+    qv = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    vv = F.transform(F.col("v_vec"), lambda x: x.cast("double"))
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("q_id") != F.col("v_id"))
+        .select(
+            "q_id",
+            "v_id",
+            F.round(cosine(qv, vv), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("v_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def lsh_bucket_ids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = bits of sign(v · h_p) for
+    deterministic pseudo-random hyperplanes
+    h_p[j] = ((phash('p,j') % 2001) - 1000) / 1000 — reproducible in SQL.
+    Returns (id, bucket)."""
+    from ..functions.hashing import phash
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        # plane component for dim j, same formula the oracle uses
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    phash(F.concat(F.lit(f"{p},"), j.cast("string"))), F.lit(2001)
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0))
+    return vectors.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
+    threshold). Exact pairwise within the (optionally capped) id range —
+    the LSH-bucketed variant prefilters candidates at scale."""
+    v = vectors
+    if max_id is not None:
+        v = v.filter(F.col(id_col) < max_id)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(va, vb), 4).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path: candidates only within an LSH bucket, then exact
+    cosine re-rank. Equi-join on bucket replaces the cross product."""
+    buckets = lsh_bucket_ids(vectors, id_col, vec_col, planes, dim)
+    v = vectors.join(buckets, id_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(va, vb), 4).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )

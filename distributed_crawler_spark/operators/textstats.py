@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting — all native
+column expressions (JVM, codegen'd; zero Python).
+
+These extend the reference's indexer text pipeline (indexer_node.py:75-94
+tokenize/stopword/stem) to the filters a web-scale corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import phash
+
+# tiny function-word marker lists per language (n-gram heuristic stand-in:
+# highest marker-hit-rate wins; 'unk' when nothing matches)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "que", "es", "y", "un", "una"],
+    "fr": ["le", "la", "les", "est", "et", "un", "une", "que"],
+}
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "that", "it", "is", "was",
+    "for", "on", "are", "as", "with", "his", "they", "i", "at", "be",
+]
+
+
+def _tokens(text_col):
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (alnum runs and single punctuation marks, the usual pre-tokenizer
+    regex shape)."""
+    toks = _tokens(F.col(text_col))
+    bpe_ish = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish).alias("n_subword_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: for each language, the fraction of tokens
+    that are marker words; argmax wins (ties broken by language code).
+    Returns (id, pred_lang, best_ratio)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    ratio_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        ratio_cols.append(
+            F.struct(
+                F.round(hits / n, 6).alias("ratio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (ratio, lang): array_max on structs orders by first field
+    # then second, so ties deterministically pick the LAST lang code;
+    # invert the lang for tie-break-by-first then re-map? keep (ratio,
+    # negative-free): ties are broken by max lang string — document it.
+    best = F.array_max(F.array(*ratio_cols))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["ratio"] > 0, best["lang"]).otherwise(F.lit("unk")).alias("pred_lang"),
+        best["ratio"].alias("best_ratio"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    length, mean word length, stopword ratio, punctuation ratio,
+    alpha ratio. score = stopword_ratio·2 + alpha_ratio − punct_ratio
+    clipped to [0, 3] — the usual cheap quality gate shape."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]"), 0))
+    mean_wlen = (n_chars - (F.size(toks) - 1)) / n_toks
+    stop_ratio = n_stop / n_toks
+    punct_ratio = n_punct / n_chars
+    alpha_ratio = n_alpha / n_chars
+    score = F.least(
+        F.greatest(stop_ratio * 2 + alpha_ratio - punct_ratio, F.lit(0.0)),
+        F.lit(3.0),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: full-content md5, a 60-bit
+    numeric fingerprint, and a normalized fingerprint (lowercased,
+    whitespace-collapsed) that survives trivial reformatting."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        phash(F.col(text_col)).alias("fingerprint"),
+        F.md5(norm).alias("normalized_md5"),
+    )

@@ -1,0 +1,911 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a named pair of
+
+    spark(spark, sf_dir) -> DataFrame      (the engine under test)
+    oracle SQL (DuckDB over the same parquet views)
+
+Column names/aliases match exactly on both sides; float outputs are
+rounded to fixed decimals on both sides; every ORDER BY carries a total
+tie-break so top-k sets are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import model_links_df, model_pages_df, model_robots_df, model_seeds_df, model_sql_ctes
+from ..functions.hashing import phash, phash_sql
+from ..functions.urls import get_domain, normalize_url
+from ..operators import dedup, search, similarity, stats, textstats
+from ..operators.politeness import host_budget_filter, robots_filter
+from .model_crawl import bfs_sql, model_bfs
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_MODEL = model_sql_ctes().strip().rstrip()
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Crawl / frontier operators (SURVEY §2.2, §2.4, §2.6, §2.9, §3.1)
+# =========================================================================
+
+@q(
+    "crawl_bfs",
+    bfs_sql(max_depth=2, budget=100),
+)
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 3-round BFS frontier scheduling over the arithmetic
+    corpus model (depth gate, URL-seen anti-join, robots broadcast join,
+    salted host-budget window)."""
+    return model_bfs(spark, sf_dir, max_depth=2, budget=100)
+
+
+@q(
+    "normalize_urls",
+    f"""
+WITH {_MODEL},
+noisy AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN url || '/'
+           WHEN 1 THEN url || '#frag'
+           WHEN 2 THEN substr(url, 9)
+           ELSE url || '/?q=1'
+         END AS raw_url,
+         url
+  FROM pages
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 3 THEN url || '?q=1' ELSE url END AS norm_url
+FROM noisy
+""",
+)
+def q_normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """utils.py:15-36 canonicalization over noisy variants, JVM-native.
+    The oracle derives the expected output arithmetically — an
+    independent re-derivation, not the same algorithm."""
+    pages = model_pages_df(spark, sf_dir)
+    d = F.col("doc_id")
+    noisy = (
+        F.when(d % 4 == 0, F.concat(F.col("url"), F.lit("/")))
+        .when(d % 4 == 1, F.concat(F.col("url"), F.lit("#frag")))
+        .when(d % 4 == 2, F.substring(F.col("url"), 9, 1000000))
+        .otherwise(F.concat(F.col("url"), F.lit("/?q=1")))
+    )
+    return pages.select(
+        "doc_id", normalize_url(noisy).alias("norm_url")
+    )
+
+
+@q(
+    "get_domain",
+    f"WITH {_MODEL} SELECT doc_id, host AS domain FROM pages",
+)
+def q_get_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """utils.py:10-13 netloc extraction (native regexp)."""
+    pages = model_pages_df(spark, sf_dir)
+    return pages.select("doc_id", get_domain(F.col("url")).alias("domain"))
+
+
+@q(
+    "robots_filter",
+    f"""
+WITH {_MODEL}
+SELECT p.url, p.host FROM pages p
+WHERE NOT EXISTS (SELECT 1 FROM robots r
+                  WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
+""",
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots prefix rules via broadcast join, default-allow
+    (utils.py:53-66; test_crawl_quality.py:195-220)."""
+    pages = model_pages_df(spark, sf_dir).select("url", "host")
+    robots = model_robots_df(spark, sf_dir)
+    return robots_filter(pages, robots)
+
+
+@q(
+    "host_budget",
+    f"""
+WITH {_MODEL}
+SELECT url, host, rn AS host_budget_rank FROM (
+  SELECT url, host, row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+  FROM pages
+) WHERE rn <= 100
+""",
+)
+def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget window (master_node.py:340-343) — two-phase salted
+    top-k; the mega-domain (40% of rows) exercises the skew path."""
+    pages = model_pages_df(spark, sf_dir).select("url", "host")
+    return host_budget_filter(pages, None, 100)
+
+
+@q(
+    "dedup_anti_join",
+    f"""
+WITH {_MODEL}
+SELECT DISTINCT l.dst_url AS url FROM links l
+WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.url = l.dst_url)
+""",
+)
+def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen dedup as a left-anti equi-join (master_node.py:336-391)."""
+    links = model_links_df(spark, sf_dir)
+    seeds = model_seeds_df(spark, sf_dir)
+    return (
+        links.select(F.col("dst_url").alias("url"))
+        .join(seeds, "url", "left_anti")
+        .distinct()
+    )
+
+
+@q(
+    "url_seen_union",
+    f"""
+WITH {_MODEL},
+seen AS (
+  SELECT url FROM seeds
+  UNION
+  SELECT DISTINCT l.dst_url FROM links l JOIN seeds s ON l.src_url = s.url
+)
+SELECT url, {phash_sql('url')} AS url_key FROM seen
+""",
+)
+def q_url_seen_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen set maintenance: union + dropDuplicates + hash keying
+    (master_node.py:69-70; xxhash64 internally, portable hash here so the
+    oracle can reproduce the key)."""
+    links = model_links_df(spark, sf_dir)
+    seeds = model_seeds_df(spark, sf_dir)
+    dsts = links.join(seeds.select(F.col("url").alias("src_url")), "src_url").select(
+        F.col("dst_url").alias("url")
+    )
+    return (
+        seeds.select("url")
+        .unionByName(dsts)
+        .dropDuplicates(["url"])
+        .select("url", phash(F.col("url")).alias("url_key"))
+    )
+
+
+@q(
+    "top_domains",
+    f"""
+WITH {_MODEL}
+SELECT host, count(*) AS n FROM pages GROUP BY host
+ORDER BY n DESC, host LIMIT 10
+""",
+)
+def q_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard.py:525-569 domain top-10."""
+    return stats.top_domains(model_pages_df(spark, sf_dir))
+
+
+# =========================================================================
+# Monitoring / dashboard aggregates over events (SURVEY §2.5, §3.3)
+# =========================================================================
+
+@q(
+    "status_counts",
+    "SELECT event_type AS status, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard.py:377-417 counts-by-status shape."""
+    return stats.status_counts(_read(spark, sf_dir, "events"), "event_type")
+
+
+@q(
+    "hourly_history",
+    """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (SELECT unnest(generate_series(span.lo, span.hi, INTERVAL 1 HOUR)) AS hour FROM span),
+counted AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1)
+SELECT h.hour, coalesce(c.n, 0) AS n FROM hours h LEFT JOIN counted c USING (hour)
+ORDER BY h.hour
+""",
+)
+def q_hourly_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard.py:419-523 hour-bucketed, zero-filled history."""
+    return stats.hourly_history(_read(spark, sf_dir, "events"))
+
+
+@q(
+    "crawl_rate",
+    """
+WITH hi AS (SELECT max(ts) AS hi FROM events)
+SELECT round(count(*) / 60.0, 4) AS rate_per_min
+FROM events, hi WHERE events.ts >= hi.hi - INTERVAL 1 HOUR
+""",
+)
+def q_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard.py:578-615 URLs/min over the trailing hour."""
+    return stats.crawl_rate_per_minute(_read(spark, sf_dir, "events"))
+
+
+@q(
+    "error_rate",
+    """
+SELECT round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+             / count(*), 4) AS error_rate_pct
+FROM events
+""",
+)
+def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monitoring.py:444-449 failed/total·100."""
+    ev = _read(spark, sf_dir, "events")
+    return stats.error_rate(ev, F.col("event_type") == "error")
+
+
+@q(
+    "latest_heartbeat",
+    """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_latest_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-latest heartbeat upsert (monitoring.py:494-525),
+    deterministic tie-break."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@q(
+    "sliding_rate",
+    """
+WITH span AS (
+  SELECT date_trunc('minute', min(ts)) - INTERVAL 4 MINUTE AS lo,
+         date_trunc('minute', max(ts)) AS hi
+  FROM events
+),
+slides AS (SELECT unnest(generate_series(span.lo, span.hi, INTERVAL 1 MINUTE)) AS ws FROM span)
+SELECT ws AS window_start, ws + INTERVAL 5 MINUTE AS window_end, count(*) AS n
+FROM slides JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 5 MINUTE
+GROUP BY ws ORDER BY ws
+""",
+)
+def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monitoring.py:451-464 sliding 5-min/1-min rate — Spark's window()
+    generator vs the oracle's generate_series range join."""
+    from ..streaming.monitor import sliding_crawl_rate
+
+    return sliding_crawl_rate(_read(spark, sf_dir, "events")).orderBy("window_start")
+
+# =========================================================================
+# Search / ranking (SURVEY §2.8) over the documents table
+# =========================================================================
+
+_QTERMS = ["spark", "join", "window"]
+_QTERMS_SQL = ", ".join(f"'{t}'" for t in _QTERMS)
+
+_POSTINGS_CTE = """
+toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+docstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+"""
+
+
+@q(
+    "search_tf",
+    f"""
+WITH {_POSTINGS_CTE}
+SELECT doc_id, sum(tf) AS score FROM postings
+WHERE term IN ({_QTERMS_SQL})
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_interface.py:436-441 term-frequency scoring, top-10."""
+    postings = search.build_postings(_read(spark, sf_dir, "documents"))
+    return search.tf_scores(postings, _QTERMS)
+
+
+@q(
+    "search_bm25",
+    f"""
+WITH {_POSTINGS_CTE},
+nn AS (SELECT count(*) AS n FROM documents),
+qp AS (SELECT * FROM postings WHERE term IN ({_QTERMS_SQL})),
+dfq AS (SELECT term, count(*) AS df FROM qp GROUP BY term),
+avgdl AS (SELECT avg(dl) AS avgdl FROM docstats),
+idf AS (SELECT term, ln(1 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf FROM dfq, nn)
+SELECT doc_id, round(sum(idf.idf * (qp.tf * 2.2)
+         / (qp.tf + 1.2 * (0.25 + 0.75 * docstats.dl / avgdl.avgdl))), 4) AS score
+FROM qp JOIN idf USING (term) JOIN docstats USING (doc_id), avgdl
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Whoosh BM25F analog, indexer_node.py:246-251) as
+    declarative aggregation; k1=1.2, b=0.75."""
+    return search.bm25_scores(_read(spark, sf_dir, "documents"), _QTERMS)
+
+
+@q(
+    "search_substring",
+    """
+SELECT doc_id,
+       CASE WHEN contains(lower(text), 'spark window') THEN 3
+            WHEN contains(lower(text), 'spark') THEN 2 ELSE 0 END AS score
+FROM documents
+WHERE CASE WHEN contains(lower(text), 'spark window') THEN 3
+           WHEN contains(lower(text), 'spark') THEN 2 ELSE 0 END > 0
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_search_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_interface.py:209-227 substring when-chain scoring."""
+    docs = _read(spark, sf_dir, "documents")
+    return search.substring_scores(
+        docs, "spark window", F.col("text"), F.col("text"), topk=20
+    ).withColumn(
+        "score",
+        F.col("score"),
+    )
+
+
+@q(
+    "search_term_boost",
+    """
+WITH scored AS (
+  SELECT doc_id,
+         (CASE WHEN contains(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '), 'spark') THEN 3 ELSE 0 END
+          + CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END
+          + CASE WHEN contains(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '), 'join') THEN 3 ELSE 0 END
+          + CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END) AS score
+  FROM documents
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_search_term_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_interface.py:496-590 term-granular boosts: +3 per term in
+    the 'title' (first 10 words), +1 per term in the body."""
+    docs = _read(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10))
+    return search.term_boost_scores(
+        docs, ["spark", "join"], title, F.col("text"), topk=20
+    )
+
+
+@q(
+    "keywords_top10",
+    f"""
+WITH {_POSTINGS_CTE}
+SELECT doc_id, term, tf, rank FROM (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rank
+  FROM postings WHERE doc_id < 20
+) WHERE rank <= 10
+""",
+)
+def q_keywords_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexer_node.py:91-93 FreqDist.most_common(10) per doc."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return search.top_terms_per_doc(docs)
+
+
+@q(
+    "suggest",
+    """
+SELECT event_type AS query, count(*) AS freq FROM events
+WHERE starts_with(event_type, 's')
+GROUP BY event_type ORDER BY freq DESC, event_type LIMIT 5
+""",
+)
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_interface.py:822-846 prefix suggestion top-5."""
+    ev = _read(spark, sf_dir, "events").select(F.col("event_type").alias("query"))
+    return search.suggest(ev, "s")
+
+
+# =========================================================================
+# Relational analytics (the SQL surface a dashboard would use; §2.5, §2.7)
+# =========================================================================
+
+@q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "join_enrich",
+    """
+SELECT n.n_name, round(sum(o.o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-enrichment join chain (search_interface.py:459-476 analog):
+    fact ⋈ broadcast dims."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject; search top-k analog §2.7)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
+        .limit(10)
+    )
+
+
+@q(
+    "running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+FROM orders WHERE o_custkey < 50
+""",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (SURVEY §2.6 'available if needed')."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running"),
+    )
+
+# =========================================================================
+# Training-data pipeline: deduplication (exact, minhash-LSH, simhash,
+# n-gram jaccard), similarity search, text analysis, multimodal plumbing
+# =========================================================================
+
+_SHINGLES_CTE = """
+shing AS (
+  SELECT DISTINCT doc_id, sh.shingle FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  ) d, LATERAL (
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  ) sh
+)
+"""
+
+_TOKSET_CTE = """
+tokset AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+)
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by hash-groupBy."""
+    return dedup.exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "minhash_signatures",
+    f"""
+WITH {_SHINGLES_CTE.strip().rstrip()},
+seeds AS (SELECT unnest(range(0, 16)) AS seed)
+SELECT s.doc_id, sd.seed,
+       min({phash_sql("sd.seed || ':' || s.shingle")}) AS minhash
+FROM shing s, seeds sd
+WHERE s.doc_id < 30
+GROUP BY s.doc_id, sd.seed
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (16 hashes over 3-gram shingles) — direct
+    cross-engine parity of the signature values."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return dedup.minhash_signatures(docs).withColumn(
+        "seed", F.col("seed").cast("long")
+    )
+
+
+@q(
+    "minhash_lsh_pairs",
+    f"""
+WITH {_TOKSET_CTE.strip().rstrip()},
+docs60 AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+sh AS (SELECT t.doc_id, t.term AS shingle FROM tokset t JOIN docs60 USING (doc_id)),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS (
+  SELECT sh.doc_id, sd.seed,
+         min({phash_sql("sd.seed || ':' || sh.shingle")}) AS minhash
+  FROM sh, seeds sd GROUP BY sh.doc_id, sd.seed
+),
+banded AS (
+  SELECT doc_id, (seed // 2) AS band,
+         md5((seed // 2)::VARCHAR || ',' || string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 4) >= 0.7
+""",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle→minhash→band→bucket-join near-dup pairs, exact-Jaccard
+    verified (1-gram shingles, 16 hashes, 8 bands, threshold 0.7)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, shingle_n=1, jaccard_threshold=0.7
+    )
+
+
+@q(
+    "ngram_jaccard",
+    f"""
+WITH {_TOKSET_CTE.strip().rstrip()},
+sh AS (SELECT doc_id, term FROM tokset WHERE doc_id < 100),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM cand JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via shared-token inverted
+    index (no cross product)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.8)
+
+
+@q(
+    "simhash",
+    f"""
+WITH tk AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE doc_id < 50 AND t.term <> ''
+),
+th AS (SELECT doc_id, term, {phash_sql('term')} AS h FROM tk),
+bits AS (SELECT unnest(range(0, 16)) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (token bit votes)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return dedup.simhash(docs, bits=16)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id LIMIT 10
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector
+    (native aggregate/zip_with — no UDF)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec)
+
+
+@q(
+    "embedding_neardup",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline; LSH-bucketed
+    variant is the scale path in operators/similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9, max_id=300)
+
+
+def _lsh_proj_sql(p: int) -> str:
+    seed_expr = "'" + str(p) + ",' || j"
+    plane = (
+        "list_transform(range(0, 64), j -> "
+        f"((({phash_sql(seed_expr)}) % 2001 - 1000)) / 1000.0)"
+    )
+    return f"list_dot_product(embedding::DOUBLE[], {plane})"
+
+
+@q(
+    "ann_lsh_buckets",
+    "SELECT vec_id, ("
+    + " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(p)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(8)
+    )
+    + ")::BIGINT AS bucket FROM embeddings WHERE vec_id < 200",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket assignment (8 deterministic
+    hyperplanes reproduced bit-for-bit by the oracle)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.lsh_bucket_ids(emb, planes=8, dim=64)
+
+
+# ---- text analysis ------------------------------------------------------
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS) + "]"
+
+
+@q(
+    "token_count",
+    r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subword_tokens,
+       length(text)::BIGINT AS n_chars_measured
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.token_counts(_read(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subword_tokens").cast("long").alias("n_subword_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+    )
+
+
+_LANGS_SQL = ", ".join(
+    f"('{lang}', [{', '.join(repr(m) for m in ms)}])"
+    for lang, ms in sorted(textstats.LANG_MARKERS.items())
+)
+
+
+@q(
+    "lang_id",
+    f"""
+WITH langs(lang, markers) AS (VALUES {_LANGS_SQL}),
+t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         round(len(list_filter(toks, x -> list_contains(markers, x)))::DOUBLE
+               / greatest(len(toks), 1), 6) AS ratio
+  FROM t, langs
+)
+SELECT doc_id,
+       CASE WHEN ratio > 0 THEN lang ELSE 'unk' END AS pred_lang,
+       ratio AS best_ratio
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn FROM r)
+WHERE rn = 1
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax ratio, ties → max lang code)."""
+    return textstats.language_id(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "quality_score",
+    rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS raw_toks,
+         greatest(len(toks), 1) AS n_toks,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, lower(x)))) AS n_stop,
+         greatest(length(text), 1) AS n_chars,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+  FROM t
+)
+SELECT doc_id,
+       raw_toks::BIGINT AS n_tokens,
+       round((n_chars - (raw_toks - 1)) / n_toks, 4) AS mean_word_len,
+       round(n_stop / n_toks, 4) AS stopword_ratio,
+       round(n_punct / n_chars, 4) AS punct_ratio,
+       round(n_alpha / n_chars, 4) AS alpha_ratio,
+       round(least(greatest(n_stop / n_toks * 2 + n_alpha / n_chars - n_punct / n_chars, 0.0), 3.0), 4) AS quality_score
+FROM m
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.quality_scores(_read(spark, sf_dir, "documents"))
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@q(
+    "fingerprint",
+    f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       {phash_sql('text')} AS fingerprint,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS normalized_md5
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+# ---- multimodal plumbing -------------------------------------------------
+
+@q(
+    "media_features",
+    """
+SELECT doc_id AS media_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       strlen(text)::BIGINT AS n_bytes,
+       (32 * (1 + doc_id % 16))::BIGINT AS width,
+       (32 * (1 + (doc_id // 16) % 16))::BIGINT AS height
+FROM documents
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media decode plumbing (mapInPandas; decode stubbed
+    deterministically — the oracle re-derives the metadata arithmetically)."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+@q(
+    "media_summary",
+    """
+WITH f AS (
+  SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         strlen(text) AS n_bytes,
+         32 * (1 + doc_id % 16) AS width
+  FROM documents
+)
+SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(width), 4) AS avg_width
+FROM f GROUP BY kind ORDER BY kind
+""",
+)
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
+    return multimodal.media_summary(multimodal.decode_features(media))

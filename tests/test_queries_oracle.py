@@ -1,0 +1,68 @@
+"""Local twin of the driver's correctness gate: run every queries() entry
+and its oracle_sql() through DuckDB on the same parquet, compare row
+count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from distributed_crawler_spark.plans import registry
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def _rows_to_set(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm(r[i]) for i in order))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = registry.QUERIES[name](spark, SF)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    ddf = duck.execute(registry.ORACLES[name])
+    dcols = [c[0] for c in ddf.description]
+    drows = ddf.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sset = _rows_to_set([tuple(r[c] for c in scols) for r in srows], scols)
+    dset = _rows_to_set(drows, dcols)
+    mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:5]
+    assert sset == dset, f"{name}: value mismatch at {mism}: " + "; ".join(
+        f"spark={sset[i]} oracle={dset[i]}" for i in mism
+    )

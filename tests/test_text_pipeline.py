@@ -1,0 +1,138 @@
+"""Porter stemmer + token pipeline (indexer_node.py:75-94 analog) and the
+streaming monitor plane."""
+
+from __future__ import annotations
+
+from distributed_crawler_spark.functions.text import (
+    porter_stem,
+    process_text_py,
+    tokens_fast,
+)
+
+
+def test_porter_stemmer_classic_cases():
+    # canonical examples from Porter's published algorithm description
+    cases = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "bled": "bled",
+        "motoring": "motor",
+        "sing": "sing",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "hopping": "hop",
+        "tanned": "tan",
+        "falling": "fall",
+        "hissing": "hiss",
+        "fizzed": "fizz",
+        "failing": "fail",
+        "filing": "file",
+        "happy": "happi",
+        "sky": "sky",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "valenci": "valenc",
+        "digitizer": "digit",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "decisiveness": "decis",
+        "hopefulness": "hope",
+        "formaliti": "formal",
+        "formative": "form",
+        "formalize": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "adjustable": "adjust",
+        "defensible": "defens",
+        "irritant": "irrit",
+        "replacement": "replac",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "communism": "commun",
+        "activate": "activ",
+        "angulariti": "angular",
+        "homologous": "homolog",
+        "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat",
+        "rate": "rate",
+        "cease": "ceas",
+        "controll": "control",
+        "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in cases.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_process_text_pipeline():
+    out = process_text_py("The quick Joins are joining the JOINED tables!")
+    # stopwords removed, lowered, stemmed
+    assert "the" not in out
+    assert out.count("join") == 3
+    assert "tabl" in out
+
+
+def test_tokens_fast_matches_unstemmed(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("the quick fox the fox",)], ["text"]
+    )
+    row = df.select(tokens_fast(F.col("text")).alias("t")).collect()[0]
+    assert list(row["t"]) == ["quick", "fox", "fox"]  # dups preserved
+
+
+def test_streaming_rate_smoke(spark):
+    from distributed_crawler_spark.streaming.monitor import run_rate_stream_smoke
+
+    rows = run_rate_stream_smoke(spark, seconds=3)
+    assert len(rows) > 0
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_heartbeat_liveness(spark):
+    import datetime as dt
+
+    from distributed_crawler_spark.streaming.monitor import heartbeat_liveness
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", base),
+        ("c1", base + dt.timedelta(seconds=100)),
+        ("c2", base),  # silent for 100s > 60s window → failed
+    ]
+    df = spark.createDataFrame(rows, ["crawler_id", "ts"])
+    out = {
+        r["crawler_id"]: r["liveness"]
+        for r in heartbeat_liveness(df).collect()
+    }
+    assert out == {"c1": "active", "c2": "failed"}
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from distributed_crawler_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    kinds = {r["kind"] for r in rows}
+    assert kinds <= {"image", "audio", "video"}
