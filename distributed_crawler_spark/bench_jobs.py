@@ -152,9 +152,15 @@ def crawl_round_bench_job(
     )
 
     t0 = time.monotonic()
-    parsed = pending.withColumn("p", parse_page_udf(F.col("html"), F.col("url")))
-    links = parsed.select(
-        "k", F.explode(F.col("p.links")).alias("base_link")
+    # NOTE plan shape: selecting the generator directly over the UDF's
+    # struct field keeps ONE ArrowEvalPython node; the
+    # withColumn-then-select-explode shape makes the optimizer duplicate
+    # the (expensive) UDF into two stacked evaluations
+    links = pending.select(
+        "k",
+        F.explode(parse_page_udf(F.col("html"), F.col("url"))["links"]).alias(
+            "base_link"
+        ),
     ).select(
         F.concat(F.col("base_link"), F.lit("?k="), F.col("k").cast("string")).alias("url")
     )

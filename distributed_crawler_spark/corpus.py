@@ -163,7 +163,12 @@ seeds AS (SELECT url FROM pages WHERE doc_id < {SEED_COUNT})
 
 # ---- real HTML corpus (input_hint shape) ----------------------------------
 
-def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def html_pages_df(
+    spark: SparkSession,
+    sf_dir: str,
+    text_repeat: int = 1,
+    extra_links: int = 0,
+) -> DataFrame:
     """pages table per input_hint: (url, warc_ts, html:binary, text, lang).
 
     html embeds: lang attr, <title>, meta description/keywords, body text,
@@ -172,6 +177,10 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     host(d) — the fetch-miss path), javascript:, mailto:, and t3 with a
     #fragment (normalized away). ``text`` is the golden soup-path
     extraction computed by the same UDF the engine uses.
+
+    ``text_repeat``/``extra_links`` inflate page size toward realistic
+    web-page weight (the bench corpus uses ~8KB pages; unit-test corpus
+    stays small).
     """
     pages = model_pages_df(spark, sf_dir)
     n = pages.agg(F.count("*").alias("n"))
@@ -180,6 +189,16 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1, t2, t3 = targets
     url_t1 = _url_expr(_host_id_expr(t1), t1)
     url_t3 = _url_expr(_host_id_expr(t3), t3)
+    body_parts = []
+    for r in range(text_repeat):
+        body_parts += [F.lit(f"<p id=\"s{r}\">"), F.col("text"), F.lit("</p>")]
+    link_parts = []
+    for j in range(extra_links):
+        tj = (F.lit(7 + 2 * j) * d + F.lit(11 + j)) % F.col("n")
+        link_parts += [
+            F.lit('<a href="'), _url_expr(_host_id_expr(tj), tj),
+            F.lit(f'">more{j}</a>'),
+        ]
     html = F.concat(
         F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
         d.cast("string"), F.lit(" page</title>"),
@@ -187,12 +206,13 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("string"), F.lit(' of source "'),
         F.lit('"><meta name="keywords" content="'),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)),
-        F.lit('"></head><body><p>'), F.col("text"), F.lit("</p>"),
+        F.lit('"></head><body>'), *body_parts,
         F.lit("<script>var x = "), d.cast("string"), F.lit(";</script>"),
         F.lit('<a href="'), url_t1, F.lit('">next</a>'),
         F.lit('<a href="/p/'), t2.cast("string"), F.lit('">rel</a>'),
         F.lit('<a href="javascript:void(0)">js</a>'),
         F.lit('<a href="mailto:a@example.com">mail</a>'),
+        *link_parts,
         F.lit('<a href="'), url_t3, F.lit('#frag">frag</a>'),
         F.lit("</body></html>"),
     )
@@ -211,14 +231,21 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_html_corpus(spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = 32) -> str:
+def build_html_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    buckets: int = 32,
+    text_repeat: int = 1,
+    extra_links: int = 0,
+) -> str:
     """Materialize the HTML corpus + seeds + robots as parquet under
     out_dir. Pages are repartitioned by xxhash64(url) — the same bucketing
     the frontier uses, so the per-round fetch join co-partitions (at
     cluster scale: Iceberg `bucket(N, url_hash)` storage-partitioned join,
     no corpus shuffle)."""
     os.makedirs(out_dir, exist_ok=True)
-    pages = html_pages_df(spark, sf_dir)
+    pages = html_pages_df(spark, sf_dir, text_repeat, extra_links)
     (
         pages.repartition(buckets, F.xxhash64(F.col("url")))
         .write.mode("overwrite")

@@ -214,9 +214,24 @@ def _decode(b) -> str | None:
 @pandas_udf(PARSED_SCHEMA)
 def parse_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     """Vectorized page parse: html binary + base url → struct per
-    PARSED_SCHEMA. One Python call per Arrow batch."""
-    rows = [parse_page_py(_decode(h), u) for h, u in zip(html, url)]
-    return pd.DataFrame(rows)
+    PARSED_SCHEMA. One Python call per Arrow batch; output assembled
+    column-wise (a dict of lists is ~2x cheaper than a list of dicts for
+    pandas to ingest at these batch sizes)."""
+    cols: dict[str, list] = {k: [] for k in
+                             ("title", "description", "keywords", "text", "links", "language")}
+    for h, u in zip(html, url):
+        d = parse_page_py(_decode(h), u)
+        for k, v in d.items():
+            cols[k].append(v)
+    return pd.DataFrame(cols, copy=False)
+
+
+# The parse is pure, but we declare it nondeterministic so Catalyst's
+# projection collapsing never DUPLICATES the (expensive) evaluation —
+# without this, `select(other_col, explode(udf(...).links))` plans TWO
+# stacked ArrowEvalPython nodes and every page parses twice
+# (regression-guarded in tests/test_plans.py).
+parse_page_udf = parse_page_udf.asNondeterministic()
 
 
 @pandas_udf(StringType())

@@ -47,21 +47,9 @@ class RoundResult:
     fetched: DataFrame       # pending ⋈ pages (for lineage byte counts)
 
 
-def crawl_round(
-    pending: DataFrame,
-    pages: DataFrame,
-    robots: DataFrame,
-    seen: DataFrame,
-    host_counts: DataFrame | None,
-    cfg: CrawlConfig,
-    round_no: int,
-) -> RoundResult:
-    """Process all pending URLs of ``round_no`` (depth == round_no).
-
-    pending: (url, host, depth); pages: input_hint corpus table;
-    seen: (url) every URL ever scheduled; host_counts: (host, n_scheduled).
-    """
-    # --- simulated fetch: left join marks misses as failed --------------
+def fetch_extract(pending: DataFrame, pages: DataFrame, round_no: int):
+    """Phase 1: simulated fetch (left join marks misses as failed) +
+    Arrow parse. Returns (cohort, extracted, fetched) lazy frames."""
     fetched = pending.join(
         pages.select("url", "warc_ts", "html"), on="url", how="left"
     )
@@ -75,7 +63,8 @@ def crawl_round(
         F.lit(round_no).alias("round"),
     )
 
-    # --- parse (the only Python, Arrow-batched) --------------------------
+    # one ArrowEvalPython node: the multi-field struct select does NOT
+    # duplicate the UDF (verified by tests/test_plans.py)
     parsed = (
         fetched.filter(hit)
         .withColumn("parsed", parse_page_udf(F.col("html"), F.col("url")))
@@ -90,12 +79,26 @@ def crawl_round(
         F.col("parsed.language").alias("language"),
         F.col("warc_ts").alias("fetch_ts"),
     )
+    return cohort, extracted, fetched
 
-    # --- discover next round's candidates -------------------------------
+
+def schedule_candidates(
+    extracted: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    host_counts: DataFrame | None,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> DataFrame:
+    """Phase 2: link discovery → depth gate → URL-seen anti-join → robots
+    → salted budget window → pending_{round+1}. Pass a *materialized*
+    ``extracted`` (the just-written table read back) so the parse UDF is
+    never re-executed for scheduling."""
     next_depth = round_no + 1
     if next_depth > cfg.max_depth:
-        next_pending = pending.select("url", "host", "depth").limit(0)
-        return RoundResult(cohort, extracted, next_pending, fetched)
+        return extracted.select(
+            "url", get_domain(F.col("url")).alias("host"), F.lit(next_depth).alias("depth")
+        ).limit(0)
 
     candidates = (
         extracted.select(F.explode("links").alias("url"))
@@ -119,5 +122,27 @@ def crawl_round(
         cfg.max_urls_per_domain,
         salt_buckets=cfg.salt_buckets,
     )
-    next_pending = budgeted.select("url", "host", "depth")
+    return budgeted.select("url", "host", "depth")
+
+
+def crawl_round(
+    pending: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    host_counts: DataFrame | None,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> RoundResult:
+    """Single-plan composition of both phases (tests / one-shot queries).
+    The scheduler calls the phases separately with a materialization
+    barrier between them so the parse runs exactly once per round.
+
+    pending: (url, host, depth); pages: input_hint corpus table;
+    seen: (url) every URL ever scheduled; host_counts: (host, n_scheduled).
+    """
+    cohort, extracted, fetched = fetch_extract(pending, pages, round_no)
+    next_pending = schedule_candidates(
+        extracted, robots, seen, host_counts, cfg, round_no
+    )
     return RoundResult(cohort, extracted, next_pending, fetched)

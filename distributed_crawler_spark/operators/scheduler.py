@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.urls import get_domain, normalize_url
-from .frontier import crawl_round
+from .frontier import fetch_extract, schedule_candidates
 from .politeness import host_budget_filter, robots_filter
 
 PENDING, COHORT, EXTRACTED, LINEAGE = "pending", "cohort", "extracted", "lineage"
@@ -168,15 +168,17 @@ class CrawlScheduler:
         pending = self._read(PENDING, rnd)
         seen, counts = self._seen_and_counts(rnd - 1, include_pending_round=rnd)
 
-        res = crawl_round(
-            pending, self.pages, self.robots, seen, counts, cfg, rnd
-        )
-        res.extracted.write.mode("overwrite").parquet(
-            _p(self.state_dir, EXTRACTED, rnd)
-        )
-        res.cohort.write.mode("overwrite").parquet(_p(self.state_dir, COHORT, rnd))
+        cohort, extracted, fetched = fetch_extract(pending, self.pages, rnd)
+        extracted.write.mode("overwrite").parquet(_p(self.state_dir, EXTRACTED, rnd))
+        cohort.write.mode("overwrite").parquet(_p(self.state_dir, COHORT, rnd))
         if rnd + 1 <= cfg.max_depth:
-            res.next_pending.write.mode("overwrite").parquet(
+            # materialization barrier: schedule from the just-written
+            # extracted table so the parse UDF runs exactly once per round
+            extracted_m = self._read(EXTRACTED, rnd)
+            next_pending = schedule_candidates(
+                extracted_m, self.robots, seen, counts, cfg, rnd
+            )
+            next_pending.write.mode("overwrite").parquet(
                 _p(self.state_dir, PENDING, rnd + 1)
             )
 
@@ -185,7 +187,7 @@ class CrawlScheduler:
         # point; a crash before this re-runs the whole round idempotently)
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage = (
-            res.fetched.withColumn("partition_id", F.spark_partition_id())
+            fetched.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(
                 F.count("*").alias("urls_in"),

@@ -1,0 +1,79 @@
+"""Physical-plan regression guards: the expensive parse UDF must appear
+exactly once per plan, broadcasts must be broadcasts, filters must reach
+the parquet scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_parse_eval_in_bench_links(spark, corpus_dir):
+    from distributed_crawler_spark.functions.extract import parse_page_udf
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").select("url", "html")
+    pending = pages.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).select(
+        F.concat("url", F.lit("?k="), F.col("k").cast("string")).alias("url"), "html", "k"
+    )
+    links = pending.select(
+        "k",
+        F.explode(parse_page_udf(F.col("html"), F.col("url"))["links"]).alias("bl"),
+    )
+    assert _plan(links).count("ArrowEvalPython") == 1
+
+
+def test_single_parse_eval_in_crawl_round(spark, corpus_dir):
+    from distributed_crawler_spark.config import CrawlConfig
+    from distributed_crawler_spark.operators.frontier import crawl_round
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+    pending = seeds.select(
+        "url",
+        F.regexp_extract("url", r"^https://([^/]*)", 1).alias("host"),
+        F.lit(0).alias("depth"),
+    )
+    res = crawl_round(pending, pages, robots, pending.select("url"), None, CrawlConfig(), 0)
+    assert _plan(res.extracted).count("ArrowEvalPython") == 1
+    # next_pending in single-plan mode re-evaluates parse at most once
+    assert _plan(res.next_pending).count("ArrowEvalPython") == 1
+
+
+def test_robots_filter_broadcasts(spark, corpus_dir):
+    from distributed_crawler_spark.operators.politeness import robots_filter
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").select("url").withColumn(
+        "host", F.regexp_extract("url", r"^https://([^/]*)", 1)
+    )
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    plan = _plan(robots_filter(pages, robots))
+    assert "BroadcastHashJoin" in plan
+    # the CANDIDATE side must not shuffle: the only hash exchange allowed
+    # is the tiny rules-side collect_list aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Exchange hashpartitioning(host#" in plan or plan.count("Exchange hashpartitioning") == 0
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan must read only the 3 needed columns
+    assert "l_extendedprice" not in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from distributed_crawler_spark.plans import registry
+
+    plan = _plan(registry.QUERIES["join_enrich"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
