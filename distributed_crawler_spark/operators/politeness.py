@@ -55,6 +55,31 @@ def robots_filter(
     return joined.filter(~denied).select(*candidates.columns)
 
 
+def salted_prefilter(
+    candidates: DataFrame,
+    max_urls_per_domain: int,
+    host_col: str = "host",
+    order_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Phase 1 of the budget window: rank within (host, salt) and keep
+    rank ≤ budget. Any URL ranked > budget inside its salt bucket cannot
+    be in the host's global top-budget, so this caps the rows reaching
+    the exact per-host window at salt_buckets × budget PER HOST — a
+    mega-domain with 10^8 candidate URLs contributes at most 16×budget
+    rows to the phase-2 partition (the skew bound the north_rule's
+    'no partition > 2× median task time' requires)."""
+    salted = candidates.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    )
+    w_salt = Window.partitionBy(host_col, "__salt").orderBy(order_col)
+    return (
+        salted.withColumn("__srn", F.row_number().over(w_salt))
+        .filter(F.col("__srn") <= max_urls_per_domain)
+        .drop("__salt", "__srn")
+    )
+
+
 def host_budget_filter(
     candidates: DataFrame,
     prior_host_counts: DataFrame | None,
@@ -74,17 +99,8 @@ def host_budget_filter(
     window partition bounded.
     """
     out_cols = candidates.columns
-
-    # phase 1: cheap per-(host, salt) prefilter — survivor bound per host
-    # is salt_buckets * budget regardless of host size
-    salted = candidates.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
-    )
-    w_salt = Window.partitionBy(host_col, "__salt").orderBy(order_col)
-    pre = (
-        salted.withColumn("__srn", F.row_number().over(w_salt))
-        .filter(F.col("__srn") <= max_urls_per_domain)
-        .drop("__salt", "__srn")
+    pre = salted_prefilter(
+        candidates, max_urls_per_domain, host_col, order_col, salt_buckets
     )
 
     # phase 2: exact per-host ranking over the bounded survivor set

@@ -202,3 +202,87 @@ def suggest(
         .orderBy(F.desc("freq"), F.col(query_col))
         .limit(k)
     )
+
+
+def highlight_snippets(
+    docs: DataFrame,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frag_chars: int = 150,
+    surround: int = 50,
+) -> DataFrame:
+    """Search-result highlighting (indexer_node.py:253-280: Whoosh
+    HtmlFormatter + ContextFragmenter with maxchars=150, surround=50):
+    a window of ``frag_chars`` starting ``surround`` before the first
+    case-insensitive match, match wrapped in <b></b>. JVM-native
+    (locate/substr/regexp_replace) — no UDF."""
+    pos = F.locate(term.lower(), F.lower(F.col(text_col)))
+    start = F.greatest(pos - surround, F.lit(1))
+    snippet = F.substring(F.col(text_col), start.cast("int"), frag_chars)
+    highlighted = F.regexp_replace(
+        snippet, "(?i)(" + term + ")", "<b>$1</b>"
+    )
+    return (
+        docs.filter(pos > 0)
+        .select(F.col(id_col), highlighted.alias("snippet"))
+    )
+
+
+def fuzzy_tf_scores(
+    docs: DataFrame,
+    query_term: str,
+    max_edits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+) -> DataFrame:
+    """Fuzzy term search (Whoosh FuzzyTermPlugin analog,
+    indexer_node.py:233-239): terms within ``max_edits`` Levenshtein
+    distance of the query term, tf summed per doc."""
+    postings = build_postings(docs, id_col, text_col)
+    return (
+        postings.filter(F.levenshtein(F.col("term"), F.lit(query_term)) <= max_edits)
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase search (Whoosh PhrasePlugin analog): exact-phrase
+    occurrence count per doc via length arithmetic — no UDF, no regex."""
+    text = F.col(text_col)
+    n_occ = (
+        (F.length(text) - F.length(F.replace(text, F.lit(phrase), F.lit(""))))
+        / len(phrase)
+    ).cast("long")
+    return docs.select(F.col(id_col), n_occ.alias("n_occurrences")).filter(
+        F.col("n_occurrences") > 0
+    )
+
+
+def wildcard_tf_scores(
+    docs: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+) -> DataFrame:
+    """Wildcard term search (Whoosh WildcardPlugin analog): 'prefix*'
+    terms, tf summed per doc. The startswith predicate is
+    codegen-friendly (no regex engine in the hot loop)."""
+    postings = build_postings(docs, id_col, text_col)
+    return (
+        postings.filter(F.col("term").startswith(prefix))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("score"), F.countDistinct("term").alias("n_terms"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )

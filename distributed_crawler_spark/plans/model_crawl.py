@@ -31,7 +31,8 @@ def model_bfs(
     """Scheduled set (url, host, depth) of a BFS crawl over the arithmetic
     link graph."""
     pages = model_pages_df(spark, sf_dir).select("url", "host").cache()
-    links = model_links_df(spark, sf_dir).select("src_url", "dst_url")
+    # the link graph is re-joined every round — cache it once
+    links = model_links_df(spark, sf_dir).select("src_url", "dst_url").cache()
     robots = model_robots_df(spark, sf_dir)
     seeds = model_seeds_df(spark, sf_dir)
 

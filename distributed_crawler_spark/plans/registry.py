@@ -1109,3 +1109,73 @@ def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending0 = seed_frontier(spark, seeds, robots, cfg)
     res = crawl_round(pending0, pages, robots, pending0.select("url"), None, cfg, 0)
     return res.next_pending.orderBy("url")
+
+# =========================================================================
+# Search stretch goals (SURVEY §2.8): highlighting, fuzzy, phrase, wildcard
+# =========================================================================
+
+@q(
+    "search_highlight",
+    """
+SELECT doc_id,
+       regexp_replace(substr(text, greatest(strpos(lower(text), 'spark') - 50, 1), 150),
+                      '(spark)', '<b>\\1</b>', 'gi') AS snippet
+FROM documents WHERE strpos(lower(text), 'spark') > 0
+""",
+)
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexer_node.py:253-280 highlighting: 150-char fragment, 50-char
+    surround, <b> wrapping — fully native."""
+    return search.highlight_snippets(_read(spark, sf_dir, "documents"), "spark")
+
+
+@q(
+    "search_fuzzy",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT doc_id, sum(tf)::BIGINT AS score FROM postings
+WHERE levenshtein(term, 'spak') <= 1
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term retrieval (levenshtein ≤ 1 of 'spak' → 'spark' etc.)."""
+    return search.fuzzy_tf_scores(_read(spark, sf_dir, "documents"), "spak")
+
+
+@q(
+    "search_phrase",
+    """
+SELECT doc_id,
+       ((length(text) - length(replace(text, 'key order', ''))) / 9)::BIGINT AS n_occurrences
+FROM documents
+WHERE ((length(text) - length(replace(text, 'key order', ''))) / 9) > 0
+""",
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counting via length arithmetic."""
+    return search.phrase_match(_read(spark, sf_dir, "documents"), "key order")
+
+
+@q(
+    "search_wildcard",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT doc_id, sum(tf)::BIGINT AS score, count(DISTINCT term) AS n_terms
+FROM postings WHERE starts_with(term, 'wind')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard ('wind*') term retrieval."""
+    return search.wildcard_tf_scores(_read(spark, sf_dir, "documents"), "wind")

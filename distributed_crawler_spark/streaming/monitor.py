@@ -91,3 +91,153 @@ def run_rate_stream_smoke(spark: SparkSession, seconds: int = 5) -> list:
     finally:
         q.stop()
     return spark.sql("SELECT * FROM rate_smoke").collect()
+
+
+def heartbeat_sessions_stream(
+    heartbeats,
+    id_col: str = "crawler_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    groups heartbeats into sessions per crawler; a silence longer than
+    ``gap_seconds`` closes the session and emits
+    (crawler_id, session_start, session_end, n_beats) — the streaming
+    twin of the master's failure detection (master_node.py:713-745),
+    maintaining per-key state across micro-batches instead of an
+    in-memory dict on a daemon thread.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("crawler_id", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_beats", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", TimestampType()),
+            StructField("last", TimestampType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (crawler_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "crawler_id": [crawler_id],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_beats": [n],
+                }
+            )
+            return
+        ts_min, ts_max, n_new = None, None, 0
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            n_new += len(col)
+            lo, hi = col.min(), col.max()
+            ts_min = lo if ts_min is None else min(ts_min, lo)
+            ts_max = hi if ts_max is None else max(ts_max, hi)
+        if state.exists:
+            start, last, n = state.get
+            start, last, n = start, max(last, ts_max), n + n_new
+        else:
+            start, last, n = ts_min, ts_max, n_new
+        state.update((start, last, n))
+        # event-time timeout: the session closes when the WATERMARK
+        # passes last_beat + gap — deterministic w.r.t. the data, unlike
+        # processing-time timeouts
+        state.setTimeoutTimestamp(
+            int(last.timestamp() * 1000) + gap_seconds * 1000
+        )
+        yield pd.DataFrame(
+            columns=["crawler_id", "session_start", "session_end", "n_beats"]
+        )
+
+    return (
+        heartbeats.withWatermark(ts_col, f"{gap_seconds} seconds")
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_session_stream_smoke(spark, workdir: str | None = None) -> list:
+    """Deterministic end-to-end run of the stateful sessionizer: two
+    heartbeat files consumed as two micro-batches (maxFilesPerTrigger=1);
+    the second batch's far-future event advances the watermark past the
+    first sessions' gap, firing their event-time timeouts."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    workdir = workdir or tempfile.mkdtemp(prefix="dcs_sessions_")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for cid, ts in rows:
+                f.write(json.dumps({"crawler_id": cid, "ts": ts}) + "\n")
+
+    write(
+        "batch1.json",
+        [
+            ("c1", "2024-01-01 00:00:00"),
+            ("c1", "2024-01-01 00:00:10"),
+            ("c1", "2024-01-01 00:00:20"),
+            ("c2", "2024-01-01 00:00:05"),
+        ],
+    )
+    write("batch2.json", [("c9", "2024-01-01 01:00:00")])
+
+    schema = StructType(
+        [StructField("crawler_id", StringType()), StructField("ts", TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sessions = heartbeat_sessions_stream(stream, gap_seconds=60)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("hb_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-batch pass so timeouts armed by the watermark
+        # advance are evaluated
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM hb_sessions").collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return rows

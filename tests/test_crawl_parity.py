@@ -114,3 +114,29 @@ def test_resume_equals_uninterrupted(spark, corpus_dir, engine, oracle):
     }
     got = {(r["url"], r["depth"], r["status"]) for r in resumed.frontier().collect()}
     assert got == want
+
+
+def test_resume_after_torn_round(spark, corpus_dir, engine):
+    """Crash AFTER writing cohort/extracted but BEFORE the lineage commit
+    marker: the round must be re-run idempotently and converge to the
+    same final state (the lineage write is the commit point)."""
+    import os
+
+    state = "/tmp/dcs_state_torn"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET)
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    sched = CrawlScheduler(spark, pages, robots, state, cfg)
+    sched.run(seeds=seeds, stop_after_round=1)
+    # tear round 1: cohort/extracted/pending(2) exist, lineage removed
+    shutil.rmtree(os.path.join(state, "lineage", "round=1"))
+    assert sched.committed_rounds() == [0]
+
+    resumed = CrawlScheduler(spark, pages, robots, state, cfg)
+    resumed.run(resume=True)
+    want = {(r["url"], r["depth"], r["status"]) for r in engine.frontier().collect()}
+    got = {(r["url"], r["depth"], r["status"]) for r in resumed.frontier().collect()}
+    assert got == want

@@ -1,0 +1,73 @@
+"""Skew-bound guarantees for the salted per-host budget window
+(north_rule: a few mega-domains must not create straggler partitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.operators.politeness import (
+    host_budget_filter,
+    salted_prefilter,
+)
+
+
+def _mega_candidates(spark, n_mega=20000, n_small=50):
+    """One mega-host with n_mega URLs + 10 small hosts."""
+    mega = spark.range(n_mega).select(
+        F.concat(F.lit("https://mega.com/p/"), F.col("id")).alias("url"),
+        F.lit("mega.com").alias("host"),
+    )
+    small = spark.range(10 * n_small).select(
+        F.concat(
+            F.lit("https://s"), (F.col("id") % 10).cast("string"),
+            F.lit(".com/p/"), F.col("id"),
+        ).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 10).cast("string"), F.lit(".com")).alias("host"),
+    )
+    return mega.unionByName(small)
+
+
+def test_prefilter_caps_rows_per_host(spark):
+    cand = _mega_candidates(spark)
+    budget, salts = 10, 16
+    pre = salted_prefilter(cand, budget, salt_buckets=salts)
+    per_host = {r["host"]: r["n"] for r in pre.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # mega host: 20k candidates → at most salt_buckets × budget survive
+    assert per_host["mega.com"] <= salts * budget
+    # small hosts keep everything under budget
+    assert all(v <= salts * budget for v in per_host.values())
+
+
+def test_budget_result_identical_with_and_without_salting(spark):
+    """The salted two-phase window must be a pure optimization: same
+    result as a single exact window."""
+    from pyspark.sql import Window
+
+    cand = _mega_candidates(spark, n_mega=5000)
+    budget = 7
+    got = {
+        (r["url"], r["host_budget_rank"])
+        for r in host_budget_filter(cand, None, budget, salt_buckets=16).collect()
+    }
+    w = Window.partitionBy("host").orderBy("url")
+    want = {
+        (r["url"], r["rn"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= budget)
+        .collect()
+    }
+    assert got == want
+
+
+def test_budget_with_prior_counts(spark):
+    cand = _mega_candidates(spark, n_mega=100)
+    prior = spark.createDataFrame(
+        [("mega.com", 95), ("s0.com", 1)], ["host", "n_scheduled"]
+    )
+    out = host_budget_filter(cand, prior, 100)
+    per_host = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["mega.com"] == 5          # 100 - 95
+    assert per_host["s0.com"] == 50           # all 50 fit (1 + 50 <= 100)

@@ -136,3 +136,21 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(r["n_bytes"] > 0 for r in rows)
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
+
+
+def test_stateful_session_stream(spark):
+    import datetime as dt
+
+    from distributed_crawler_spark.streaming.monitor import run_session_stream_smoke
+
+    rows = run_session_stream_smoke(spark)
+    got = {r["crawler_id"]: (r["session_start"], r["session_end"], r["n_beats"]) for r in rows}
+    # c1 and c2's sessions closed when the far-future c9 event advanced
+    # the watermark; c9's own session is still open (not emitted)
+    assert got["c1"] == (
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0, 20),
+        3,
+    )
+    assert got["c2"][2] == 1
+    assert "c9" not in got
