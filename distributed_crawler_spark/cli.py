@@ -1,0 +1,143 @@
+"""Command-line surface — the rebuild of the reference's client entry
+points (client.py:15-46 submit-crawl, submit_url.py, search/search.py
+cli_search, dashboard stats endpoints) as one spark-submit-able CLI:
+
+    python -m distributed_crawler_spark.cli crawl --corpus DIR --state DIR \
+        [--seeds FILE] [--max-depth 3] [--budget 100] [--resume]
+    python -m distributed_crawler_spark.cli search --state DIR "query terms" \
+        [--mode bm25|tf|substring] [--topk 10]
+    python -m distributed_crawler_spark.cli stats --state DIR
+    python -m distributed_crawler_spark.cli build-corpus --sf-dir DIR --out DIR
+
+On a cluster the same module runs via
+``spark-submit --py-files distributed_crawler_spark.zip -m ...`` — the
+session factory is the only local-mode-specific piece.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _crawl(args) -> None:
+    from .config import CrawlConfig
+    from .operators.scheduler import CrawlScheduler
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    pages = spark.read.parquet(f"{args.corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{args.corpus}/robots.parquet")
+    cfg = CrawlConfig(max_depth=args.max_depth, max_urls_per_domain=args.budget)
+    sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
+    if args.resume:
+        summary = sched.run(resume=True)
+    else:
+        if args.seeds:
+            seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
+        else:
+            seeds = spark.read.parquet(f"{args.corpus}/seeds.parquet")
+        summary = sched.run(seeds=seeds)
+    print(json.dumps(summary))
+
+
+def _search(args) -> None:
+    from .operators import search
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    sched_extracted = spark.read.parquet(f"{args.state}/extracted/round=*")
+    docs = sched_extracted.select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    terms = args.query.lower().split()
+    if args.mode == "bm25":
+        out = search.bm25_scores(docs, terms, topk=args.topk)
+    elif args.mode == "tf":
+        out = search.tf_scores(search.build_postings(docs), terms, topk=args.topk)
+    else:
+        titles = sched_extracted.select(
+            F.col("url").alias("doc_id"),
+            F.col("title"),
+            F.col("description"),
+        )
+        out = search.substring_scores(
+            titles, args.query, F.col("title"), F.col("description"), topk=args.topk
+        )
+    for row in out.collect():
+        print(json.dumps(row.asDict()))
+
+
+def _stats(args) -> None:
+    from .config import CrawlConfig
+    from .operators import stats
+    from .operators.scheduler import CrawlScheduler
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig())
+    front = sched.frontier()
+    out = {
+        "by_status": {r["status"]: r["n"] for r in stats.status_counts(front).collect()},
+        "top_domains": [
+            (r["host"], r["n"]) for r in stats.top_domains(front).collect()
+        ],
+        "lineage_rounds": sched.committed_rounds(),
+        "urls_total": front.count(),
+    }
+    print(json.dumps(out))
+
+
+def _build_corpus(args) -> None:
+    from .corpus import build_html_corpus
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    out = build_html_corpus(
+        spark, args.sf_dir, args.out,
+        text_repeat=args.text_repeat, extra_links=args.extra_links,
+    )
+    print(json.dumps({"corpus": out}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="distributed_crawler_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run/resume a crawl (client.py analog)")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--state", required=True)
+    c.add_argument("--seeds", help="text file, one URL per line")
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--budget", type=int, default=100)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=_crawl)
+
+    s = sub.add_parser("search", help="search extracted docs (search.py analog)")
+    s.add_argument("query")
+    s.add_argument("--state", required=True)
+    s.add_argument("--mode", choices=["bm25", "tf", "substring"], default="bm25")
+    s.add_argument("--topk", type=int, default=10)
+    s.set_defaults(fn=_search)
+
+    st = sub.add_parser("stats", help="crawl status (dashboard analog)")
+    st.add_argument("--state", required=True)
+    st.set_defaults(fn=_stats)
+
+    b = sub.add_parser("build-corpus", help="synthesize an HTML page corpus")
+    b.add_argument("--sf-dir", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-repeat", type=int, default=1)
+    b.add_argument("--extra-links", type=int, default=0)
+    b.set_defaults(fn=_build_corpus)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

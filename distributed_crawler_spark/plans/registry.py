@@ -1179,3 +1179,17 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 def q_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard ('wind*') term retrieval."""
     return search.wildcard_tf_scores(_read(spark, sf_dir, "documents"), "wind")
+
+
+@q("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (k-means coarse quantizer,
+    n_probe of 8 lists, exact re-rank inside probed lists) — the ANN
+    scale path beside the LSH buckets. K-means is iterative (not
+    SQL-expressible) → rows-only driver check; recall and full-probe
+    equivalence to brute force are pytest-verified (tests/test_skew.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = similarity.ivf_index(others, n_centroids=8, seed=42)
+    return similarity.ivf_search(others, assigned, centroids, qvec, n_probe=4, k=10)

@@ -1,0 +1,40 @@
+"""CLI surface (client.py / search.py / dashboard analogs) driven
+in-process: crawl → search → stats round trip."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+
+def _run(capsys, argv):
+    from distributed_crawler_spark import cli
+
+    cli.main(argv)
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
+    state = "/tmp/dcs_cli_test_state"
+    shutil.rmtree(state, ignore_errors=True)
+
+    out = _run(capsys, [
+        "--cores", "8", "crawl", "--corpus", corpus_dir, "--state", state,
+        "--max-depth", "1", "--budget", "10",
+    ])
+    summary = json.loads(out[-1])
+    assert summary["total_scheduled"] > 0
+    assert summary["rounds"] == [0, 1]
+
+    out = _run(capsys, [
+        "--cores", "8", "search", "spark window", "--state", state,
+        "--mode", "tf", "--topk", "3",
+    ])
+    hits = [json.loads(l) for l in out]
+    assert len(hits) <= 3
+    assert all("score" in h for h in hits)
+
+    out = _run(capsys, ["--cores", "8", "stats", "--state", state])
+    stats = json.loads(out[-1])
+    assert stats["urls_total"] == summary["total_scheduled"]
+    assert "by_status" in stats

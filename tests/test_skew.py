@@ -71,3 +71,43 @@ def test_budget_with_prior_counts(spark):
     }
     assert per_host["mega.com"] == 5          # 100 - 95
     assert per_host["s0.com"] == 50           # all 50 fit (1 + 50 <= 100)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probe must recover most of the exact top-10 while scanning only
+    a fraction of the lists."""
+    from distributed_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+
+    exact = {r["vec_id"] for r in brute_force_topk(others, qvec, k=10).collect()}
+    assigned, centroids = ivf_index(others, n_centroids=8, seed=42)
+
+    # probing ALL lists must reproduce brute force exactly
+    full = {
+        r["vec_id"]
+        for r in ivf_search(others, assigned, centroids, qvec, n_probe=8, k=10).collect()
+    }
+    assert full == exact
+
+    # partial probe: recall is data-dependent (synthetic embeddings are
+    # near-uniform, the worst case for IVF) — sanity-bound it and assert
+    # monotonicity in n_probe
+    r3 = {
+        r["vec_id"]
+        for r in ivf_search(others, assigned, centroids, qvec, n_probe=3, k=10).collect()
+    }
+    r5 = {
+        r["vec_id"]
+        for r in ivf_search(others, assigned, centroids, qvec, n_probe=5, k=10).collect()
+    }
+    recall3 = len(exact & r3) / len(exact)
+    recall5 = len(exact & r5) / len(exact)
+    assert recall3 >= 0.3, f"IVF recall@3 too low: {recall3}"
+    assert recall5 >= recall3
