@@ -1193,3 +1193,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     others = emb.filter(F.col("vec_id") != 0)
     assigned, centroids = similarity.ivf_index(others, n_centroids=8, seed=42)
     return similarity.ivf_search(others, assigned, centroids, qvec, n_probe=4, k=10)
+
+
+@q(
+    "json_extract",
+    """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 JSON decode at the edge (the reference json.loads's
+    every SQS/S3 payload): get_json_object over the props column, then a
+    normal aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "url_filename",
+    f"""
+WITH {_MODEL}
+SELECT doc_id, md5(url) || '.html' AS filename FROM pages
+""",
+)
+def q_url_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """utils.py:38-42 url_to_filename: md5(url) + '.html'."""
+    pages = model_pages_df(spark, sf_dir)
+    return pages.select(
+        "doc_id", F.concat(F.md5(F.col("url")), F.lit(".html")).alias("filename")
+    )

@@ -41,6 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/dcs_warehouse")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     spark = builder.getOrCreate()

@@ -77,3 +77,28 @@ def test_dim_join_broadcasts(spark, sf_dir):
 
     plan = _plan(registry.QUERIES["join_enrich"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bucketed_fetch_join_no_shuffle(spark, corpus_dir):
+    """Both sides bucketed on url → sort-merge join with ZERO Exchange:
+    the storage-partitioned fetch join (SURVEY §2.4 / §4.1)."""
+    from distributed_crawler_spark.sources.bucketed import (
+        bucketed_fetch_join,
+        write_bucketed,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(pages, "t_pages_b", buckets=8)
+        write_bucketed(pages.select("url"), "t_frontier_b", buckets=8)
+        j = bucketed_fetch_join(spark, "t_frontier_b", "t_pages_b", how="inner")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0
+        assert j.count() == pages.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_frontier_b")
