@@ -96,7 +96,7 @@ def run_headline() -> None:
 BENCH_CORPUS = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS", "/tmp/dcs_bench_corpus_" + os.path.basename(SF_DIR.rstrip("/"))
 )
-SCALE_AMP = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "64"))
+SCALE_AMP = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "2"))
 # N and 4N parallelism levels. Default 1->4: measured hardware ceilings
 # on this box (pure multiprocessing of the identical parse work, no
 # Spark) are 1->4: 0.93, 2->8: 0.76, 4->16: 0.71, 8->32: 0.70 — turbo
@@ -113,22 +113,22 @@ def _ensure_corpus(spark) -> str:
     from distributed_crawler_spark.corpus import build_html_corpus
 
     if not os.path.exists(os.path.join(BENCH_CORPUS, "pages.parquet", "_SUCCESS")):
-        # realistic ~8KB pages (text x20, +15 links) — web-page-weight
-        # parse work, not toy 700-byte fixtures
-        build_html_corpus(spark, SF_DIR, BENCH_CORPUS, text_repeat=20, extra_links=15)
+        # realistic ~15KB pages (text x40, +15 links) — typical web pages
+        # are 50-100KB of HTML, so this is still conservative
+        build_html_corpus(spark, SF_DIR, BENCH_CORPUS, text_repeat=40, extra_links=15)
     return BENCH_CORPUS
 
 
 def frontier_worker(cores: int) -> None:
-    from distributed_crawler_spark.bench_jobs import crawl_round_bench_job
+    from distributed_crawler_spark.bench_jobs import crawl_index_round_bench_job
     from distributed_crawler_spark.session import get_spark
 
     spark = get_spark(cores=cores, app_name=f"frontier-bench-{cores}")
     corpus = _ensure_corpus(spark)
     # warmup pre-spawns + reuses the per-core Python workers and JITs the
     # JVM paths; the measured run then reflects steady-state throughput
-    crawl_round_bench_job(spark, corpus, amp=4)
-    res = crawl_round_bench_job(spark, corpus, amp=SCALE_AMP)
+    crawl_index_round_bench_job(spark, corpus, amp=1, max_pages=300)
+    res = crawl_index_round_bench_job(spark, corpus, amp=SCALE_AMP)
     res["cores"] = cores
     print("FRONTIER_RESULT " + json.dumps(res))
 
@@ -174,12 +174,14 @@ evidenced here by the same job at two local parallelism levels (no real
 cluster in this sandbox; levels local[{lo}] and local[{hi}] stay within
 the box's physical cores — see SCALE_CORES note in bench.py).
 
-Job: one full crawl round at amplified scale (amp={SCALE_AMP} over the
-HTML corpus derived from {SF_DIR}): simulated fetch -> vectorized Arrow
-parse UDF (title/meta/links/text) -> link explode -> within-round dedup
--> URL-seen anti-join -> robots broadcast join -> salted per-host budget
-window (mega-domain holds ~40% of URLs). Pages processed:
-{results[hi]['n_pages']:,}.
+Job: one full crawl+index round at amplified scale (amp={SCALE_AMP} over
+the ~15KB-page HTML corpus derived from {SF_DIR}): simulated fetch ->
+one Arrow UDF doing page parse (title/meta/links/text) + the indexer's
+tokenize/stopword/Porter-stem pipeline -> (a) stemmed postings build
+(term, url, tf) and (b) link explode -> within-round dedup -> URL-seen
+anti-join -> robots broadcast join -> salted per-host budget window
+(mega-domain holds ~40% of URLs). Pages processed:
+{results[hi]['n_pages']:,}; postings built: {results[hi]['n_postings']:,}.
 
 | parallelism | pages/sec | wall s | scheduled |
 |---|---|---|---|

@@ -183,3 +183,108 @@ def crawl_round_bench_job(
         "seconds": round(wall, 3),
         "urls_per_sec": round(n_pages / wall, 1),
     }
+
+
+def crawl_index_round_bench_job(
+    spark: SparkSession,
+    corpus_dir: str,
+    amp: int = 2,
+    budget: int = 100,
+    max_pages: int | None = None,
+) -> dict:
+    """The reference's FULL per-page pipeline as one bounded job:
+    fetch → parse (crawler_node.py:86-129) → link scheduling
+    (master_node.py:315-448) → stemmed postings build
+    (indexer_node.py:75-94,181-225). This is the north-metric job for
+    scaling runs: the indexing stage is the CPU-dominant part of the
+    real system (NLTK-path tokenize+stem per token), exactly as in the
+    reference where the Whoosh indexer was the slow node.
+
+    One combined Arrow UDF produces (links, terms) per page; the result
+    is persisted (the in-memory analog of the scheduler's extracted-table
+    materialization barrier) so both the frontier branch and the postings
+    branch consume a single parse+stem evaluation."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from .functions.extract import parse_page_py
+    from .functions.text import process_text_py
+
+    schema = StructType(
+        [
+            StructField("links", ArrayType(StringType())),
+            StructField("terms", ArrayType(StringType())),
+        ]
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the local `pd` alias isn't resolvable by the hint inspector
+    @pandas_udf(schema)
+    def parse_index_udf(html, url):
+        links, terms = [], []
+        for h, u in zip(html, url):
+            d = parse_page_py(
+                bytes(h).decode("utf-8", "ignore") if h is not None else None, u
+            )
+            links.append(d["links"])
+            terms.append(process_text_py(d["text"]))
+        return pd.DataFrame({"links": links, "terms": terms}, copy=False)
+
+    parse_index = parse_index_udf.asNondeterministic()
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+    par = spark.sparkContext.defaultParallelism * 2
+
+    base = pages.select("url", "html")
+    if max_pages is not None:
+        base = base.limit(max_pages)
+    pending = (
+        base.repartition(par)
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(amp - 1))))
+        .select(
+            F.concat(F.col("url"), F.lit("?k="), F.col("k").cast("string")).alias("url"),
+            "html",
+            "k",
+        )
+    )
+
+    t0 = time.monotonic()
+    parsed = pending.select(
+        "url", "k", parse_index(F.col("html"), F.col("url")).alias("p")
+    ).persist()
+
+    # branch 1: postings (term, url, tf) — the inverted index build
+    postings = (
+        parsed.select("url", F.explode(F.col("p.terms")).alias("term"))
+        .groupBy("term", "url")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_postings = postings.count()
+
+    # branch 2: frontier scheduling
+    links = parsed.select(
+        "k", F.explode(F.col("p.links")).alias("base_link")
+    ).select(
+        F.concat(F.col("base_link"), F.lit("?k="), F.col("k").cast("string")).alias("url")
+    )
+    cand = links.distinct().withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^https://([^/]*)", 1)
+    )
+    fresh = cand.join(pending.select("url"), "url", "left_anti")
+    allowed = robots_filter(fresh, robots)
+    scheduled = host_budget_filter(allowed, None, budget)
+    n_scheduled = scheduled.count()
+    wall = time.monotonic() - t0
+    parsed.unpersist()
+
+    n_pages = pending.count()
+    return {
+        "amp": amp,
+        "n_pages": n_pages,
+        "n_scheduled": n_scheduled,
+        "n_postings": n_postings,
+        "seconds": round(wall, 3),
+        "urls_per_sec": round(n_pages / wall, 1),
+    }

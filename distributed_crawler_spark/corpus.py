@@ -203,7 +203,7 @@ def html_pages_df(
         F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
         d.cast("string"), F.lit(" page</title>"),
         F.lit('<meta name="description" content="synthetic doc '),
-        d.cast("string"), F.lit(' of source "'),
+        d.cast("string"), F.lit(" of the corpus"),
         F.lit('"><meta name="keywords" content="'),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)),
         F.lit('"></head><body>'), *body_parts,

@@ -35,14 +35,10 @@ _SCHEME_RE = "^https?://"
 # the pure-Python oracle simulator in tests, and the corpus generator).
 # ---------------------------------------------------------------------------
 
-def normalize_url_py(url: str | None) -> str | None:
-    """Exact behavioral twin of the reference's normalize_url
-    (utils.py:15-36): schemeless → https://, fragment dropped, trailing
-    slash stripped from paths longer than '/'."""
-    if not url:
-        return None
-    if not url.startswith(("http://", "https://")):
-        url = f"https://{url}"
+def _normalize_urllib(url: str) -> str:
+    """The urlparse/urlunparse path — exact utils.py:15-36 semantics for
+    every input shape (the fast path below delegates anything with
+    query/fragment/params here)."""
     parsed = urlparse(url)
     parsed = parsed._replace(fragment="")
     path = parsed.path
@@ -50,6 +46,31 @@ def normalize_url_py(url: str | None) -> str | None:
         path = path[:-1]
     parsed = parsed._replace(path=path)
     return urlunparse(parsed)
+
+
+def normalize_url_py(url: str | None) -> str | None:
+    """Exact behavioral twin of the reference's normalize_url
+    (utils.py:15-36): schemeless → https://, fragment dropped, trailing
+    slash stripped from paths longer than '/'.
+
+    Hot path (the engine calls this per discovered link): for absolute
+    URLs without '?' / '#' / ';', urlparse→urlunparse is the identity
+    apart from the trailing-slash rule, so plain string ops suffice —
+    ~10× cheaper. Anything else takes the urllib path. Parity is
+    hypothesis-tested (tests/test_urlnorm.py)."""
+    if not url:
+        return None
+    if not url.startswith(("http://", "https://")):
+        url = f"https://{url}"
+    if "#" in url or "?" in url or ";" in url:
+        return _normalize_urllib(url)
+    scheme_end = url.index("//") + 2
+    slash = url.find("/", scheme_end)
+    if slash < 0:
+        return url
+    if url.endswith("/") and len(url) - slash > 1:
+        return url[:-1]
+    return url
 
 
 def get_domain_py(url: str) -> str:
@@ -67,7 +88,13 @@ def normalize_url(url: Column) -> Column:
 
     Steps mirror utils.py:15-36: (1) prefix https:// when schemeless,
     (2) cut at the first '#', (3) strip one trailing '/' from the path when
-    the path is longer than '/', preserving any query string.
+    the path is longer than '/', preserving any query string; a bare
+    trailing '?' is dropped like urlunparse does.
+
+    Known divergence: RFC-1808 path params (';', e.g. '/p;x/') follow
+    urlparse's params-splitting rules that this expression does not
+    replicate — for inputs that may carry ';' use ``normalize_url_udf``
+    (the exact urllib path). Everything else is parity-tested.
     """
     with_scheme = F.when(
         url.rlike(_SCHEME_RE), url
@@ -82,9 +109,10 @@ def normalize_url(url: Column) -> Column:
         base.rlike(r"^https?://[^/]+/.*/$"),
         F.substr(base, F.lit(1), F.length(base) - F.lit(1)),
     ).otherwise(base)
-    return F.when(url.isNull() | (url == ""), F.lit(None).cast(StringType())).otherwise(
-        F.concat(stripped, query)
-    )
+    joined = F.regexp_replace(F.concat(stripped, query), r"\?$", "")
+    return F.when(
+        url.isNull() | (url == ""), F.lit(None).cast(StringType())
+    ).otherwise(joined)
 
 
 def get_domain(url: Column) -> Column:

@@ -97,3 +97,67 @@ def test_corpus_text_byte_identical(spark, corpus_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def _slow_collect(html):
+    from distributed_crawler_spark.functions.extract import _PageParser
+
+    p = _PageParser()
+    p.feed(html)
+    p.close()
+    return p
+
+
+def _state(p):
+    return (
+        "".join(p.text_parts),
+        " ".join(t.strip() for t in p.title_parts if t),
+        p.descriptions,
+        p.keywords,
+        p.hrefs,
+        p.lang,
+    )
+
+
+ADVERSARIAL = [
+    "",
+    "plain text only, no tags & an &amp; entity",
+    "<html lang='de'><title>T &amp; U</title><body>a &lt; b</body></html>",
+    "<!-- comment <a href='x'> inside -->visible",
+    "<!DOCTYPE html><p>doc</p>",
+    "<script>var s = '</notscript>' + 1;</script>after",
+    "<style type='text/css'>p { color: red }</style>text",
+    "<a href=unquoted>u</a><A HREF='single'>s</A>",
+    '<meta content="desc first" name="description">',
+    "<meta name='keywords' content='a,b'><meta name='description'>",
+    "<script src='x.js'/>not raw text",
+    "<p>unclosed <b>tags everywhere",
+    '<div title="a > b">quote-gt</div>',             # fast path falls back
+    "<title>nested <b>markup</b></title>",            # fast path falls back
+    "text with trailing <",                            # truncated tag
+    "<?xml version='1.0'?><p>pi</p>",
+    "<html LANG='fr'><p>upper attr</p></html>",
+    "<a href='h&amp;m'>entity in attr</a>",
+]
+
+
+def test_fast_scan_matches_htmlparser_on_fixtures():
+    from distributed_crawler_spark.functions.extract import _parse_collected
+
+    for html in ADVERSARIAL:
+        assert _state(_parse_collected(html)) == _state(_slow_collect(html)), html
+
+
+def test_fast_scan_matches_htmlparser_on_corpus(spark, corpus_dir):
+    import duckdb
+
+    from distributed_crawler_spark.functions.extract import _parse_collected
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT html FROM '{corpus_dir}/pages.parquet/*.parquet'"
+    ).fetchall()
+    con.close()
+    for (html,) in rows:
+        h = bytes(html).decode("utf-8", "ignore")
+        assert _state(_parse_collected(h)) == _state(_slow_collect(h))

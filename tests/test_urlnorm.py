@@ -32,6 +32,13 @@ CASES = [
     "www.example.com/path/to/page/",
     "https://example.com//double//slash//",
     "ftp.example.com/file/",
+    # fast-path guard edges: bare '?', params ';', dots
+    "https://example.com/p?",
+    "https://example.com/p;x/",
+    "example.com;p/",
+    "https://example.com/a/../b/",
+    "https://example.com/.",
+    "https://example.com",
 ]
 
 
@@ -51,9 +58,20 @@ def _native_batch(spark, urls):
 
 
 def test_native_matches_python(spark):
-    got = _native_batch(spark, CASES)
-    want = [normalize_url_py(u) for u in CASES]
+    # ';' path-params are the documented native divergence (urls.py) —
+    # the exact path for those is normalize_url_udf
+    native_cases = [c for c in CASES if ";" not in c]
+    got = _native_batch(spark, native_cases)
+    want = [normalize_url_py(u) for u in native_cases]
     assert got == want
+
+
+def test_udf_matches_python_including_params(spark):
+    from distributed_crawler_spark.functions.urls import normalize_url_udf
+
+    df = spark.createDataFrame([(u,) for u in CASES], ["url"])
+    got = [r["o"] for r in df.select(normalize_url_udf(F.col("url")).alias("o")).collect()]
+    assert got == [normalize_url_py(u) for u in CASES]
 
 
 @settings(max_examples=50, deadline=None)
