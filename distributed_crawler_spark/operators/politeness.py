@@ -121,3 +121,24 @@ def host_budget_filter(
         )
         .select(*out_cols, "host_budget_rank")
     )
+
+
+def politeness_waves(
+    scheduled: DataFrame,
+    concurrent_per_host: int = 1,
+    host_col: str = "host",
+    rank_col: str = "host_budget_rank",
+) -> DataFrame:
+    """Within-round fetch waves — the batch analog of the reference's
+    politeness delay (CRAWLER_DOWNLOAD_DELAY=1.0s + 1 concurrent request
+    per host, crawler_node.py:239-240 / config.py:13-14): at most
+    ``concurrent_per_host`` URLs of a host are fetched per wave, so a
+    host with k scheduled URLs is spread over ceil(k / concurrent) waves.
+    Executors process wave w for every host before wave w+1 (orderBy
+    wave), which bounds per-host request concurrency exactly like the
+    reference's per-domain delay queue.
+
+    Pure column arithmetic over the already-computed budget rank — no
+    extra shuffle."""
+    wave = ((F.col(rank_col) - 1) / concurrent_per_host).cast("int")
+    return scheduled.withColumn("wave", wave)

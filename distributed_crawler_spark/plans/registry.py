@@ -1228,3 +1228,28 @@ def q_url_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "doc_id", F.concat(F.md5(F.col("url")), F.lit(".html")).alias("filename")
     )
+
+
+@q(
+    "politeness_waves",
+    f"""
+WITH {_MODEL},
+budgeted AS (
+  SELECT url, host, rn AS host_budget_rank FROM (
+    SELECT url, host, row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+    FROM pages
+  ) WHERE rn <= 100
+)
+SELECT url, host, host_budget_rank,
+       ((host_budget_rank - 1) // 2)::INT AS wave
+FROM budgeted
+""",
+)
+def q_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch waves (batch analog of the 1s crawl delay with 2
+    concurrent requests per host)."""
+    from ..operators.politeness import politeness_waves
+
+    pages = model_pages_df(spark, sf_dir).select("url", "host")
+    budgeted = host_budget_filter(pages, None, 100)
+    return politeness_waves(budgeted, concurrent_per_host=2)
