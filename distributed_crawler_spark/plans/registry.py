@@ -1253,3 +1253,142 @@ def q_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = model_pages_df(spark, sf_dir).select("url", "host")
     budgeted = host_budget_filter(pages, None, 100)
     return politeness_waves(budgeted, concurrent_per_host=2)
+
+
+_SIMHASH_CTE = f"""
+tk AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE doc_id < 50 AND t.term <> ''
+),
+th AS (SELECT doc_id, term, {phash_sql('term')} AS h FROM tk),
+bits AS (SELECT unnest(range(0, 16)) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, bits GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@q(
+    "simhash_neardup",
+    f"""
+WITH {_SIMHASH_CTE.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming distance ≤ 4 over 16-bit
+    signatures. At scale, candidate pairs come from banding the signature
+    bits (same LSH trick as minhash) instead of the pairwise join used
+    here on the capped id range."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sigs = dedup.simhash(docs, bits=16)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@q(
+    "rollup_pricing",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 4) AS total,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (rollup — SURVEY §2.5 'available natively
+    if needed'); NULL grouping levels coalesced for cross-engine
+    comparison."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "total",
+            "n",
+        )
+    )
+
+
+@q(
+    "training_filter",
+    rf"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, lang,
+         len(toks) AS n_toks,
+         len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, lower(x))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM t
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT m.doc_id, m.lang, m.n_toks::BIGINT AS n_tokens,
+       round(m.stop_ratio, 4) AS stopword_ratio
+FROM m JOIN keepers USING (doc_id)
+WHERE m.n_toks BETWEEN 10 AND 1000
+  AND m.alpha_ratio >= 0.5
+""",
+)
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data gate — the end-to-end use case: exact-dedup
+    keepers ∩ length bounds ∩ alpha-ratio quality floor; one declarative
+    plan (dedup join + filters), no UDF."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in textstats.EN_STOPWORDS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    ) / F.greatest(n_toks, F.lit(1))
+    alpha_ratio = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]"), 0)
+    ) / F.greatest(F.length("text"), F.lit(1))
+    keepers = dedup.exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
+    return (
+        docs.join(keepers, "doc_id")
+        .withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("__alpha", alpha_ratio)
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 1000)
+            & (F.col("__alpha") >= 0.5)
+        )
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio")
+    )
