@@ -140,3 +140,42 @@ def test_resume_after_torn_round(spark, corpus_dir, engine):
     want = {(r["url"], r["depth"], r["status"]) for r in engine.frontier().collect()}
     got = {(r["url"], r["depth"], r["status"]) for r in resumed.frontier().collect()}
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "budget,respect_robots", [(3, False), (1, True)]
+)
+def test_parity_at_config_extremes(spark, corpus_dir, budget, respect_robots):
+    """Engine ≡ oracle under tight budgets and robots off — the gate
+    interactions (budget starvation, robots-skipped hosts) must agree
+    everywhere, not just at defaults."""
+    pages_d, robots_d, seeds_d = load_corpus(corpus_dir)
+    want_order, want_frontier, _ = simulate(
+        pages_d, robots_d, seeds_d, MAX_DEPTH, budget, respect_robots
+    )
+
+    state = f"/tmp/dcs_state_extreme_{budget}_{respect_robots}"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_depth=MAX_DEPTH,
+        max_urls_per_domain=budget,
+        respect_robots=respect_robots,
+    )
+    sched = CrawlScheduler(
+        spark,
+        spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        state,
+        cfg,
+    )
+    sched.run(seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"))
+
+    got = {
+        r["url"]: (r["depth"], r["status"]) for r in sched.frontier().collect()
+    }
+    assert got == want_frontier
+    got_order = [
+        (r["seq"], r["round"], r["url"])
+        for r in sched.crawl_order().orderBy("seq").collect()
+    ]
+    assert got_order[: len(want_order)] == want_order

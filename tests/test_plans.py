@@ -102,3 +102,32 @@ def test_bucketed_fetch_join_no_shuffle(spark, corpus_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_pages_b")
         spark.sql("DROP TABLE IF EXISTS t_frontier_b")
+
+
+def test_sql_surface_equivalence(spark, sf_dir):
+    """The engine is equally drivable through spark.sql: registering the
+    tables as views and running the SQL form of a registry query gives
+    the identical result set (Catalyst produces the same plan either way)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("lineitem_v")
+    sql_df = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    df_df = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, df_df.collect()))
