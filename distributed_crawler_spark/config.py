@@ -25,6 +25,11 @@ class CrawlConfig:
     # candidates are salted into `salt_buckets` sub-partitions
     skew_host_fraction: float = 0.05
     salt_buckets: int = 16
+    # URL-seen bloom prefilter (north_rule): candidates the bloom proves
+    # unseen bypass the exact anti-join; false positives fall through to
+    # it (strict optimization — off by default at toy scale where the
+    # filter build outweighs the join it saves)
+    use_bloom_prefilter: bool = False
 
 
 @dataclass(frozen=True)

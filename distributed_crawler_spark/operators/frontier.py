@@ -110,8 +110,16 @@ def schedule_candidates(
     )
 
     # URL-seen dedup: left anti vs every URL ever scheduled
-    # (master_node.py:336-339,352-391 collapsed into one set-oriented join)
-    fresh = candidates.join(seen.select("url"), on="url", how="left_anti")
+    # (master_node.py:336-339,352-391 collapsed into one set-oriented join);
+    # optional bloom prefilter lets bloom-proven-fresh candidates skip the
+    # exact join (operators/bloom.py — result identical, tested)
+    if cfg.use_bloom_prefilter:
+        from .bloom import bloom_anti_join
+
+        n_seen = seen.count()
+        fresh = bloom_anti_join(candidates, seen.select("url"), n_seen)
+    else:
+        fresh = candidates.join(seen.select("url"), on="url", how="left_anti")
 
     if cfg.respect_robots:
         fresh = robots_filter(fresh, robots)
