@@ -1392,3 +1392,26 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "stopword_ratio")
     )
+
+
+@q(
+    "crawl_stats",
+    f"""
+WITH {_MODEL}
+SELECT count(*) AS n_urls,
+       count(DISTINCT host) AS n_domains,
+       sum(CASE WHEN host_id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_mega,
+       round(avg(length(text)), 4) AS avg_text_len
+FROM pages
+""",
+)
+def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """master_node.py:1087-1095 crawl stats: totals + countDistinct
+    domains in one aggregate."""
+    pages = model_pages_df(spark, sf_dir)
+    return pages.agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_domains"),
+        F.sum(F.when(F.col("host_id") == 0, 1).otherwise(0)).alias("n_mega"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_text_len"),
+    )
