@@ -111,3 +111,47 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     recall5 = len(exact & r5) / len(exact)
     assert recall3 >= 0.3, f"IVF recall@3 too low: {recall3}"
     assert recall5 >= recall3
+
+
+def test_knn_join_matches_brute_force_per_query(spark, sf_dir):
+    from distributed_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = knn_join_topk(queries, emb, k=5)
+    grouped = {}
+    for r in out.collect():
+        grouped.setdefault(r["q_id"], []).append((r["rank"], r["v_id"], r["score"]))
+    for qid, rows in grouped.items():
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        want = [
+            (i + 1, r["vec_id"], r["score"])
+            for i, r in enumerate(
+                brute_force_topk(emb.filter(F.col("vec_id") != qid), qvec, k=5).collect()
+            )
+        ]
+        assert sorted(rows) == want, qid
+
+
+def test_lsh_neardup_pairs_subset_of_exact(spark, sf_dir):
+    from distributed_crawler_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.8, max_id=200).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.8, planes=4).collect()
+    }
+    # every LSH-found pair is exactly re-ranked → must be a true pair
+    assert lsh <= exact
