@@ -39,12 +39,6 @@ from pyspark.sql.types import (
 
 from .urls import normalize_url_py
 
-_VOID_TAGS = {
-    "area", "base", "br", "col", "embed", "hr", "img", "input",
-    "link", "meta", "param", "source", "track", "wbr",
-}
-
-
 class _PageParser(HTMLParser):
     """One-pass collector: text nodes (minus script/style), <title> text,
     meta description/keywords, html@lang, a@href in document order."""

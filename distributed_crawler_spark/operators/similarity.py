@@ -191,7 +191,7 @@ def ivf_index(
     At scale the assignment table is written bucketed by centroid so a
     probe touches only its lists' files (partition pruning)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml_df = vectors.select(
         F.col(id_col),

@@ -154,3 +154,21 @@ def test_stateful_session_stream(spark):
     )
     assert got["c2"][2] == 1
     assert "c9" not in got
+
+
+def test_latest_per_key(spark):
+    import datetime as dt
+
+    from distributed_crawler_spark.operators.stats import latest_per_key
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("c1", base, "idle"),
+            ("c1", base + dt.timedelta(60), "busy"),
+            ("c2", base, "idle"),
+        ],
+        ["crawler_id", "ts", "state"],
+    )
+    out = {r["crawler_id"]: r["state"] for r in latest_per_key(df, "crawler_id", "ts", ["state"]).collect()}
+    assert out == {"c1": "busy", "c2": "idle"}
