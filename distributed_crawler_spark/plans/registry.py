@@ -1415,3 +1415,42 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("host_id") == 0, 1).otherwise(0)).alias("n_mega"),
         F.round(F.avg(F.length("text")), 4).alias("avg_text_len"),
     )
+
+
+@q(
+    "unigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+total AS (SELECT sum(tf)::BIGINT AS n FROM freqs)
+SELECT doc_id,
+       round(avg(ln(freqs.tf / total.n)), 4) AS avg_logprob,
+       count(*) AS n_tokens
+FROM toks JOIN freqs USING (term), total
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per doc (avg token
+    log-probability) — the cheap perplexity-style quality signal used to
+    rank training data; the LM table is the corpus term-frequency
+    aggregate, joined back to the exploded tokens (broadcast: it's
+    vocabulary-sized)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = search.tokenize(docs.select("doc_id", "text"))
+    freqs = toks.groupBy(F.col("token").alias("term")).agg(F.count("*").alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("n"))
+    return (
+        toks.withColumnRenamed("token", "term")
+        .join(F.broadcast(freqs), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 4).alias("avg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
