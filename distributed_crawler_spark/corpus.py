@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 
 from .functions.extract import extract_text_soup_udf
 
+# doc-count cache (per sf_dir): the arithmetic model needs N as a plan
+# LITERAL — a 1-row crossJoin would plan a BroadcastNestedLoopJoin into
+# every model query (guarded against in tests/test_plans.py)
+_N_CACHE: dict[str, int] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        )
+    return _N_CACHE[sf_dir]
+
 # ---- the arithmetic model constants (shared Spark ↔ DuckDB) --------------
 HOST_MOD = 97            # non-mega hosts: doc_id % 97
 MEGA_MOD, MEGA_LT = 5, 2  # doc_id % 5 < 2  → host 0 (the mega-domain, ~40%)
@@ -73,14 +86,13 @@ def model_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def model_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic link graph: (src_url, dst_url), 3 out-links per page to
-    (a*d+b) % N. Cross joins against a 1-row count — broadcast, free."""
+    (a*d+b) % N (N baked in as a literal — see _doc_count)."""
     pages = model_pages_df(spark, sf_dir)
-    n = pages.agg(F.count("*").alias("n"))
+    n = F.lit(_doc_count(spark, sf_dir))
     d = F.col("doc_id")
-    targets = F.array(*[(F.lit(a) * d + F.lit(b)) % F.col("n") for a, b in LINK_COEFFS])
-    exploded = (
-        pages.crossJoin(F.broadcast(n))
-        .select(F.col("url").alias("src_url"), F.explode(targets).alias("t"))
+    targets = F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+    exploded = pages.select(
+        F.col("url").alias("src_url"), F.explode(targets).alias("t")
     )
     t = F.col("t")
     host_id_t = _host_id_expr(t)
@@ -183,9 +195,9 @@ def html_pages_df(
     stays small).
     """
     pages = model_pages_df(spark, sf_dir)
-    n = pages.agg(F.count("*").alias("n"))
+    n = F.lit(_doc_count(spark, sf_dir))
     d = F.col("doc_id")
-    targets = [(F.lit(a) * d + F.lit(b)) % F.col("n") for a, b in LINK_COEFFS]
+    targets = [(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS]
     t1, t2, t3 = targets
     url_t1 = _url_expr(_host_id_expr(t1), t1)
     url_t3 = _url_expr(_host_id_expr(t3), t3)
@@ -194,7 +206,7 @@ def html_pages_df(
         body_parts += [F.lit(f"<p id=\"s{r}\">"), F.col("text"), F.lit("</p>")]
     link_parts = []
     for j in range(extra_links):
-        tj = (F.lit(7 + 2 * j) * d + F.lit(11 + j)) % F.col("n")
+        tj = (F.lit(7 + 2 * j) * d + F.lit(11 + j)) % n
         link_parts += [
             F.lit('<a href="'), _url_expr(_host_id_expr(tj), tj),
             F.lit(f'">more{j}</a>'),
@@ -217,8 +229,7 @@ def html_pages_df(
         F.lit("</body></html>"),
     )
     with_html = (
-        pages.crossJoin(F.broadcast(n))
-        .withColumn("html", html.cast("binary"))
+        pages.withColumn("html", html.cast("binary"))
         .withColumn(
             "warc_ts",
             F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=d.cast("double")),

@@ -131,3 +131,37 @@ def test_sql_surface_equivalence(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, df_df.collect()))
+
+
+# queries whose semantics are intentionally pairwise/cross:
+_CARTESIAN_OK = {
+    "ann_cosine_topk",      # query-vector broadcast literal
+    "embedding_neardup",    # exact pairwise baseline (capped id range)
+    "simhash_neardup",      # exact pairwise baseline (capped id range)
+    "crawl_rate",           # 1-row anchor crossJoin
+    "time_range_filter",    # 1-row anchor crossJoin
+    "freshness_boost",      # 1-row anchor crossJoin
+    "search_bm25",          # 1-row avgdl/n crossJoins
+    "unigram_logprob",      # 1-row total crossJoin
+    "ann_ivf_topk",
+}
+
+
+def test_no_unexpected_cartesian_products(spark, sf_dir):
+    """Every registry query's physical plan is checked for
+    CartesianProduct / BroadcastNestedLoopJoin — allowed only where the
+    operator is intentionally pairwise or joins a 1-row anchor."""
+    from distributed_crawler_spark.plans import registry
+
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        if name in _CARTESIAN_OK or name == "crawl_html_round0":
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        bad = [
+            kw for kw in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kw in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
