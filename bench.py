@@ -334,6 +334,46 @@ def run_skew() -> None:
     print(json.dumps(summary))
 
 
+def run_crawl() -> None:
+    """True end-to-end crawl benchmark: multi-round CrawlScheduler over
+    the HTML corpus (fetch join -> parse -> schedule -> parquet state +
+    lineage each round, i.e. INCLUDING all durable-state IO and commit
+    overhead — the number a user of the system actually experiences)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.config import CrawlConfig
+    from distributed_crawler_spark.operators.scheduler import CrawlScheduler
+    from distributed_crawler_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, app_name="crawl-bench")
+    corpus = _ensure_corpus(spark)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(corpus, "robots.parquet"))
+    # 40% of the corpus as seeds: a wide frontier from round 0
+    seeds = pages.select("url").filter(F.pmod(F.xxhash64("url"), F.lit(5)) < 2)
+
+    state = "/tmp/dcs_crawl_bench_state"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=3, max_urls_per_domain=100)
+    sched = CrawlScheduler(spark, pages, robots, state, cfg)
+    t0 = time.monotonic()
+    summary = sched.run(seeds=seeds)
+    wall = round(time.monotonic() - t0, 3)
+    total = summary["total_scheduled"]
+    out = {
+        "metric": "end-to-end crawl throughput (URLs scheduled+fetched+parsed+committed/sec, incl. state IO)",
+        "value": round(total / wall, 1),
+        "unit": "urls/sec",
+        "wall_s": wall,
+        "summary": summary,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--frontier-run" in sys.argv:
         frontier_worker(int(sys.argv[sys.argv.index("--frontier-run") + 1]))
@@ -341,5 +381,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--skew" in sys.argv:
         run_skew()
+    elif "--crawl" in sys.argv:
+        run_crawl()
     else:
         run_headline()

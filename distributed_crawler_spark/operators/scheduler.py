@@ -37,6 +37,7 @@ from .frontier import fetch_extract, schedule_candidates
 from .politeness import host_budget_filter, robots_filter
 
 PENDING, COHORT, EXTRACTED, LINEAGE = "pending", "cohort", "extracted", "lineage"
+COUNTS = "counts"
 
 
 def _p(state_dir: str, table: str, rnd: int) -> str:
@@ -103,7 +104,12 @@ class CrawlScheduler:
 
     def _seen_and_counts(self, upto_round: int, include_pending_round: int | None):
         """seen = every URL ever scheduled (cohorts ≤ upto_round plus the
-        not-yet-processed pending cohort); host_counts likewise."""
+        not-yet-processed pending cohort).
+
+        host_counts is INCREMENTAL: counts/round=R holds the cumulative
+        per-host scheduled totals through pending cohort R, maintained as
+        prior-counts + new-cohort-counts each round — O(new URLs) per
+        round instead of re-aggregating the full 10^10-row seen set."""
         parts = [self._read(COHORT, r).select("url", "host") for r in range(upto_round + 1)]
         if include_pending_round is not None:
             parts.append(
@@ -114,7 +120,28 @@ class CrawlScheduler:
         seen = parts[0]
         for p in parts[1:]:
             seen = seen.unionByName(p)
-        counts = seen.groupBy("host").agg(F.count("*").alias("n_scheduled"))
+
+        rnd = include_pending_round
+        counts_path = _p(self.state_dir, COUNTS, rnd)
+        if not _exists(counts_path):
+            new = (
+                self._read(PENDING, rnd)
+                .groupBy("host")
+                .agg(F.count("*").alias("n_scheduled"))
+            )
+            if rnd > 0 and _exists(_p(self.state_dir, COUNTS, rnd - 1)):
+                prior = self._read(COUNTS, rnd - 1)
+                new = (
+                    prior.unionByName(new)
+                    .groupBy("host")
+                    .agg(F.sum("n_scheduled").alias("n_scheduled"))
+                )
+            elif rnd > 0:
+                # counts table missing (e.g. state from an older layout):
+                # rebuild from the full seen set once
+                new = seen.groupBy("host").agg(F.count("*").alias("n_scheduled"))
+            new.write.mode("overwrite").parquet(counts_path)
+        counts = self._read(COUNTS, rnd)
         return seen, counts
 
     # -- the loop --------------------------------------------------------
