@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -102,3 +103,84 @@ def media_summary(features: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """STUB-decode resize: real Spark plumbing (mapInPandas over binary
+    payloads, typed output schema), deterministic fake transform (payload
+    truncated/tiled to the target pixel budget). A real deployment swaps
+    the body for PIL.Image.resize — the dataflow is unchanged."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                budget = target_w * target_h
+                resized = (raw * (budget // max(len(raw), 1) + 1))[:budget]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 32, every_k: int = 4) -> DataFrame:
+    """STUB frame sampling for video payloads: the payload is treated as a
+    concatenation of fixed-size frames; every k-th frame is emitted as a
+    row (one-to-many mapInPandas — the UDTF shape a real pyav frame
+    sampler would use)."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video" or payload is None:
+                    continue
+                raw = bytes(payload)
+                n_frames = max(len(raw) // frame_size, 1)
+                for i in range(0, n_frames, every_k):
+                    chunk = raw[i * frame_size : (i + 1) * frame_size]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "frame_bytes": len(chunk),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"],
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -172,3 +172,28 @@ def test_latest_per_key(spark):
     )
     out = {r["crawler_id"]: r["state"] for r in latest_per_key(df, "crawler_id", "ts", ["state"]).collect()}
     assert out == {"c1": "busy", "c2": "idle"}
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = multimodal.synthesize_media(docs)
+
+    resized = multimodal.resize_media(media, 16, 16).collect()
+    assert len(resized) == 60
+    assert all(len(r["payload"]) == 256 for r in resized)
+    assert all(r["width"] == 16 and r["height"] == 16 for r in resized)
+
+    frames = multimodal.sample_frames(media, frame_size=32, every_k=4)
+    rows = frames.collect()
+    assert rows, "video rows expected"
+    # only video payloads produce frames; indices step by every_k
+    kinds = {r["media_id"] % 3 for r in rows}
+    assert kinds == {2}  # kind 'video' == doc_id % 3 == 2
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(idx == sorted(idx) and all(i % 4 == 0 for i in idx) for idx in by_media.values())
