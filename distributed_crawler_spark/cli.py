@@ -67,6 +67,17 @@ def _search(args) -> None:
         out = search.substring_scores(
             titles, args.query, F.col("title"), F.col("description"), topk=args.topk
         )
+    if args.enrich:
+        # result enrichment (search_interface.py:459-476 analog): join
+        # hits with frontier status/depth
+        from .config import CrawlConfig
+        from .operators.scheduler import CrawlScheduler
+
+        sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig())
+        meta = sched.frontier().select(
+            F.col("url").alias("doc_id"), "status", "depth"
+        )
+        out = out.join(meta, "doc_id", "left")
     for row in out.collect():
         print(json.dumps(row.asDict()))
 
@@ -122,6 +133,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--state", required=True)
     s.add_argument("--mode", choices=["bm25", "tf", "substring"], default="bm25")
     s.add_argument("--topk", type=int, default=10)
+    s.add_argument("--enrich", action="store_true",
+                   help="join results with frontier status/depth")
     s.set_defaults(fn=_search)
 
     st = sub.add_parser("stats", help="crawl status (dashboard analog)")

@@ -286,3 +286,37 @@ def wildcard_tf_scores(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+class SearchCache:
+    """Result cache with TTL + bounded size
+    (search_interface.py:44-63: dict cache, 300 s TTL, ~LRU at 100
+    entries). Driver-side memo over collected top-k results — top-k
+    outputs are tiny, so caching rows (not DataFrames) avoids pinning
+    executors' memory. Clock injectable for deterministic tests."""
+
+    def __init__(self, ttl_seconds: float = 300.0, max_entries: int = 100, clock=None):
+        import time as _time
+
+        self.ttl = ttl_seconds
+        self.max_entries = max_entries
+        self._clock = clock or _time.monotonic
+        self._store: dict[str, tuple[float, list]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key: str, compute):
+        now = self._clock()
+        entry = self._store.get(key)
+        if entry is not None and now - entry[0] <= self.ttl:
+            self.hits += 1
+            # LRU touch: re-insert to the end (dicts preserve order)
+            self._store[key] = self._store.pop(key)
+            return entry[1]
+        self.misses += 1
+        rows = compute()
+        self._store.pop(key, None)
+        self._store[key] = (now, rows)
+        while len(self._store) > self.max_entries:
+            self._store.pop(next(iter(self._store)))  # evict oldest
+        return rows

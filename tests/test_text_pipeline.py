@@ -197,3 +197,30 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(idx == sorted(idx) and all(i % 4 == 0 for i in idx) for idx in by_media.values())
+
+
+def test_search_cache_ttl_and_eviction():
+    from distributed_crawler_spark.operators.search import SearchCache
+
+    t = [0.0]
+    cache = SearchCache(ttl_seconds=300, max_entries=2, clock=lambda: t[0])
+    calls = []
+
+    def make(v):
+        def compute():
+            calls.append(v)
+            return [v]
+        return compute
+
+    assert cache.get_or_compute("q1", make(1)) == [1]
+    assert cache.get_or_compute("q1", make(99)) == [1]     # hit
+    assert cache.hits == 1 and calls == [1]
+
+    t[0] = 301.0
+    assert cache.get_or_compute("q1", make(2)) == [2]      # TTL expired
+    assert calls == [1, 2]
+
+    cache.get_or_compute("q2", make(3))
+    cache.get_or_compute("q3", make(4))                     # evicts q1
+    assert cache.get_or_compute("q1", make(5)) == [5]
+    assert calls == [1, 2, 3, 4, 5]
