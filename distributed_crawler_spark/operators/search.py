@@ -320,3 +320,70 @@ class SearchCache:
         while len(self._store) > self.max_entries:
             self._store.pop(next(iter(self._store)))  # evict oldest
         return rows
+
+
+def bm25f_scores(
+    fields: list[tuple[DataFrame, float, float]],
+    query_terms: list[str],
+    n_docs: DataFrame,
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> DataFrame:
+    """BM25F — Whoosh's actual default scorer (indexer_node.py:23,246-251
+    searches title/content/description/keywords as weighted fields).
+
+    ``fields`` is [(docs_df with (id, text), boost, b_field)]. Per-field
+    term frequencies are length-normalized with the field's own b and
+    avg length, boost-weighted, and summed into one pseudo-frequency
+    before the k1 saturation:
+
+        wtf(t,d) = Σ_f boost_f · tf_{t,f,d} / (1 − b_f + b_f·len_f/avglen_f)
+        score(d) = Σ_t idf(t) · wtf / (k1 + wtf)
+
+    All aggregation-and-join declarative; idf from the union of fields.
+    """
+    parts = []
+    for i, (docs, boost, b_f) in enumerate(fields):
+        postings = build_postings(docs, id_col)
+        stats = doc_stats(docs, id_col)
+        avgdl = stats.agg(F.avg("dl").alias("avgdl"))
+        norm_tf = (
+            postings.filter(F.col("term").isin(query_terms))
+            .join(stats, id_col)
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                id_col,
+                "term",
+                (
+                    F.lit(boost)
+                    * F.col("tf")
+                    / (F.lit(1 - b_f) + F.lit(b_f) * F.col("dl") / F.col("avgdl"))
+                ).alias("wtf"),
+            )
+        )
+        parts.append(norm_tf)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    wtf = union.groupBy(id_col, "term").agg(F.sum("wtf").alias("wtf"))
+
+    # document frequency over any field
+    df_any = wtf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (
+        df_any.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    return (
+        wtf.join(F.broadcast(idf), "term")
+        .withColumn("term_score", F.col("idf") * F.col("wtf") / (F.lit(K1) + F.col("wtf")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )

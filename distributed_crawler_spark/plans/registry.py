@@ -1454,3 +1454,22 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+@q("search_bm25f", None)
+def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F multifield ranking (Whoosh's actual default scorer,
+    indexer_node.py:246-251): title field (first 10 words, boost 2.0,
+    b=0.6) + body (boost 1.0, b=0.75). Per-field normalization makes a
+    faithful single SQL oracle impractical → rows-only driver check;
+    exact parity vs an independent Python computation is pytest-verified
+    (tests/test_text_pipeline.py::test_bm25f_matches_python_reference)."""
+    docs = _read(spark, sf_dir, "documents")
+    title = docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text")
+    )
+    body = docs.select("doc_id", "text")
+    n_docs = docs.agg(F.count("*").alias("n"))
+    return search.bm25f_scores(
+        [(title, 2.0, 0.6), (body, 1.0, 0.75)], _QTERMS, n_docs
+    )

@@ -224,3 +224,63 @@ def test_search_cache_ttl_and_eviction():
     cache.get_or_compute("q3", make(4))                     # evicts q1
     assert cache.get_or_compute("q1", make(5)) == [5]
     assert calls == [1, 2, 3, 4, 5]
+
+
+def test_bm25f_matches_python_reference(spark, sf_dir):
+    """BM25F over two derived fields (title = first 10 words, boost 2.0;
+    body = full text, boost 1.0) vs an independent row-at-a-time Python
+    computation on the same docs."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators.search import K1, bm25f_scores
+
+    TERMS = ["spark", "join"]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' WHERE doc_id < 60"
+    ).fetchall()
+    con.close()
+
+    fields_py = []  # (boost, b, {doc: tokens})
+    title = {d: t.split(" ")[:10] for d, t in docs}
+    body = {d: t.split(" ") for d, t in docs}
+    fields_py = [(2.0, 0.6, title), (1.0, 0.75, body)]
+
+    wtf: dict[tuple[int, str], float] = {}
+    for boost, b, toks in fields_py:
+        avg = sum(len(v) for v in toks.values()) / len(toks)
+        for d, tk in toks.items():
+            c = Counter(tk)
+            for t in TERMS:
+                if c[t]:
+                    wtf[(d, t)] = wtf.get((d, t), 0.0) + boost * c[t] / (
+                        1 - b + b * len(tk) / avg
+                    )
+    n = len(docs)
+    df_t = {t: sum(1 for (d2, t2) in wtf if t2 == t) for t in TERMS}
+    want = {}
+    for (d, t), w in wtf.items():
+        idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+        want[d] = want.get(d, 0.0) + idf * w / (K1 + w)
+    want_top = sorted(
+        ((round(s, 4), d) for d, s in want.items()), key=lambda x: (-x[0], x[1])
+    )[:10]
+
+    sdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 60)
+    title_df = sdocs.select(
+        "doc_id", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text")
+    )
+    body_df = sdocs.select("doc_id", "text")
+    n_docs = sdocs.agg(F.count("*").alias("n"))
+    got = [
+        (r["score"], r["doc_id"])
+        for r in bm25f_scores(
+            [(title_df, 2.0, 0.6), (body_df, 1.0, 0.75)], TERMS, n_docs
+        ).collect()
+    ]
+    assert got == want_top
