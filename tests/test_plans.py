@@ -142,6 +142,7 @@ _CARTESIAN_OK = {
     "time_range_filter",    # 1-row anchor crossJoin
     "freshness_boost",      # 1-row anchor crossJoin
     "search_bm25",          # 1-row avgdl/n crossJoins
+    "search_bm25f",         # 1-row avgdl/n crossJoins per field
     "unigram_logprob",      # 1-row total crossJoin
     "ann_ivf_topk",
 }
