@@ -31,7 +31,11 @@ def _crawl(args) -> None:
     spark = get_spark(cores=args.cores)
     pages = spark.read.parquet(f"{args.corpus}/pages.parquet")
     robots = spark.read.parquet(f"{args.corpus}/robots.parquet")
-    cfg = CrawlConfig(max_depth=args.max_depth, max_urls_per_domain=args.budget)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_urls_per_domain=args.budget,
+        max_retries=args.max_retries,
+    )
     sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
     if args.resume:
         summary = sched.run(resume=True)
@@ -41,6 +45,28 @@ def _crawl(args) -> None:
         else:
             seeds = spark.read.parquet(f"{args.corpus}/seeds.parquet")
         summary = sched.run(seeds=seeds)
+    print(json.dumps(summary))
+
+
+def _resend(args) -> None:
+    """Re-queue failed URLs with retry budget left and resume — the
+    master's resend_urls command (master_node.py:994-1062)."""
+    from .config import CrawlConfig
+    from .operators.scheduler import CrawlScheduler
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    pages = spark.read.parquet(f"{args.corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{args.corpus}/robots.parquet")
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_urls_per_domain=args.budget,
+        max_retries=args.max_retries,
+    )
+    sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
+    n = sched.resend_failed()
+    summary = sched.run(resume=True) if n else sched.summary()
+    summary["resent"] = n
     print(json.dumps(summary))
 
 
@@ -125,8 +151,19 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--seeds", help="text file, one URL per line")
     c.add_argument("--max-depth", type=int, default=3)
     c.add_argument("--budget", type=int, default=100)
+    c.add_argument("--max-retries", type=int, default=3)
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=_crawl)
+
+    rs = sub.add_parser(
+        "resend", help="re-queue failed URLs and resume (resend_urls analog)"
+    )
+    rs.add_argument("--corpus", required=True)
+    rs.add_argument("--state", required=True)
+    rs.add_argument("--max-depth", type=int, default=3)
+    rs.add_argument("--budget", type=int, default=100)
+    rs.add_argument("--max-retries", type=int, default=3)
+    rs.set_defaults(fn=_resend)
 
     s = sub.add_parser("search", help="search extracted docs (search.py analog)")
     s.add_argument("query")

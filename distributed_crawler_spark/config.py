@@ -30,6 +30,15 @@ class CrawlConfig:
     # it (strict optimization — off by default at toy scale where the
     # filter build outweighs the join it saves)
     use_bloom_prefilter: bool = False
+    # failed-fetch retry budget (crawler_node.py:160 max_retries=3 and
+    # :887-916 _retry_failed_tasks): a failed URL re-enters the next
+    # round's pending with retry_count+1 until the budget is exhausted
+    max_retries: int = 3
+    # fetch fault-injection for tests: when > 0, the fetch of ``url``
+    # transiently fails while retry_count < crc32(url) % flaky_mod —
+    # deterministic on both the engine (F.crc32) and oracle (zlib.crc32)
+    # sides. 0 disables (production).
+    flaky_mod: int = 0
 
 
 @dataclass(frozen=True)

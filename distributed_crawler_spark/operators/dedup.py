@@ -29,7 +29,8 @@ from ..functions.hashing import phash
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). Array-lambda
     based — tokens never leave the JVM."""
-    toks = F.split(F.col(text_col), " ")
+    # drop empty tokens (multi-space runs) to match the oracle tokset CTEs
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     # sequence(1, k) DESCENDS when k < 1 — guard the short-doc case
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))

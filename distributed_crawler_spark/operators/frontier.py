@@ -41,26 +41,47 @@ from .politeness import host_budget_filter, robots_filter
 class RoundResult:
     """Outputs of one crawl round (all lazy DataFrames)."""
 
-    cohort: DataFrame        # (url, host, depth, status, round) — final statuses
+    cohort: DataFrame        # (url, host, depth, status, round, retry_count)
     extracted: DataFrame     # (url, title, description, keywords, text, links, language, fetch_ts)
-    next_pending: DataFrame  # (url, host, depth) for round+1
+    next_pending: DataFrame  # (url, host, depth, retry_count) for round+1
     fetched: DataFrame       # pending ⋈ pages (for lineage byte counts)
 
 
-def fetch_extract(pending: DataFrame, pages: DataFrame, round_no: int):
+def with_retry_count(df: DataFrame) -> DataFrame:
+    """Back-compat shim: state written before the retry path existed has
+    no retry_count column — treat those rows as first attempts."""
+    if "retry_count" not in df.columns:
+        df = df.withColumn("retry_count", F.lit(0))
+    return df
+
+
+def fetch_extract(
+    pending: DataFrame, pages: DataFrame, round_no: int, flaky_mod: int = 0
+):
     """Phase 1: simulated fetch (left join marks misses as failed) +
-    Arrow parse. Returns (cohort, extracted, fetched) lazy frames."""
+    Arrow parse. Returns (cohort, extracted, fetched) lazy frames.
+
+    A miss (no such page) fails every attempt; with ``flaky_mod`` fault
+    injection, a hit also fails transiently while
+    retry_count < crc32(url) % flaky_mod (crawler_node.py retry model:
+    transient fetch errors succeed on a later attempt)."""
+    pending = with_retry_count(pending)
     fetched = pending.join(
         pages.select("url", "warc_ts", "html"), on="url", how="left"
     )
 
     hit = F.col("html").isNotNull()
+    if flaky_mod > 0:
+        hit = hit & ~(
+            F.col("retry_count") < F.crc32(F.col("url")) % F.lit(flaky_mod)
+        )
     cohort = fetched.select(
         "url",
         "host",
         "depth",
         F.when(hit, F.lit("completed")).otherwise(F.lit("failed")).alias("status"),
         F.lit(round_no).alias("round"),
+        "retry_count",
     )
 
     # one ArrowEvalPython node: the multi-field struct select does NOT
@@ -78,6 +99,9 @@ def fetch_extract(pending: DataFrame, pages: DataFrame, round_no: int):
         F.col("parsed.links").alias("links"),
         F.col("parsed.language").alias("language"),
         F.col("warc_ts").alias("fetch_ts"),
+        # parent depth rides along so discovered links get depth+1 even
+        # when a retried page succeeds in a LATER round (round ≠ depth)
+        "depth",
     )
     return cohort, extracted, fetched
 
@@ -93,20 +117,27 @@ def schedule_candidates(
     """Phase 2: link discovery → depth gate → URL-seen anti-join → robots
     → salted budget window → pending_{round+1}. Pass a *materialized*
     ``extracted`` (the just-written table read back) so the parse UDF is
-    never re-executed for scheduling."""
-    next_depth = round_no + 1
-    if next_depth > cfg.max_depth:
-        return extracted.select(
-            "url", get_domain(F.col("url")).alias("host"), F.lit(next_depth).alias("depth")
-        ).limit(0)
+    never re-executed for scheduling.
 
+    Candidate depth is PARENT depth + 1 (master_node.py _enqueue_url's
+    new_depth = task.depth + 1), min over parents when several pages link
+    to the same url in one round — with retries a page can succeed in a
+    round later than its depth, and its children must not be penalized.
+    There is deliberately NO round-number gate here: even past the last
+    processable round, admissible candidates are recorded as pending
+    (they surface as status='pending' frontier rows, like the oracle's
+    unprocessed tail)."""
     candidates = (
-        extracted.select(F.explode("links").alias("url"))
+        extracted.select(
+            F.explode("links").alias("url"),
+            (F.col("depth") + 1).alias("depth"),
+        )
         # links are already normalized http(s) URLs (parse_page_py), so
         # only dedup within the round; canonical order for budget is url asc
-        .distinct()
+        .groupBy("url")
+        .agg(F.min("depth").alias("depth"))
+        .filter(F.col("depth") <= cfg.max_depth)
         .withColumn("host", get_domain(F.col("url")))
-        .withColumn("depth", F.lit(next_depth))
     )
 
     # URL-seen dedup: left anti vs every URL ever scheduled
@@ -130,7 +161,9 @@ def schedule_candidates(
         cfg.max_urls_per_domain,
         salt_buckets=cfg.salt_buckets,
     )
-    return budgeted.select("url", "host", "depth")
+    return budgeted.select(
+        "url", "host", "depth", F.lit(0).alias("retry_count")
+    )
 
 
 def crawl_round(
@@ -149,7 +182,9 @@ def crawl_round(
     pending: (url, host, depth); pages: input_hint corpus table;
     seen: (url) every URL ever scheduled; host_counts: (host, n_scheduled).
     """
-    cohort, extracted, fetched = fetch_extract(pending, pages, round_no)
+    cohort, extracted, fetched = fetch_extract(
+        pending, pages, round_no, cfg.flaky_mod
+    )
     next_pending = schedule_candidates(
         extracted, robots, seen, host_counts, cfg, round_no
     )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.urls import get_domain, normalize_url
-from .frontier import fetch_extract, schedule_candidates
+from .frontier import fetch_extract, schedule_candidates, with_retry_count
 from .politeness import host_budget_filter, robots_filter
 
 PENDING, COHORT, EXTRACTED, LINEAGE = "pending", "cohort", "extracted", "lineage"
@@ -67,7 +67,7 @@ def seed_frontier(
         cand = robots_filter(cand, robots)
     return host_budget_filter(
         cand, None, cfg.max_urls_per_domain, salt_buckets=cfg.salt_buckets
-    ).select("url", "host", "depth")
+    ).select("url", "host", "depth", F.lit(0).alias("retry_count"))
 
 
 class CrawlScheduler:
@@ -124,8 +124,11 @@ class CrawlScheduler:
         rnd = include_pending_round
         counts_path = _p(self.state_dir, COUNTS, rnd)
         if not _exists(counts_path):
+            # only FIRST-attempt rows consume budget: a retried URL was
+            # already counted when it was first scheduled
             new = (
-                self._read(PENDING, rnd)
+                with_retry_count(self._read(PENDING, rnd))
+                .filter(F.col("retry_count") == 0)
                 .groupBy("host")
                 .agg(F.count("*").alias("n_scheduled"))
             )
@@ -171,12 +174,20 @@ class CrawlScheduler:
         else:
             last = committed[-1]
             start_round = last + 1
-            if not _exists(_p(self.state_dir, PENDING, start_round)):
+            pend_path = _p(self.state_dir, PENDING, start_round)
+            if not _exists(pend_path) or (
+                self.spark.read.parquet(pend_path).limit(1).count() == 0
+            ):
                 # crawl already finished
                 return self.summary()
 
         rnd = start_round
-        while rnd <= cfg.max_depth and _exists(_p(self.state_dir, PENDING, rnd)):
+        # retry-only rounds may extend past max_depth (retries keep their
+        # ORIGINAL depth — crawler_node.py re-queues the same task), so the
+        # hard bound is max_depth + max_retries
+        while rnd <= cfg.max_depth + cfg.max_retries and _exists(
+            _p(self.state_dir, PENDING, rnd)
+        ):
             self._run_round(rnd)
             if stop_after_round is not None and rnd >= stop_after_round:
                 break
@@ -192,22 +203,43 @@ class CrawlScheduler:
     def _run_round(self, rnd: int) -> None:
         t0 = time.monotonic()
         cfg = self.cfg
-        pending = self._read(PENDING, rnd)
+        pending = with_retry_count(self._read(PENDING, rnd))
         seen, counts = self._seen_and_counts(rnd - 1, include_pending_round=rnd)
 
-        cohort, extracted, fetched = fetch_extract(pending, self.pages, rnd)
+        cohort, extracted, fetched = fetch_extract(
+            pending, self.pages, rnd, cfg.flaky_mod
+        )
         extracted.write.mode("overwrite").parquet(_p(self.state_dir, EXTRACTED, rnd))
         cohort.write.mode("overwrite").parquet(_p(self.state_dir, COHORT, rnd))
-        if rnd + 1 <= cfg.max_depth:
-            # materialization barrier: schedule from the just-written
-            # extracted table so the parse UDF runs exactly once per round
-            extracted_m = self._read(EXTRACTED, rnd)
-            next_pending = schedule_candidates(
-                extracted_m, self.robots, seen, counts, cfg, rnd
+        # pending_{r+1} is ALWAYS written (even past the last processable
+        # round): unprocessed candidates/retries must surface as
+        # status='pending' frontier rows, not silently vanish.
+        # materialization barrier: schedule from the just-written extracted
+        # table so the parse UDF runs exactly once per round
+        extracted_m = self._read(EXTRACTED, rnd)
+        next_pending = schedule_candidates(
+            extracted_m, self.robots, seen, counts, cfg, rnd
+        )
+        # failed-URL retry re-feed (crawler_node.py:887-916): failures
+        # with budget left re-enter the next round at the SAME depth;
+        # they are already in `seen`, so the anti-join above can never
+        # emit them as candidates — no dedup needed within pending
+        retries = (
+            self._read(COHORT, rnd)
+            .filter(
+                (F.col("status") == "failed")
+                & (F.col("retry_count") < cfg.max_retries)
             )
-            next_pending.write.mode("overwrite").parquet(
-                _p(self.state_dir, PENDING, rnd + 1)
+            .select(
+                "url",
+                "host",
+                "depth",
+                (F.col("retry_count") + 1).alias("retry_count"),
             )
+        )
+        next_pending.unionByName(retries).write.mode("overwrite").parquet(
+            _p(self.state_dir, PENDING, rnd + 1)
+        )
 
         # lineage: per-partition input/output/byte counts; committing this
         # row is what marks the round durable (written LAST — the commit
@@ -234,26 +266,88 @@ class CrawlScheduler:
         )
         lineage.write.mode("overwrite").parquet(_p(self.state_dir, LINEAGE, rnd))
 
+    def resend_failed(self) -> int:
+        """Admin 'resend_urls' command (master_node.py:994-1062
+        _handle_resend_urls_command): re-queue every url whose LATEST
+        status is failed and whose retry budget is not exhausted into the
+        next pending round (status back to pending, retry_count+1), then
+        ``run(resume=True)`` processes them. Returns the number resent.
+
+        With automatic per-round retry this is mostly for state crawled
+        under a smaller max_retries (bump the config, resend, resume)."""
+        from ..sources.storage import merge_upsert
+
+        committed = self.committed_rounds()
+        if not committed:
+            return 0
+        nxt = committed[-1] + 1
+        failed = (
+            self.frontier()
+            .filter(
+                (F.col("status") == "failed")
+                & (F.col("retry_count") < self.cfg.max_retries)
+            )
+            .select(
+                "url",
+                "host",
+                "depth",
+                (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            )
+        )
+        n = failed.count()
+        if n == 0:
+            return 0
+        pend_path = _p(self.state_dir, PENDING, nxt)
+        if _exists(pend_path):
+            merge_upsert(self.spark, pend_path, failed, key="url")
+        else:
+            failed.write.mode("overwrite").parquet(pend_path)
+        return n
+
     # -- results ---------------------------------------------------------
 
     def frontier(self) -> DataFrame:
-        """The full frontier: union of all committed cohorts plus any
-        unprocessed pending cohort (status='pending')."""
+        """The frontier as the reference's url table sees it: ONE row per
+        url — round/depth of the FIRST attempt (crawl order is defined on
+        first scheduling), status of the LATEST attempt, max retry_count
+        (DynamoDB url-frontier row semantics: status/retry_count updated
+        in place, master_node.py:404-428)."""
         committed = self.committed_rounds()
-        parts = [self._read(COHORT, r) for r in committed]
+        parts = [
+            with_retry_count(self._read(COHORT, r)).select(
+                "url", "host", "depth", "status", "round", "retry_count"
+            )
+            for r in committed
+        ]
         nxt = (committed[-1] + 1) if committed else 0
         if _exists(_p(self.state_dir, PENDING, nxt)):
             parts.append(
-                self._read(PENDING, nxt).select(
+                with_retry_count(self._read(PENDING, nxt)).select(
                     "url", "host", "depth",
                     F.lit("pending").alias("status"),
                     F.lit(nxt).alias("round"),
+                    "retry_count",
                 )
+            )
+        if not parts:
+            # fresh/wrong state dir: empty frontier, not an IndexError
+            return self.spark.createDataFrame(
+                [],
+                "url STRING, host STRING, depth INT, status STRING, "
+                "round INT, retry_count INT",
             )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        # collapse retry attempts to the per-url row (no-op when there are
+        # no retries; one hash aggregate, partial map-side combine)
+        return df.groupBy("url").agg(
+            F.first("host").alias("host"),
+            F.min("depth").alias("depth"),
+            F.max_by("status", F.col("round")).alias("status"),
+            F.min("round").alias("round"),
+            F.max("retry_count").alias("retry_count"),
+        ).select("url", "host", "depth", "status", "round", "retry_count")
 
     def crawl_order(self) -> DataFrame:
         """Canonical crawl order: (seq, round, url) ordered by
@@ -274,6 +368,10 @@ class CrawlScheduler:
 
     def extracted_all(self) -> DataFrame:
         committed = self.committed_rounds()
+        if not committed:
+            raise FileNotFoundError(
+                f"no crawl state found at {self.state_dir} (no committed rounds)"
+            )
         parts = [self._read(EXTRACTED, r) for r in committed]
         df = parts[0]
         for p in parts[1:]:
@@ -282,6 +380,10 @@ class CrawlScheduler:
 
     def lineage_all(self) -> DataFrame:
         committed = self.committed_rounds()
+        if not committed:
+            raise FileNotFoundError(
+                f"no crawl state found at {self.state_dir} (no committed rounds)"
+            )
         parts = [self._read(LINEAGE, r) for r in committed]
         df = parts[0]
         for p in parts[1:]:

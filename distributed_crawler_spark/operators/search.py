@@ -191,14 +191,28 @@ def top_terms_per_doc(
 
 
 def suggest(
-    queries_df: DataFrame, prefix: str, query_col: str = "query", k: int = 5
+    queries_df: DataFrame,
+    prefix: str,
+    query_col: str = "query",
+    k: int = 5,
+    results_col: str | None = None,
 ) -> DataFrame:
     """search_interface.py:822-846: repeated queries with prefix,
-    frequency-ordered top-5."""
+    frequency-ordered top-5. When ``results_col`` is given, queries whose
+    every occurrence returned zero results are dropped
+    (search_interface.py:835-841 ``if data['has_results']``)."""
+    grouped = queries_df.filter(F.col(query_col).startswith(prefix)).groupBy(
+        query_col
+    )
+    if results_col is not None:
+        agg = grouped.agg(
+            F.count("*").alias("freq"),
+            F.max(results_col).alias("_max_results"),
+        ).filter(F.col("_max_results") > 0)
+    else:
+        agg = grouped.agg(F.count("*").alias("freq"))
     return (
-        queries_df.filter(F.col(query_col).startswith(prefix))
-        .groupBy(query_col)
-        .agg(F.count("*").alias("freq"))
+        agg.select(query_col, "freq")
         .orderBy(F.desc("freq"), F.col(query_col))
         .limit(k)
     )
@@ -217,11 +231,15 @@ def highlight_snippets(
     a window of ``frag_chars`` starting ``surround`` before the first
     case-insensitive match, match wrapped in <b></b>. JVM-native
     (locate/substr/regexp_replace) — no UDF."""
+    import re as _re
+
     pos = F.locate(term.lower(), F.lower(F.col(text_col)))
     start = F.greatest(pos - surround, F.lit(1))
     snippet = F.substring(F.col(text_col), start.cast("int"), frag_chars)
+    # escape the term (regex metachars like 'c++', 'a.b' must match
+    # literally) and $/\ in the replacement (Java Matcher group syntax)
     highlighted = F.regexp_replace(
-        snippet, "(?i)(" + term + ")", "<b>$1</b>"
+        snippet, "(?i)(" + _re.escape(term) + ")", "<b>$1</b>"
     )
     return (
         docs.filter(pos > 0)

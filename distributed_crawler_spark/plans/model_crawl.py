@@ -44,6 +44,11 @@ def model_bfs(
         .select("url", "host", "depth")
     )
     scheduled = cur.cache()
+    # prior host counts maintained INCREMENTALLY (mirror of the real
+    # scheduler, operators/scheduler.py counts/round=R): prior + new-cohort
+    # counts each round — O(new URLs), not O(seen) re-aggregation.
+    counts = scheduled.groupBy("host").agg(F.count("*").alias("n_scheduled")).cache()
+    scheduled.count()  # materialize before the loop references it twice
     for rnd in range(1, max_depth + 1):
         cand = (
             links.join(cur.select(F.col("url").alias("src_url")), "src_url")
@@ -54,19 +59,36 @@ def model_bfs(
         )
         fresh = cand.join(scheduled.select("url"), "url", "left_anti")
         fresh = robots_filter(fresh, robots)
-        prior = scheduled.groupBy("host").agg(F.count("*").alias("n_scheduled"))
-        cur = host_budget_filter(fresh, prior, budget).select(
+        cur = host_budget_filter(fresh, counts, budget).select(
             "url", "host", "depth"
         )
-        scheduled = scheduled.unionByName(cur).cache()
+        new_scheduled = scheduled.unionByName(cur).cache()
+        new_counts = (
+            counts.unionByName(
+                cur.groupBy("host").agg(F.count("*").alias("n_scheduled"))
+            )
+            .groupBy("host")
+            .agg(F.sum("n_scheduled").cast("long").alias("n_scheduled"))
+            .cache()
+        )
+        # materialize the new caches, then drop the superseded ones —
+        # without this, repeated invocations in one session accumulate a
+        # growing chain of never-unpersisted storage (round-1 verdict #5)
+        new_scheduled.count()
+        new_counts.count()
+        scheduled.unpersist()
+        counts.unpersist()
+        scheduled, counts = new_scheduled, new_counts
+    counts.unpersist()
+    pages.unpersist()
+    links.unpersist()
     return scheduled
 
 
-def bfs_sql(max_depth: int = 2, budget: int = 100) -> str:
-    """The identical BFS as DuckDB SQL (rounds unrolled into CTEs)."""
-    ctes = [model_sql_ctes().strip().rstrip(",")]
-    ctes.append(
-        f"""
+def _round0_cte(budget: int) -> str:
+    """sched0 CTE: seeds gated by robots + host budget (canonical url-asc
+    consumption) — shared by bfs_sql and retry_sql."""
+    return f"""
 sched0 AS (
   SELECT c.url, c.host, 0 AS depth FROM (
     SELECT p.url, p.host,
@@ -75,7 +97,15 @@ sched0 AS (
     WHERE NOT EXISTS (SELECT 1 FROM robots r
                       WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
   ) c WHERE c.rn <= {budget}
-),
+)"""
+
+
+def bfs_sql(max_depth: int = 2, budget: int = 100) -> str:
+    """The identical BFS as DuckDB SQL (rounds unrolled into CTEs)."""
+    ctes = [model_sql_ctes().strip().rstrip(",")]
+    ctes.append(
+        _round0_cte(budget)
+        + """,
 seen0 AS (SELECT url, host, depth FROM sched0)"""
     )
     for rnd in range(1, max_depth + 1):
@@ -102,3 +132,63 @@ seen{rnd} AS (SELECT * FROM {seen_prev} UNION ALL SELECT * FROM sched{rnd})"""
         )
     body = ",".join(ctes)
     return f"WITH {body}\nSELECT url, host, depth FROM seen{max_depth}"
+
+
+def model_retry(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 100,
+    max_retries: int = 3,
+    fail_mod: int = 5,
+) -> DataFrame:
+    """Failed-fetch retry loop over the model round-0 frontier
+    (crawler_node.py:160,887-916 semantics as the scheduler implements
+    them): the fetch of ``url`` transiently fails while
+    retry_count < md5-hash(url) % fail_mod, failures re-enter the next
+    attempt until max_retries; urls with fail_times > max_retries end
+    'failed'. Returns (url, host, status, retry_count) — the final
+    frontier row per url. Iterative DataFrame loop, all native."""
+    pages = model_pages_df(spark, sf_dir).select("url", "host")
+    robots = model_robots_df(spark, sf_dir)
+    seeds = model_seeds_df(spark, sf_dir)
+    cand0 = seeds.join(pages, "url").select("url", "host", F.lit(0).alias("depth"))
+    pend = host_budget_filter(robots_filter(cand0, robots), None, budget).select(
+        "url", "host"
+    )
+    # portable deterministic hash (== DuckDB ('0x'||substr(md5(u),1,15))::BIGINT)
+    ft = (
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+        % fail_mod
+    )
+    cur = pend.withColumn("retry_count", F.lit(0))
+    finished: DataFrame | None = None
+    for k in range(max_retries + 1):
+        fails_now = F.col("retry_count") < ft
+        ok = cur.filter(~fails_now).withColumn("status", F.lit("completed"))
+        if k < max_retries:
+            done = ok
+            cur = cur.filter(fails_now).withColumn(
+                "retry_count", F.col("retry_count") + F.lit(1)
+            )
+        else:
+            done = ok.unionByName(
+                cur.filter(fails_now).withColumn("status", F.lit("failed"))
+            )
+        finished = done if finished is None else finished.unionByName(done)
+    return finished.select("url", "host", "status", "retry_count")
+
+
+def retry_sql(budget: int = 100, max_retries: int = 3, fail_mod: int = 5) -> str:
+    """model_retry's closed form as DuckDB SQL: a url with
+    fail_times = hash % fail_mod completes at attempt fail_times when
+    fail_times <= max_retries, else fails with retry_count = max_retries."""
+    ctes = [model_sql_ctes().strip().rstrip(","), _round0_cte(budget)]
+    body = ",".join(ctes)
+    return f"""WITH {body},
+ft AS (SELECT url, host,
+              ('0x' || substr(md5(url), 1, 15))::BIGINT % {fail_mod} AS ft
+       FROM sched0)
+SELECT url, host,
+       CASE WHEN ft <= {max_retries} THEN 'completed' ELSE 'failed' END AS status,
+       least(ft, {max_retries})::INT AS retry_count
+FROM ft"""

@@ -22,7 +22,7 @@ from ..functions.hashing import phash, phash_sql
 from ..functions.urls import get_domain, normalize_url
 from ..operators import dedup, search, similarity, stats, textstats
 from ..operators.politeness import host_budget_filter, robots_filter
-from .model_crawl import bfs_sql, model_bfs
+from .model_crawl import bfs_sql, model_bfs, model_retry, retry_sql
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -60,6 +60,18 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus model (depth gate, URL-seen anti-join, robots broadcast join,
     salted host-budget window)."""
     return model_bfs(spark, sf_dir, max_depth=2, budget=100)
+
+
+@q(
+    "retry_cohort",
+    retry_sql(budget=100, max_retries=3, fail_mod=5),
+)
+def q_retry_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-URL retry loop (crawler_node.py:160 max_retries=3,
+    :887-916 _retry_failed_tasks; master_node.py:994-1062 resend):
+    deterministic transient-failure model over the round-0 frontier,
+    final status + retry_count per url."""
+    return model_retry(spark, sf_dir, budget=100, max_retries=3, fail_mod=5)
 
 
 @q(
@@ -329,7 +341,7 @@ docstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
     "search_tf",
     f"""
 WITH {_POSTINGS_CTE}
-SELECT doc_id, sum(tf) AS score FROM postings
+SELECT doc_id, sum(tf)::BIGINT AS score FROM postings
 WHERE term IN ({_QTERMS_SQL})
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """,
@@ -389,10 +401,10 @@ def q_search_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH scored AS (
   SELECT doc_id,
-         (CASE WHEN contains(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '), 'spark') THEN 3 ELSE 0 END
-          + CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END
-          + CASE WHEN contains(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '), 'join') THEN 3 ELSE 0 END
-          + CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END) AS score
+         (CASE WHEN contains(lower(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')), 'spark') THEN 3 ELSE 0 END
+          + CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lower(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')), 'join') THEN 3 ELSE 0 END
+          + CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END) AS score
   FROM documents
 )
 SELECT doc_id, score FROM scored WHERE score > 0
@@ -429,15 +441,29 @@ def q_keywords_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "suggest",
     """
-SELECT event_type AS query, count(*) AS freq FROM events
-WHERE starts_with(event_type, 's')
-GROUP BY event_type ORDER BY freq DESC, event_type LIMIT 5
+SELECT query, count(*)::BIGINT AS freq FROM (
+  SELECT event_type || '_' || user_id AS query,
+         CASE WHEN user_id % 10 = 3 THEN 0 ELSE 1 END AS results_count
+  FROM events
+)
+WHERE starts_with(query, 's')
+GROUP BY query HAVING max(results_count) > 0
+ORDER BY freq DESC, query LIMIT 5
 """,
 )
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """search_interface.py:822-846 prefix suggestion top-5."""
-    ev = _read(spark, sf_dir, "events").select(F.col("event_type").alias("query"))
-    return search.suggest(ev, "s")
+    """search_interface.py:822-846 prefix suggestion top-5, including the
+    :835-841 has-results gate (queries whose every run returned 0 results
+    never surface). results_count is derived deterministically from the
+    synthetic events (user_id % 10 == 3 → zero-result query log rows)."""
+    ev = _read(spark, sf_dir, "events")
+    qlog = ev.select(
+        F.concat_ws("_", "event_type", "user_id").alias("query"),
+        F.when(F.col("user_id") % 10 == 3, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("results_count"),
+    )
+    return search.suggest(qlog, "s", results_col="results_count")
 
 
 # =========================================================================
@@ -1045,9 +1071,9 @@ def q_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_dispatch_pivot",
     """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup
 FROM events GROUP BY user_id
 """,
 )

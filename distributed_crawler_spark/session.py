@@ -13,6 +13,7 @@ shipped via ``spark-submit --py-files``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -50,22 +51,45 @@ def get_spark(
     return spark
 
 
+def _pkg_fingerprint(pkg_dir: str) -> str:
+    """Content fingerprint (path + mtime + size of every .py) so edited
+    sources produce a NEW archive name — a fixed name would leave workers
+    importing a stale zip that shadows the repo on worker sys.path."""
+    h = hashlib.sha1()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            rel = os.path.relpath(p, pkg_dir)
+            h.update(f"{rel}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:12]
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers (the local-mode
     equivalent of `spark-submit --py-files pkg.zip`): the Arrow UDFs
     close over functions defined here, so workers must import it."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "distributed_crawler_spark_pyfiles")
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"distributed_crawler_spark_pyfiles_{_pkg_fingerprint(pkg_dir)}",
+    )
     archive = zip_path + ".zip"
     if not os.path.exists(archive):
         staging = tempfile.mkdtemp()
-        shutil.copytree(pkg_dir, os.path.join(staging, "distributed_crawler_spark"))
+        shutil.copytree(
+            pkg_dir,
+            os.path.join(staging, "distributed_crawler_spark"),
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
         shutil.make_archive(zip_path, "zip", staging)
         shutil.rmtree(staging)
-    try:
-        spark.sparkContext.addPyFile(archive)
-    except Exception:
-        pass  # already added in this context
+    # addPyFile is idempotent for an identical path; content changes get a
+    # new fingerprinted name, so failures here are real and must surface.
+    spark.sparkContext.addPyFile(archive)
 
 
 def stop_spark() -> None:

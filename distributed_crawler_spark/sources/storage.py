@@ -24,6 +24,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def recover_table(table_dir: str) -> None:
+    """Recover from a crash mid-swap (single-writer assumption).
+
+    Swap protocol is: write tmp -> rename table to .bak -> rename tmp to
+    table -> delete .bak. A leftover ``.bak`` therefore means either the
+    swap completed (table has _SUCCESS: drop the backup) or it crashed
+    between the two renames (table missing: restore the backup). Orphaned
+    ``.tmp-*`` staging dirs are always safe to delete.
+    """
+    table_dir = table_dir.rstrip("/")
+    bak = table_dir + ".bak"
+    if os.path.exists(bak):
+        if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+            shutil.rmtree(bak)
+        else:
+            if os.path.exists(table_dir):
+                shutil.rmtree(table_dir)
+            os.rename(bak, table_dir)
+    parent = os.path.dirname(table_dir) or "."
+    base = os.path.basename(table_dir)
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base + ".tmp-"):
+                shutil.rmtree(os.path.join(parent, d))
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
@@ -31,7 +57,10 @@ def merge_upsert(
     key: str = "url",
 ) -> None:
     """MERGE updates INTO table_dir ON key (update-else-insert)."""
-    tmp = table_dir.rstrip("/") + ".tmp-" + uuid.uuid4().hex[:8]
+    table_dir = table_dir.rstrip("/")
+    recover_table(table_dir)
+    tmp = table_dir + ".tmp-" + uuid.uuid4().hex[:8]
+    bak = table_dir + ".bak"
     if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         current = spark.read.parquet(table_dir)
         kept = current.join(updates.select(key), key, "left_anti")
@@ -39,12 +68,15 @@ def merge_upsert(
     else:
         merged = updates
     merged.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (rename); a crash between rm and rename is recovered
-    # by re-running the merge (updates are idempotent on key)
+    # crash-safe swap: current aside as .bak, tmp into place, drop .bak.
+    # Any interruption point is undone/completed by recover_table().
     if os.path.exists(table_dir):
-        shutil.rmtree(table_dir)
+        os.rename(table_dir, bak)
     os.rename(tmp, table_dir)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    recover_table(table_dir)
     return spark.read.parquet(table_dir)

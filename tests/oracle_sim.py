@@ -60,27 +60,47 @@ def simulate(
     max_depth: int = 3,
     max_urls_per_domain: int = 100,
     respect_robots: bool = True,
+    max_retries: int = 3,
+    flaky_mod: int = 0,
 ):
-    """Returns (crawl_order, frontier_rows, extracted_texts).
+    """Returns (crawl_order, frontier_rows, extracted_texts, retry_counts).
 
-    crawl_order: list of (seq, round, url); frontier_rows: dict
-    url -> (depth, status); extracted_texts: url -> soup text.
+    crawl_order: list of (seq, round, url) — FIRST attempts only (retries
+    never re-enter the order, matching the engine's min-round frontier);
+    frontier_rows: dict url -> (depth, status) with the LATEST status;
+    extracted_texts: url -> soup text; retry_counts: url -> retries used.
+
+    Retry rule (crawler_node.py:160,887-916): a failed fetch re-enters the
+    next round at the same depth until retry_count == max_retries. With
+    ``flaky_mod`` > 0, a fetch also fails transiently while
+    attempt < crc32(url) % flaky_mod (same rule as the engine's fault
+    injection in operators/frontier.py).
     """
+    import zlib
+
     seen: set[str] = set()
     host_counts: dict[str, int] = defaultdict(int)
     frontier: dict[str, tuple[int, str]] = {}
+    retry_counts: dict[str, int] = defaultdict(int)
     order: list[tuple[int, int, str]] = []
     extracted: dict[str, str] = {}
+    depth_of: dict[str, int] = {}
     seq = 0
 
-    def admit(candidates: list[str], depth: int) -> list[str]:
+    def admit(candidates: list[tuple[str, int]]) -> list[str]:
         """Apply gates in reference order (_enqueue_url): depth, seen,
-        robots, budget — budget consumed in canonical (url asc) order."""
-        nonlocal seq
+        robots, budget — budget consumed in canonical (url asc) order.
+        Candidate depth = min over discovering parents of parent_depth+1
+        (with retries, round number and depth diverge)."""
+        depth_by_url: dict[str, int] = {}
+        for url, depth in candidates:
+            if url not in depth_by_url or depth < depth_by_url[url]:
+                depth_by_url[url] = depth
         admitted = []
-        if depth > max_depth:
-            return admitted
-        for url in sorted(set(candidates)):
+        for url in sorted(depth_by_url):
+            depth = depth_by_url[url]
+            if depth > max_depth:
+                continue
             if url in seen:
                 continue
             if respect_robots and not robots_allowed(url, robots):
@@ -90,26 +110,38 @@ def simulate(
                 continue
             seen.add(url)
             host_counts[host] += 1
+            depth_of[url] = depth
             admitted.append(url)
         return admitted
 
-    pending = admit(seeds, 0)
+    pending = admit([(u, 0) for u in seeds])
     rnd = 0
-    while pending and rnd <= max_depth:
-        discovered: list[str] = []
+    while pending and rnd <= max_depth + max_retries:
+        discovered: list[tuple[str, int]] = []
+        retries: list[str] = []
         for url in sorted(pending):
-            seq += 1
-            order.append((seq, rnd, url))
+            attempt = retry_counts[url]
+            if attempt == 0:
+                seq += 1
+                order.append((seq, rnd, url))
             html = pages.get(url)
-            if html is None:
-                frontier[url] = (rnd, "failed")
+            transient = flaky_mod > 0 and attempt < (
+                zlib.crc32(url.encode()) % flaky_mod
+            )
+            if html is None or transient:
+                frontier[url] = (depth_of[url], "failed")
+                if attempt < max_retries:
+                    retry_counts[url] = attempt + 1
+                    retries.append(url)
                 continue
             parsed = parse_page_py(html.decode("utf-8", errors="ignore"), url)
             extracted[url] = parsed["text"]
-            frontier[url] = (rnd, "completed")
-            discovered.extend(parsed["links"])
-        pending = admit(discovered, rnd + 1)
+            frontier[url] = (depth_of[url], "completed")
+            discovered.extend(
+                (link, depth_of[url] + 1) for link in parsed["links"]
+            )
+        pending = admit(discovered) + retries
         rnd += 1
-    for url in pending:  # un-processed tail (depth cap reached)
-        frontier[url] = (rnd, "pending")
-    return order, frontier, extracted
+    for url in pending:  # un-processed tail (depth or retry cap reached)
+        frontier[url] = (depth_of[url], "pending")
+    return order, frontier, extracted, dict(retry_counts)

@@ -24,7 +24,11 @@ def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
     ])
     summary = json.loads(out[-1])
     assert summary["total_scheduled"] > 0
-    assert summary["rounds"] == [0, 1]
+    # rounds 0..1 are the BFS proper; dangling-link failures may add up to
+    # max_retries retry-only rounds after the depth cap
+    assert summary["rounds"][:2] == [0, 1]
+    assert summary["rounds"] == list(range(len(summary["rounds"])))
+    assert max(summary["rounds"]) <= 1 + 3
 
     out = _run(capsys, [
         "--cores", "8", "search", "spark window", "--state", state,

@@ -40,7 +40,7 @@ def engine(spark, corpus_dir):
 
 
 def test_crawl_order_parity(engine, oracle):
-    order_oracle, _, _ = oracle
+    order_oracle, _, _, _ = oracle
     got = [
         (r["seq"], r["round"], r["url"])
         for r in engine.crawl_order().orderBy("seq").collect()
@@ -52,13 +52,13 @@ def test_crawl_order_parity(engine, oracle):
 
 
 def test_url_seen_parity(engine, oracle):
-    _, frontier_oracle, _ = oracle
+    _, frontier_oracle, _, _ = oracle
     got = {r["url"] for r in engine.url_seen().collect()}
     assert got == set(frontier_oracle)
 
 
 def test_status_and_depth_parity(engine, oracle):
-    _, frontier_oracle, _ = oracle
+    _, frontier_oracle, _, _ = oracle
     got = {
         r["url"]: (r["depth"], r["status"])
         for r in engine.frontier().collect()
@@ -67,7 +67,7 @@ def test_status_and_depth_parity(engine, oracle):
 
 
 def test_extracted_text_byte_parity(engine, oracle):
-    _, _, extracted_oracle = oracle
+    _, _, extracted_oracle, _ = oracle
     got = {
         r["url"]: r["text"] for r in engine.extracted_all().select("url", "text").collect()
     }
@@ -88,9 +88,15 @@ def test_lineage_shape(engine):
     assert {c for c in engine.lineage_all().columns} == {
         "round", "partition_id", "urls_in", "urls_out", "bytes", "wall_ms"
     }
-    assert sum(r["urls_in"] for r in rows) == engine.frontier().filter(
-        F.col("status") != "pending"
-    ).count()
+    # urls_in counts ATTEMPTS: every processed url ran retry_count+1 times
+    # (its failures plus the final attempt); still-pending urls ran
+    # retry_count times so far
+    front = engine.frontier().collect()
+    want_attempts = sum(
+        (r["retry_count"] + 1) if r["status"] != "pending" else r["retry_count"]
+        for r in front
+    )
+    assert sum(r["urls_in"] for r in rows) == want_attempts
 
 
 def test_resume_equals_uninterrupted(spark, corpus_dir, engine, oracle):
@@ -150,7 +156,7 @@ def test_parity_at_config_extremes(spark, corpus_dir, budget, respect_robots):
     interactions (budget starvation, robots-skipped hosts) must agree
     everywhere, not just at defaults."""
     pages_d, robots_d, seeds_d = load_corpus(corpus_dir)
-    want_order, want_frontier, _ = simulate(
+    want_order, want_frontier, _, _ = simulate(
         pages_d, robots_d, seeds_d, MAX_DEPTH, budget, respect_robots
     )
 
@@ -179,3 +185,97 @@ def test_parity_at_config_extremes(spark, corpus_dir, budget, respect_robots):
         for r in sched.crawl_order().orderBy("seq").collect()
     ]
     assert got_order[: len(want_order)] == want_order
+
+
+def test_flaky_fetch_retry_parity(spark, corpus_dir):
+    """Transient fetch failures (crc32(url) % 3 initial misses) must be
+    retried to completion with the same final frontier, retry counts,
+    crawl order, and extracted text as the row-at-a-time oracle running
+    the identical retry rule (crawler_node.py:160,887-916)."""
+    pages_d, robots_d, seeds_d = load_corpus(corpus_dir)
+    want_order, want_frontier, want_text, want_retries = simulate(
+        pages_d, robots_d, seeds_d, MAX_DEPTH, BUDGET,
+        max_retries=2, flaky_mod=3,
+    )
+
+    state = "/tmp/dcs_state_flaky"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET,
+        max_retries=2, flaky_mod=3,
+    )
+    sched = CrawlScheduler(
+        spark,
+        spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        state,
+        cfg,
+    )
+    sched.run(seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"))
+
+    front = sched.frontier().collect()
+    got = {r["url"]: (r["depth"], r["status"]) for r in front}
+    assert got == want_frontier
+    got_retries = {r["url"]: r["retry_count"] for r in front if r["retry_count"]}
+    assert got_retries == {u: k for u, k in want_retries.items() if k}
+
+    got_order = [
+        (r["seq"], r["round"], r["url"])
+        for r in sched.crawl_order().orderBy("seq").collect()
+    ]
+    assert got_order[: len(want_order)] == want_order
+
+    got_text = {
+        r["url"]: r["text"]
+        for r in sched.extracted_all().select("url", "text").collect()
+    }
+    assert got_text == want_text
+
+
+def test_resend_failed_after_retry_budget_bump(spark, corpus_dir):
+    """Crawl with retries OFF (transient failures stay failed), then bump
+    max_retries, resend_failed(), resume: previously-failed urls complete.
+    Mirrors the master's resend_urls command (master_node.py:994-1062)."""
+    pages_d, robots_d, seeds_d = load_corpus(corpus_dir)
+    state = "/tmp/dcs_state_resend"
+    shutil.rmtree(state, ignore_errors=True)
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    cfg0 = CrawlConfig(
+        max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET,
+        max_retries=0, flaky_mod=3,
+    )
+    CrawlScheduler(spark, pages, robots, state, cfg0).run(seeds=seeds)
+    flaky_failed = {
+        r["url"]
+        for r in CrawlScheduler(spark, pages, robots, state, cfg0)
+        .frontier()
+        .filter(F.col("status") == "failed")
+        .collect()
+    }
+    assert flaky_failed, "fault injection should have produced failures"
+
+    cfg1 = CrawlConfig(
+        max_depth=MAX_DEPTH, max_urls_per_domain=BUDGET,
+        max_retries=3, flaky_mod=3,
+    )
+    sched1 = CrawlScheduler(spark, pages, robots, state, cfg1)
+    n = sched1.resend_failed()
+    assert n == len(flaky_failed)
+    sched1.run(resume=True)
+
+    still_failed = {
+        r["url"]
+        for r in sched1.frontier().filter(F.col("status") == "failed").collect()
+    }
+    # every transiently-failed url whose page exists must now be completed
+    recovered = {u for u in flaky_failed if u in pages_d}
+    assert recovered.isdisjoint(still_failed)
+    # of the ORIGINAL failures only true fetch misses may remain failed
+    # (the resumed crawl also discovers new children of recovered pages,
+    # which may fail on their own — those are out of scope here)
+    assert still_failed & flaky_failed == {
+        u for u in flaky_failed if u not in pages_d
+    }

@@ -57,7 +57,7 @@ def _random_web(seed: int):
 def test_random_web_parity(spark, seed):
     pages, robots, seeds, budget, depth = _random_web(seed)
 
-    order, frontier, extracted = simulate(
+    order, frontier, extracted, _ = simulate(
         pages, robots, seeds, max_depth=depth, max_urls_per_domain=budget
     )
 
