@@ -35,6 +35,7 @@ def _crawl(args) -> None:
         max_depth=args.max_depth,
         max_urls_per_domain=args.budget,
         max_retries=args.max_retries,
+        job_id=args.job_id,
     )
     sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
     if args.resume:
@@ -62,6 +63,7 @@ def _resend(args) -> None:
         max_depth=args.max_depth,
         max_urls_per_domain=args.budget,
         max_retries=args.max_retries,
+        job_id=args.job_id,
     )
     sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
     n = sched.resend_failed()
@@ -75,7 +77,9 @@ def _search(args) -> None:
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
-    sched_extracted = spark.read.parquet(f"{args.state}/extracted/round=*")
+    sched_extracted = spark.read.parquet(
+        f"{args.state}/job={args.job_id}/extracted/round=*"
+    )
     docs = sched_extracted.select(
         F.col("url").alias("doc_id"), F.col("text")
     )
@@ -99,7 +103,7 @@ def _search(args) -> None:
         from .config import CrawlConfig
         from .operators.scheduler import CrawlScheduler
 
-        sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig())
+        sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig(job_id=args.job_id))
         meta = sched.frontier().select(
             F.col("url").alias("doc_id"), "status", "depth"
         )
@@ -115,7 +119,7 @@ def _stats(args) -> None:
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
-    sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig())
+    sched = CrawlScheduler(spark, None, None, args.state, CrawlConfig(job_id=args.job_id))
     front = sched.frontier()
     out = {
         "by_status": {r["status"]: r["n"] for r in stats.status_counts(front).collect()},
@@ -143,6 +147,8 @@ def _build_corpus(args) -> None:
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="distributed_crawler_spark")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--job-id", default="job-test-0001",
+                   help="frontier job scope (multi-job state_dir)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run/resume a crawl (client.py analog)")

@@ -14,10 +14,12 @@ definite negatives skip it. With a fresh-heavy candidate stream (the
 common case while the crawl expands) most candidates skip the big join.
 
 Scale shape: k seeded hashes per key; the words table is m/64 rows
-(m ≈ 10 bits/key ⇒ for 10^10 seen URLs ≈ 1.5 GB of words → partitioned
-by word range and co-partitioned with the candidates' probe hashes; in
-this sandbox it is small enough to broadcast, which is the variant
-implemented for the probe join).
+(m ≈ 12 bits/key ⇒ for 10^10 seen URLs ≈ 1.9 GB of words). BOTH probe
+variants are implemented: k broadcast joins while the words table is
+small, and a partitioned word_idx shuffle-join probe beyond the
+broadcast limit (bloom_split_partitioned — words never broadcast,
+probes and words co-partition on word_idx). bloom_anti_join
+auto-selects by filter size; results are identical (tested).
 """
 
 from __future__ import annotations
@@ -99,17 +101,79 @@ def bloom_split(
     return fresh, maybe
 
 
+def _probe_maybe_urls(
+    candidates: DataFrame,
+    bloom_words: DataFrame,
+    m_bits: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Partitioned probe core: explode each candidate's k probe positions,
+    SHUFFLE-join the words table on word_idx (shuffle_hash hint — the
+    words side is never broadcast), and keep urls where every probed bit
+    is set. Returns the maybe-seen url set."""
+    url = F.col(url_col)
+    positions = F.array(*[_probe_hash(url, s, m_bits) for s in range(K_HASHES)])
+    probes = candidates.select(
+        url.alias("__url"), F.explode(positions).alias("pos")
+    ).select(
+        "__url", "pos", (F.col("pos") / 64).cast("long").alias("word_idx")
+    )
+    joined = probes.join(bloom_words.hint("shuffle_hash"), "word_idx", "left")
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.expr("shiftright(bits, CAST(pmod(pos, 64) AS INT)) & 1") == 1),
+        1,
+    ).otherwise(0)
+    return (
+        joined.groupBy("__url")
+        .agg(F.sum(hit).alias("__n_hit"))
+        .filter(F.col("__n_hit") == K_HASHES)
+        .select(F.col("__url").alias(url_col))
+    )
+
+
+def bloom_split_partitioned(
+    candidates: DataFrame,
+    bloom_words: DataFrame,
+    m_bits: int,
+    url_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (definitely_fresh, maybe_seen) WITHOUT
+    broadcasting the words table — the 10^10-key variant: at 12 bits/key
+    and 10^10 seen URLs the words table is ~1.9 GB, over any broadcast
+    limit. Probes and words co-partition on word_idx (one shuffle each);
+    at cluster scale the words table is stored bucketed by word_idx so
+    only the probe side shuffles."""
+    maybe_urls = _probe_maybe_urls(candidates, bloom_words, m_bits, url_col)
+    fresh = candidates.join(maybe_urls, url_col, "left_anti")
+    maybe = candidates.join(maybe_urls, url_col, "left_semi")
+    return fresh, maybe
+
+
+# words tables bigger than this (in filter bits; /8 for bytes) probe via
+# the partitioned path instead of k broadcast joins
+BROADCAST_WORDS_MAX_BITS = 64 * 1024 * 1024 * 8
+
+
 def bloom_anti_join(
     candidates: DataFrame,
     seen: DataFrame,
     n_seen_estimate: int,
     url_col: str = "url",
+    partitioned: bool | None = None,
 ) -> DataFrame:
     """Exact anti-join with a bloom prefilter: candidates that the bloom
     proves unseen bypass the join; the rest are checked exactly.
-    Result ≡ plain left_anti (tested)."""
+    Result ≡ plain left_anti (tested, both probe variants).
+
+    ``partitioned=None`` auto-selects: broadcast probe while the words
+    table fits comfortably in a broadcast, partitioned word_idx-join
+    probe beyond that."""
     m = bloom_size_bits(max(n_seen_estimate, 1))
+    if partitioned is None:
+        partitioned = m > BROADCAST_WORDS_MAX_BITS
     words = build_bloom(seen, m, url_col)
-    fresh, maybe = bloom_split(candidates, words, m, url_col)
+    split = bloom_split_partitioned if partitioned else bloom_split
+    fresh, maybe = split(candidates, words, m, url_col)
     checked = maybe.join(seen.select(F.col(url_col)), url_col, "left_anti")
     return fresh.unionByName(checked)

@@ -192,16 +192,20 @@ def simhash(
         docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .filter(F.col("token") != "")
         .withColumn("h", phash(F.col("token")))
+        # repeated tokens vote with their count — collapses the bit
+        # explosion below from n_tokens×bits to distinct_tokens×bits rows
+        .groupBy(id_col, "h")
+        .agg(F.count("*").alias("cnt"))
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     votes = (
-        toks.select(id_col, "h", bit)
+        toks.select(id_col, "h", "cnt", bit)
         .withColumn(
             "vote",
             # F.shiftright needs a literal count — the SQL form takes a column
             F.when(
-                F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+                F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")),
         )
         .groupBy(id_col, "bit")
         .agg(F.sum("vote").alias("v"))
@@ -216,4 +220,64 @@ def simhash(
         )
         .groupBy(id_col)
         .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 60,
+    n_bands: int = 5,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via signature BANDING — the scale
+    path: split each signature into ``n_bands`` contiguous blocks; any
+    pair with hamming ≤ max_hamming differs in at most max_hamming blocks,
+    so with n_bands > max_hamming at least one block is identical
+    (pigeonhole) and the pair surfaces from an equi-join on
+    (band, block_value). Recall is exactly 100% — the output equals the
+    all-pairs filter — with no cross product anywhere. Exact hamming
+    verify after the join. At larger corpora widen the signature (and
+    blocks) to keep block values selective; the plan shape is unchanged.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    assert n_bands > max_hamming, "pigeonhole guarantee needs n_bands > max_hamming"
+    band_structs = []
+    off = 0
+    base, extra = divmod(bits, n_bands)
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        mask = (1 << w) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright({sig_col}, {off}) & {mask}").alias("key"),
+            )
+        )
+        off += w
+    banded = sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sa"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

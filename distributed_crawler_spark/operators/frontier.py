@@ -147,7 +147,16 @@ def schedule_candidates(
     if cfg.use_bloom_prefilter:
         from .bloom import bloom_anti_join
 
-        n_seen = seen.count()
+        # size the filter WITHOUT a full pass over the seen set: the
+        # per-host counts table already carries the cumulative scheduled
+        # total (sum over ~#hosts rows, not 10^10 seen rows)
+        if host_counts is not None:
+            n_seen = (
+                host_counts.agg(F.sum("n_scheduled").alias("n")).collect()[0]["n"]
+                or 1
+            )
+        else:
+            n_seen = seen.count()
         fresh = bloom_anti_join(candidates, seen.select("url"), n_seen)
     else:
         fresh = candidates.join(seen.select("url"), on="url", how="left_anti")

@@ -10,10 +10,13 @@ State layout (append-only — the frontier is NEVER rewritten; at cluster
 scale each directory is an Iceberg table and each round a snapshot):
 
     state_dir/
-      pending/round=R/    (url, host, depth)      cohort to fetch in round R
-      cohort/round=R/     (url, host, depth, status, round)  final statuses
-      extracted/round=R/  parse output
-      lineage/round=R/    (round, partition_id, urls_in, urls_out, bytes, wall_ms)
+      job=J/                (multi-job: state partitioned by job_id —
+                             master_node.py:161-170's (url, job_id) key)
+        pending/round=R/    (url, host, depth, retry_count)
+        cohort/round=R/     (url, host, depth, status, round, retry_count)
+        extracted/round=R/  parse output (incl. parent depth)
+        counts/round=R/     (host, n_scheduled) cumulative first-attempt
+        lineage/round=R/    (round, partition_id, urls_in, urls_out, bytes, wall_ms)
 
 Resume: the max round with a lineage marker is the last committed round;
 restart reads pending/round=R+1 and reconstructs seen/host-counts from
@@ -86,11 +89,16 @@ class CrawlScheduler:
         self.robots = robots
         self.state_dir = state_dir
         self.cfg = cfg or CrawlConfig()
+        # multi-job frontier (master_node.py:161-170 keys the url table on
+        # (url, job_id)): all state is partitioned by job — the Iceberg
+        # partition-column analog — so concurrent jobs in one state_dir
+        # have independent seen-sets, budgets, and rounds
+        self._root = os.path.join(state_dir, f"job={self.cfg.job_id}")
 
     # -- state reconstruction ------------------------------------------
 
     def committed_rounds(self) -> list[int]:
-        d = os.path.join(self.state_dir, LINEAGE)
+        d = os.path.join(self._root, LINEAGE)
         if not os.path.isdir(d):
             return []
         rounds = []
@@ -100,7 +108,7 @@ class CrawlScheduler:
         return sorted(rounds)
 
     def _read(self, table: str, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(_p(self.state_dir, table, rnd))
+        return self.spark.read.parquet(_p(self._root, table, rnd))
 
     def _seen_and_counts(self, upto_round: int, include_pending_round: int | None):
         """seen = every URL ever scheduled (cohorts ≤ upto_round plus the
@@ -122,7 +130,7 @@ class CrawlScheduler:
             seen = seen.unionByName(p)
 
         rnd = include_pending_round
-        counts_path = _p(self.state_dir, COUNTS, rnd)
+        counts_path = _p(self._root, COUNTS, rnd)
         if not _exists(counts_path):
             # only FIRST-attempt rows consume budget: a retried URL was
             # already counted when it was first scheduled
@@ -132,7 +140,7 @@ class CrawlScheduler:
                 .groupBy("host")
                 .agg(F.count("*").alias("n_scheduled"))
             )
-            if rnd > 0 and _exists(_p(self.state_dir, COUNTS, rnd - 1)):
+            if rnd > 0 and _exists(_p(self._root, COUNTS, rnd - 1)):
                 prior = self._read(COUNTS, rnd - 1)
                 new = (
                     prior.unionByName(new)
@@ -166,15 +174,17 @@ class CrawlScheduler:
         if not resume:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")
-            if os.path.isdir(self.state_dir):
-                shutil.rmtree(self.state_dir)
+            # wipe only THIS job's subtree — other jobs sharing the
+            # state_dir must be untouched
+            if os.path.isdir(self._root):
+                shutil.rmtree(self._root)
             pending0 = seed_frontier(self.spark, seeds, self.robots, cfg)
-            pending0.write.mode("overwrite").parquet(_p(self.state_dir, PENDING, 0))
+            pending0.write.mode("overwrite").parquet(_p(self._root, PENDING, 0))
             start_round = 0
         else:
             last = committed[-1]
             start_round = last + 1
-            pend_path = _p(self.state_dir, PENDING, start_round)
+            pend_path = _p(self._root, PENDING, start_round)
             if not _exists(pend_path) or (
                 self.spark.read.parquet(pend_path).limit(1).count() == 0
             ):
@@ -186,12 +196,12 @@ class CrawlScheduler:
         # ORIGINAL depth — crawler_node.py re-queues the same task), so the
         # hard bound is max_depth + max_retries
         while rnd <= cfg.max_depth + cfg.max_retries and _exists(
-            _p(self.state_dir, PENDING, rnd)
+            _p(self._root, PENDING, rnd)
         ):
             self._run_round(rnd)
             if stop_after_round is not None and rnd >= stop_after_round:
                 break
-            nxt = _p(self.state_dir, PENDING, rnd + 1)
+            nxt = _p(self._root, PENDING, rnd + 1)
             if not _exists(nxt):
                 break
             # empty next cohort ⇒ done
@@ -209,8 +219,8 @@ class CrawlScheduler:
         cohort, extracted, fetched = fetch_extract(
             pending, self.pages, rnd, cfg.flaky_mod
         )
-        extracted.write.mode("overwrite").parquet(_p(self.state_dir, EXTRACTED, rnd))
-        cohort.write.mode("overwrite").parquet(_p(self.state_dir, COHORT, rnd))
+        extracted.write.mode("overwrite").parquet(_p(self._root, EXTRACTED, rnd))
+        cohort.write.mode("overwrite").parquet(_p(self._root, COHORT, rnd))
         # pending_{r+1} is ALWAYS written (even past the last processable
         # round): unprocessed candidates/retries must surface as
         # status='pending' frontier rows, not silently vanish.
@@ -238,7 +248,7 @@ class CrawlScheduler:
             )
         )
         next_pending.unionByName(retries).write.mode("overwrite").parquet(
-            _p(self.state_dir, PENDING, rnd + 1)
+            _p(self._root, PENDING, rnd + 1)
         )
 
         # lineage: per-partition input/output/byte counts; committing this
@@ -264,7 +274,7 @@ class CrawlScheduler:
                 F.lit(wall_ms).alias("wall_ms"),
             )
         )
-        lineage.write.mode("overwrite").parquet(_p(self.state_dir, LINEAGE, rnd))
+        lineage.write.mode("overwrite").parquet(_p(self._root, LINEAGE, rnd))
 
     def resend_failed(self) -> int:
         """Admin 'resend_urls' command (master_node.py:994-1062
@@ -297,7 +307,7 @@ class CrawlScheduler:
         n = failed.count()
         if n == 0:
             return 0
-        pend_path = _p(self.state_dir, PENDING, nxt)
+        pend_path = _p(self._root, PENDING, nxt)
         if _exists(pend_path):
             merge_upsert(self.spark, pend_path, failed, key="url")
         else:
@@ -320,7 +330,7 @@ class CrawlScheduler:
             for r in committed
         ]
         nxt = (committed[-1] + 1) if committed else 0
-        if _exists(_p(self.state_dir, PENDING, nxt)):
+        if _exists(_p(self._root, PENDING, nxt)):
             parts.append(
                 with_retry_count(self._read(PENDING, nxt)).select(
                     "url", "host", "depth",
@@ -334,7 +344,7 @@ class CrawlScheduler:
             return self.spark.createDataFrame(
                 [],
                 "url STRING, host STRING, depth INT, status STRING, "
-                "round INT, retry_count INT",
+                "round INT, retry_count INT, job_id STRING",
             )
         df = parts[0]
         for p in parts[1:]:
@@ -347,7 +357,10 @@ class CrawlScheduler:
             F.max_by("status", F.col("round")).alias("status"),
             F.min("round").alias("round"),
             F.max("retry_count").alias("retry_count"),
-        ).select("url", "host", "depth", "status", "round", "retry_count")
+        ).select(
+            "url", "host", "depth", "status", "round", "retry_count",
+            F.lit(self.cfg.job_id).alias("job_id"),
+        )
 
     def crawl_order(self) -> DataFrame:
         """Canonical crawl order: (seq, round, url) ordered by

@@ -51,13 +51,46 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc, dl) document lengths in tokens."""
-    return (
-        tokenize(docs.select(id_col, text_col), text_col)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("dl"))
+def stemmed_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, token) through the reference indexer's full analyzer
+    (indexer_node.py:75-94: lower → alnum tokenize → stopword filter →
+    Porter stem) — what the Whoosh index actually stores, so a query for
+    'running' matches a doc containing 'run'. One Arrow-vectorized UDF
+    (asNondeterministic: pure, but Catalyst must not duplicate it when
+    the array feeds explode alongside the id column)."""
+    from ..functions.text import process_text_udf
+
+    stem = process_text_udf.asNondeterministic()
+    return docs.select(
+        F.col(id_col), F.explode(stem(F.col(text_col))).alias("token")
     )
+
+
+def build_postings_stemmed(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf) over STEMMED terms — the parity twin of the
+    reference's NLTK-processed Whoosh index (indexer_node.py:75-94,216)."""
+    return (
+        stemmed_tokens(docs, id_col, text_col)
+        .groupBy(id_col, F.col("token").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stemmed: bool = False,
+) -> DataFrame:
+    """(doc, dl) document lengths in (analyzed) tokens."""
+    toks = (
+        stemmed_tokens(docs.select(id_col, text_col), id_col, text_col)
+        if stemmed
+        else tokenize(docs.select(id_col, text_col), text_col)
+    )
+    return toks.groupBy(id_col).agg(F.count("*").alias("dl"))
 
 
 def tf_scores(
@@ -79,6 +112,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     topk: int = 10,
+    stemmed: bool = False,
 ) -> DataFrame:
     """Classic BM25 over the postings table, fully declarative:
 
@@ -86,9 +120,14 @@ def bm25_scores(
 
     idf/df/avgdl are tiny aggregates (broadcast side); the only big join
     keys on the postings of the query terms (pre-filtered scan).
+    With ``stemmed``, postings and dl use the reference's NLTK-analyzer
+    twin (pass query_terms already stemmed, e.g. via process_text_py).
     """
-    postings = build_postings(docs, id_col, text_col)
-    stats = doc_stats(docs, id_col, text_col)
+    if stemmed:
+        postings = build_postings_stemmed(docs, id_col, text_col)
+    else:
+        postings = build_postings(docs, id_col, text_col)
+    stats = doc_stats(docs, id_col, text_col, stemmed=stemmed)
     n_docs = docs.agg(F.count("*").alias("n"))
     qp = postings.filter(F.col("term").isin(query_terms))
     df_t = qp.groupBy("term").agg(F.count("*").alias("df"))

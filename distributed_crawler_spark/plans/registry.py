@@ -352,6 +352,34 @@ def q_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.tf_scores(postings, _QTERMS)
 
 
+@q("search_tf_stemmed", None)
+def q_search_tf_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF scoring over STEMMED postings — the reference indexes
+    NLTK-processed text (indexer_node.py:75-94,216), so a query for
+    'running' matches a doc containing 'run'. Porter isn't
+    SQL-expressible → rows-only driver check; engine ≡ independent
+    Python reference in tests/test_text_pipeline.py (bm25f pattern)."""
+    from ..functions.text import process_text_py
+
+    docs = _read(spark, sf_dir, "documents")
+    postings = search.build_postings_stemmed(docs)
+    return search.tf_scores(postings, process_text_py("running sparks windows joins"))
+
+
+@q("search_bm25_stemmed", None)
+def q_search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over stemmed postings + stemmed dl (the Whoosh-index parity
+    path; query preprocessed by the same analyzer, search.py:47-83
+    preprocess_query analog). Rows-only driver check; python-reference
+    parity in tests/test_text_pipeline.py."""
+    from ..functions.text import process_text_py
+
+    docs = _read(spark, sf_dir, "documents")
+    return search.bm25_scores(
+        docs, process_text_py("running sparks windows joins"), stemmed=True
+    )
+
+
 @q(
     "search_bm25",
     f"""
@@ -783,6 +811,35 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes reproduced bit-for-bit by the oracle)."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return similarity.lsh_bucket_ids(emb, planes=8, dim=64)
+
+
+@q(
+    "embedding_neardup_lsh",
+    "WITH b AS (SELECT vec_id, ("
+    + " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(p)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(8)
+    )
+    + """)::BIGINT AS bucket FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT DISTINCT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+""",
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at SCALE: LSH-bucket candidate generation
+    (equi-join on bucket, no cross product) + exact cosine re-rank —
+    the registered form of operators/similarity.py lsh_neardup_pairs;
+    the oracle reproduces the hyperplanes and bucketing bit-for-bit."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.35, planes=8, dim=64)
 
 
 # ---- text analysis ------------------------------------------------------
@@ -1281,17 +1338,18 @@ def q_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_waves(budgeted, concurrent_per_host=2)
 
 
-_SIMHASH_CTE = f"""
+_SIMHASH60_CTE = f"""
 tk AS (
   SELECT doc_id, t.term FROM documents,
          LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
-  WHERE doc_id < 50 AND t.term <> ''
+  WHERE t.term <> ''
 ),
-th AS (SELECT doc_id, term, {phash_sql('term')} AS h FROM tk),
-bits AS (SELECT unnest(range(0, 16)) AS bit),
+th AS (SELECT doc_id, {phash_sql('term')} AS h, count(*) AS cnt
+       FROM tk GROUP BY doc_id, h),
+bits AS (SELECT unnest(range(0, 60)) AS bit),
 votes AS (
   SELECT doc_id, bit,
-         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
   FROM th, bits GROUP BY doc_id, bit
 ),
 sigs AS (
@@ -1305,7 +1363,7 @@ sigs AS (
 @q(
     "simhash_neardup",
     f"""
-WITH {_SIMHASH_CTE.strip()}
+WITH {_SIMHASH60_CTE.strip()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -1313,26 +1371,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 """,
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: hamming distance ≤ 4 over 16-bit
-    signatures. At scale, candidate pairs come from banding the signature
-    bits (same LSH trick as minhash) instead of the pairwise join used
-    here on the capped id range."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    sigs = dedup.simhash(docs, bits=16)
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("sa").bitwiseXOR(F.col("sb"))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= 4)
-        .select("id_a", "id_b", "hamming")
-    )
+    """SimHash near-duplicate pairs over the FULL corpus: hamming ≤ 4 on
+    60-bit signatures, candidates from signature BANDING (5 blocks > 4
+    max-hamming ⇒ pigeonhole-exact recall, equi-join on block value — no
+    cross product anywhere; the oracle's all-pairs form is the spec, the
+    engine's banded plan produces the identical set)."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs, bits=60)
+    return dedup.simhash_band_pairs(sigs, bits=60, n_bands=5, max_hamming=4)
 
 
 @q(

@@ -77,3 +77,46 @@ def test_crawl_with_bloom_prefilter_matches_plain(spark, corpus_dir):
             (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
         }
     assert results[True] == results[False]
+
+
+def test_partitioned_probe_equals_broadcast_probe(spark):
+    """The word_idx-join probe (words never broadcast) must produce the
+    exact same anti-join result as the broadcast probe and the plain
+    anti-join."""
+    seen, cand = _sets(spark)
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    got = {
+        r["url"]
+        for r in bloom_anti_join(cand, seen, 5000, partitioned=True).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_probe_never_broadcasts_words(spark):
+    """Plan assertion: in partitioned mode the words-table probe join is a
+    shuffle join — no BroadcastHashJoin / BroadcastExchange anywhere in
+    the probe subplan (at 10^10 keys the words table is ~1.9 GB)."""
+    from distributed_crawler_spark.operators.bloom import (
+        _probe_maybe_urls,
+        bloom_split_partitioned,
+    )
+
+    seen, cand = _sets(spark)
+    m = bloom_size_bits(5000)
+    words = build_bloom(seen, m)
+    probe_plan = (
+        _probe_maybe_urls(cand, words, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in probe_plan
+    assert "BroadcastExchange" not in probe_plan
+    assert "ShuffledHashJoin" in probe_plan
+
+    fresh, maybe = bloom_split_partitioned(cand, words, m)
+    fresh_set = {r["url"] for r in fresh.collect()}
+    seen_set = {r["url"] for r in seen.collect()}
+    assert not (fresh_set & seen_set)          # no false negatives
+    maybe_set = {r["url"] for r in maybe.collect()}
+    assert seen_set & {r["url"] for r in cand.collect()} <= maybe_set

@@ -138,7 +138,7 @@ def test_resume_after_torn_round(spark, corpus_dir, engine):
     sched = CrawlScheduler(spark, pages, robots, state, cfg)
     sched.run(seeds=seeds, stop_after_round=1)
     # tear round 1: cohort/extracted/pending(2) exist, lineage removed
-    shutil.rmtree(os.path.join(state, "lineage", "round=1"))
+    shutil.rmtree(os.path.join(state, f"job={cfg.job_id}", "lineage", "round=1"))
     assert sched.committed_rounds() == [0]
 
     resumed = CrawlScheduler(spark, pages, robots, state, cfg)
@@ -279,3 +279,42 @@ def test_resend_failed_after_retry_budget_bump(spark, corpus_dir):
     assert still_failed & flaky_failed == {
         u for u in flaky_failed if u not in pages_d
     }
+
+
+def test_two_jobs_share_state_dir_without_collision(spark, corpus_dir):
+    """Two crawls with different job_ids in ONE state_dir: each job's
+    frontier/dedup/budget is independent (master_node.py:161-170 keys the
+    url table on (url, job_id)), and each equals the same crawl run alone
+    in its own state_dir."""
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    shared = "/tmp/dcs_state_multijob"
+    shutil.rmtree(shared, ignore_errors=True)
+    cfg_a = CrawlConfig(max_depth=1, max_urls_per_domain=BUDGET, job_id="job-A")
+    cfg_b = CrawlConfig(max_depth=2, max_urls_per_domain=3, job_id="job-B")
+
+    # interleave: A runs, then B runs in the same dir, then A resumes —
+    # B must neither see A's URLs as duplicates nor consume A's budget
+    sa = CrawlScheduler(spark, pages, robots, shared, cfg_a)
+    sa.run(seeds=seeds, stop_after_round=0)
+    sb = CrawlScheduler(spark, pages, robots, shared, cfg_b)
+    sb.run(seeds=seeds)
+    sa.run(resume=True)
+
+    def rows(s):
+        return {
+            (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
+        }
+
+    for cfg, got in ((cfg_a, rows(sa)), (cfg_b, rows(sb))):
+        solo_state = f"/tmp/dcs_state_solo_{cfg.job_id}"
+        shutil.rmtree(solo_state, ignore_errors=True)
+        solo = CrawlScheduler(spark, pages, robots, solo_state, cfg)
+        solo.run(seeds=seeds)
+        assert got == rows(solo), cfg.job_id
+
+    # and the frontier rows carry their job_id
+    assert {r["job_id"] for r in sa.frontier().collect()} == {"job-A"}
+    assert {r["job_id"] for r in sb.frontier().collect()} == {"job-B"}

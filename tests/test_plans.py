@@ -136,12 +136,13 @@ def test_sql_surface_equivalence(spark, sf_dir):
 # queries whose semantics are intentionally pairwise/cross:
 _CARTESIAN_OK = {
     "ann_cosine_topk",      # query-vector broadcast literal
-    "embedding_neardup",    # exact pairwise baseline (capped id range)
-    "simhash_neardup",      # exact pairwise baseline (capped id range)
+    "embedding_neardup",    # exact pairwise baseline (capped id range);
+                            # scale path is embedding_neardup_lsh (checked)
     "crawl_rate",           # 1-row anchor crossJoin
     "time_range_filter",    # 1-row anchor crossJoin
     "freshness_boost",      # 1-row anchor crossJoin
     "search_bm25",          # 1-row avgdl/n crossJoins
+    "search_bm25_stemmed",  # same 1-row avgdl/n crossJoins
     "search_bm25f",         # 1-row avgdl/n crossJoins per field
     "unigram_logprob",      # 1-row total crossJoin
     "ann_ivf_topk",

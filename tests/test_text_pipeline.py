@@ -284,3 +284,96 @@ def test_bm25f_matches_python_reference(spark, sf_dir):
         ).collect()
     ]
     assert got == want_top
+
+
+def test_stemmed_search_matches_python_reference(spark, sf_dir):
+    """Stemmed TF + BM25 vs an independent row-at-a-time computation with
+    Counter over process_text_py tokens — the same analyzer the reference
+    indexer runs (indexer_node.py:75-94)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.functions.text import process_text_py
+    from distributed_crawler_spark.operators.search import (
+        B,
+        K1,
+        bm25_scores,
+        build_postings_stemmed,
+        tf_scores,
+    )
+
+    terms = process_text_py("running sparks windows joins")
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' WHERE doc_id < 80"
+    ).fetchall()
+    con.close()
+
+    toks = {d: process_text_py(t) for d, t in docs}
+    counters = {d: Counter(tk) for d, tk in toks.items()}
+
+    # TF reference
+    want_tf = sorted(
+        (
+            (-sum(c[t] for t in terms), d)
+            for d, c in counters.items()
+            if any(c[t] for t in terms)
+        ),
+    )[:10]
+    want_tf = [(d, -neg) for neg, d in want_tf]
+
+    sdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 80
+    )
+    got_tf = [
+        (r["doc_id"], r["score"])
+        for r in tf_scores(build_postings_stemmed(sdocs), terms).collect()
+    ]
+    assert got_tf == want_tf
+
+    # BM25 reference
+    n = len(docs)
+    avgdl = sum(len(tk) for tk in toks.values()) / n
+    df_t = {t: sum(1 for c in counters.values() if c[t]) for t in terms}
+    want = {}
+    for d, c in counters.items():
+        dl = len(toks[d])
+        s = 0.0
+        for t in terms:
+            if not c[t] or not df_t[t]:
+                continue
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * c[t] * (K1 + 1) / (c[t] + K1 * (1 - B + B * dl / avgdl))
+        if s > 0:
+            want[d] = round(s, 4)
+    want_bm25 = sorted(((s, d) for d, s in want.items()), key=lambda x: (-x[0], x[1]))[:10]
+    want_bm25 = [(d, s) for s, d in want_bm25]
+
+    got_bm25 = [
+        (r["doc_id"], r["score"])
+        for r in bm25_scores(sdocs, terms, stemmed=True).collect()
+    ]
+    assert got_bm25 == want_bm25
+
+
+def test_stemmed_query_matches_unstemmed_doc(spark):
+    """'running' must match a doc containing only 'run' (VERDICT missing
+    #4: the reference's Whoosh index stores stemmed terms)."""
+    from distributed_crawler_spark.functions.text import process_text_py
+    from distributed_crawler_spark.operators.search import (
+        build_postings_stemmed,
+        tf_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "we run fast"), (1, "nothing relevant here")],
+        ["doc_id", "text"],
+    )
+    terms = process_text_py("running")
+    assert terms == ["run"]
+    got = tf_scores(build_postings_stemmed(docs), terms).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(0, 1)]
