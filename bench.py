@@ -42,8 +42,13 @@ HEADLINE = [
     "latest_heartbeat",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup",
     "ngram_jaccard",
+    "embedding_neardup_lsh",
+    "search_bm25_stemmed",
+    "retry_cohort",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "token_count",

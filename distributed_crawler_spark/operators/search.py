@@ -32,6 +32,10 @@ K1 = 1.2
 B = 0.75
 SCORE_DECIMALS = 4
 
+# persisted stemmed-postings of the most recent bm25 call (dropped on the
+# next call — keeps repeated queries from accumulating storage)
+_BM25_LIVE_CACHES: list[DataFrame] = []
+
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokenization (portable to the SQL oracle; the NLTK
@@ -121,13 +125,22 @@ def bm25_scores(
     idf/df/avgdl are tiny aggregates (broadcast side); the only big join
     keys on the postings of the query terms (pre-filtered scan).
     With ``stemmed``, postings and dl use the reference's NLTK-analyzer
-    twin (pass query_terms already stemmed, e.g. via process_text_py).
+    twin (pass query_terms already stemmed, e.g. via process_text_py);
+    the stemmed postings are persisted for the plan's lifetime so the
+    Porter UDF runs ONE pass (stats/df/avgdl all derive from it), with
+    the previous invocation's cache dropped on entry.
     """
     if stemmed:
-        postings = build_postings_stemmed(docs, id_col, text_col)
+        for df in _BM25_LIVE_CACHES:
+            df.unpersist()
+        _BM25_LIVE_CACHES.clear()
+        postings = build_postings_stemmed(docs, id_col, text_col).persist()
+        _BM25_LIVE_CACHES.append(postings)
     else:
         postings = build_postings(docs, id_col, text_col)
-    stats = doc_stats(docs, id_col, text_col, stemmed=stemmed)
+    # dl = Σ tf over the doc's terms — identical to a separate token-count
+    # pass but reuses the postings (zero-token docs are absent from both)
+    stats = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     n_docs = docs.agg(F.count("*").alias("n"))
     qp = postings.filter(F.col("term").isin(query_terms))
     df_t = qp.groupBy("term").agg(F.count("*").alias("df"))

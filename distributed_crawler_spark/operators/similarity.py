@@ -102,22 +102,27 @@ def lsh_bucket_ids(
     """Sign-random-projection LSH: bucket = bits of sign(v · h_p) for
     deterministic pseudo-random hyperplanes
     h_p[j] = ((phash('p,j') % 2001) - 1000) / 1000 — reproducible in SQL.
-    Returns (id, bucket)."""
-    from ..functions.hashing import phash
+    Returns (id, bucket).
+
+    The plane components are CONSTANTS, so they are computed once on the
+    driver (hashlib md5 — bit-identical to functions/hashing.py:phash =
+    conv(substr(md5(s),1,15),16,10), which the passing ann_lsh_buckets
+    oracle verifies) and embedded as literals: the earlier per-row
+    F.transform(phash(...)) recomputed planes×dim md5 hashes PER ROW —
+    512 md5/row, the whole cost of the query at sf0.1."""
+    import hashlib
+
+    def _phash_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        # plane component for dim j, same formula the oracle uses
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(
-                    phash(F.concat(F.lit(f"{p},"), j.cast("string"))), F.lit(2001)
-                )
-                - 1000
-            ).cast("double")
-            / 1000.0,
+        comps = F.array(
+            *[
+                F.lit((_phash_py(f"{p},{j}") % 2001 - 1000) / 1000.0)
+                for j in range(dim)
+            ]
         )
         proj = F.aggregate(
             F.zip_with(vec, comps, lambda x, y: x * y),

@@ -1,0 +1,93 @@
+"""Deletable (cuckoo-role) URL-seen filter: anti-join equivalence, exact
+delete ≡ rebuild, and the no-false-negative prefilter invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.operators.cuckoo import (
+    build_filter,
+    cuckoo_anti_join,
+    delete_keys,
+    filter_size_buckets,
+    filter_split,
+)
+
+
+def _sets(spark, n_seen=4000, n_cand=6000, overlap=1500):
+    seen = spark.range(n_seen).select(
+        F.concat(F.lit("https://h.com/s/"), F.col("id")).alias("url")
+    )
+    cand = spark.range(n_cand).select(
+        F.when(
+            F.col("id") < overlap,
+            F.concat(F.lit("https://h.com/s/"), F.col("id")),
+        )
+        .otherwise(F.concat(F.lit("https://h.com/c/"), F.col("id")))
+        .alias("url")
+    )
+    return seen, cand
+
+
+def test_cuckoo_anti_join_equals_plain_anti_join(spark):
+    seen, cand = _sets(spark)
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    got = {r["url"] for r in cuckoo_anti_join(cand, seen, 4000).collect()}
+    assert got == want
+
+
+def test_delete_equals_rebuild_exactly(spark):
+    """delete(build(S), D) must be the byte-identical cell table that
+    build(S ∖ D) produces — the counting-cell guarantee that makes
+    retiring frontier rows safe."""
+    seen, _ = _sets(spark)
+    retired = seen.filter(F.expr("url like '%/s/1%'"))
+    survivors = seen.join(retired, "url", "left_anti")
+    m = filter_size_buckets(4000)
+
+    after_delete = {
+        (r["bucket"], r["fp"], r["cnt"])
+        for r in delete_keys(build_filter(seen, m), retired, m).collect()
+    }
+    rebuilt = {
+        (r["bucket"], r["fp"], r["cnt"])
+        for r in build_filter(survivors, m).collect()
+    }
+    assert after_delete == rebuilt
+
+
+def test_delete_then_probe_no_false_negatives_and_equivalent(spark):
+    """After retiring keys, surviving seen keys must still probe
+    maybe-seen (no false negatives), and the full anti-join with the
+    deleted filter still equals the exact anti-join vs survivors."""
+    seen, cand = _sets(spark)
+    retired = seen.filter(F.expr("url like '%/s/2%'"))
+    survivors = seen.join(retired, "url", "left_anti")
+    m = filter_size_buckets(4000)
+
+    filt = delete_keys(build_filter(seen, m), retired, m)
+    fresh, maybe = filter_split(cand, filt, m)
+    fresh_set = {r["url"] for r in fresh.collect()}
+    surv_set = {r["url"] for r in survivors.collect()}
+    assert not (fresh_set & surv_set)  # survivors never leak to fresh
+    maybe_set = {r["url"] for r in maybe.collect()}
+    cand_set = {r["url"] for r in cand.collect()}
+    assert surv_set & cand_set <= maybe_set
+
+    want = {r["url"] for r in cand.join(survivors, "url", "left_anti").collect()}
+    got = {
+        r["url"]
+        for r in cuckoo_anti_join(cand, survivors, 4000, deleted=retired).collect()
+    }
+    assert got == want
+
+
+def test_probe_plan_never_broadcasts_filter(spark):
+    """Partitioned-probe layout: the filter side of the (bucket, fp) join
+    is a shuffle join, mirroring bloom_split_partitioned."""
+    seen, cand = _sets(spark)
+    m = filter_size_buckets(4000)
+    fresh, _ = filter_split(cand, build_filter(seen, m), m)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastExchange" not in plan
