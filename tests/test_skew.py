@@ -155,3 +155,44 @@ def test_lsh_neardup_pairs_subset_of_exact(spark, sf_dir):
     }
     # every LSH-found pair is exactly re-ranked → must be a true pair
     assert lsh <= exact
+
+
+def test_ivf_bucketed_index_prunes_partitions(spark, sf_dir):
+    """The centroid-partitioned IVF index: probing n_probe lists reads
+    ONLY those partitions (PartitionFilters on centroid in the scan) and
+    returns the same top-k as the in-memory ivf_search."""
+    import shutil
+
+    from distributed_crawler_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        ivf_search_pruned,
+        ivf_write_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = ivf_index(others, n_centroids=8, seed=42)
+
+    idx_dir = "/tmp/dcs_ivf_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ivf_write_bucketed(others, assigned, idx_dir)
+
+    pruned = ivf_search_pruned(
+        spark, idx_dir, centroids, qvec, n_probe=3, k=10
+    )
+    want = [
+        (r["vec_id"], r["score"])
+        for r in ivf_search(others, assigned, centroids, qvec, n_probe=3, k=10).collect()
+    ]
+    got = [(r["vec_id"], r["score"]) for r in pruned.collect()]
+    assert got == want
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    # the non-probed lists' directories are never touched
+    import os
+
+    n_dirs = len([d for d in os.listdir(idx_dir) if d.startswith("centroid=")])
+    assert n_dirs == 8  # all lists exist on disk; the scan reads only 3
