@@ -72,11 +72,39 @@ def _resend(args) -> None:
     print(json.dumps(summary))
 
 
-def _search(args) -> None:
+def _index(args) -> None:
+    """Build the persistent stemmed index snapshot from a crawl's
+    extracted pages (the indexer-node role, indexer_node.py:181-225)."""
     from .operators import search
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
+    docs = spark.read.parquet(
+        f"{args.state}/job={args.job_id}/extracted/round=*"
+    ).select(F.col("url").alias("doc_id"), F.col("text"))
+    out = search.write_index_snapshot(docs, args.out)
+    print(json.dumps({"index": out}))
+
+
+def _search(args) -> None:
+    from .operators import search
+    from .session import get_spark
+
+    if not args.index and not args.state:
+        raise SystemExit("search requires --state or --index")
+    spark = get_spark(cores=args.cores)
+    if args.index:
+        # query the persisted index (stemmed terms, zero query-time Python)
+        from .functions.text import process_text_py
+
+        terms = process_text_py(args.query)
+        if args.mode == "bm25":
+            out = search.bm25_from_index(spark, args.index, terms, topk=args.topk)
+        else:
+            out = search.tf_from_index(spark, args.index, terms, topk=args.topk)
+        for row in out.collect():
+            print(json.dumps(row.asDict()))
+        return
     sched_extracted = spark.read.parquet(
         f"{args.state}/job={args.job_id}/extracted/round=*"
     )
@@ -171,9 +199,18 @@ def main(argv: list[str] | None = None) -> None:
     rs.add_argument("--max-retries", type=int, default=3)
     rs.set_defaults(fn=_resend)
 
+    ix = sub.add_parser(
+        "index", help="build the persistent stemmed index (indexer_node analog)"
+    )
+    ix.add_argument("--state", required=True)
+    ix.add_argument("--out", required=True)
+    ix.set_defaults(fn=_index)
+
     s = sub.add_parser("search", help="search extracted docs (search.py analog)")
     s.add_argument("query")
-    s.add_argument("--state", required=True)
+    s.add_argument("--state", default=None)
+    s.add_argument("--index", default=None,
+                   help="query a persisted index snapshot instead of rebuilding")
     s.add_argument("--mode", choices=["bm25", "tf", "substring"], default="bm25")
     s.add_argument("--topk", type=int, default=10)
     s.add_argument("--enrich", action="store_true",

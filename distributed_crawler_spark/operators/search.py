@@ -457,3 +457,101 @@ def bm25f_scores(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+# ---- persistent index snapshot (the Whoosh on-disk index analog) ---------
+
+def write_index_snapshot(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 16,
+) -> str:
+    """indexer_node.py:181-225 analog: persist the STEMMED inverted index
+    once per corpus snapshot — postings (doc, term, tf) range-partitioned
+    and sorted BY TERM (parquet row-group min/max stats make a
+    ``term IN (...)`` query skip everything else), doc lengths, and the
+    corpus constants (n_docs, avgdl) in meta.json. Queries then run
+    against the index with ZERO per-query Python (the Porter pass happens
+    here, once — exactly the reference's indexer-node/search split)."""
+    import json
+    import os
+
+    postings = build_postings_stemmed(docs, id_col, text_col).persist()
+    (
+        postings.repartitionByRange(buckets, F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    stats = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+    n_docs = stats.count()
+    avgdl = stats.agg(F.avg("dl").alias("a")).collect()[0]["a"] or 0.0
+    postings.unpersist()
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl, "id_col": id_col}, f)
+    return index_dir
+
+
+def _read_index(spark, index_dir: str):
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    stats = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    return postings, stats, meta
+
+
+def tf_from_index(
+    spark, index_dir: str, query_terms: list[str], topk: int = 10
+) -> DataFrame:
+    """TF scoring against the persisted index: the term filter reaches the
+    parquet scan (row-group skip), no tokenization at query time."""
+    postings, _, meta = _read_index(spark, index_dir)
+    return tf_scores(postings, query_terms, meta["id_col"], topk)
+
+
+def bm25_from_index(
+    spark, index_dir: str, query_terms: list[str], topk: int = 10
+) -> DataFrame:
+    """BM25 against the persisted index. n/avgdl come from meta.json as
+    LITERALS — the per-query 1-row crossJoins of the build-on-the-fly
+    path disappear; the only joins are the query-term postings (pushed
+    scan) × broadcast idf × docstats."""
+    postings, stats, meta = _read_index(spark, index_dir)
+    id_col = meta["id_col"]
+    n, avgdl = float(meta["n_docs"]), float(meta["avgdl"]) or 1.0
+
+    qp = postings.filter(F.col("term").isin(query_terms))
+    idf = (
+        qp.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("term", "idf")
+    )
+    scored = (
+        qp.join(F.broadcast(idf), "term")
+        .join(stats, id_col)
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)

@@ -42,3 +42,16 @@ def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
     stats = json.loads(out[-1])
     assert stats["urls_total"] == summary["total_scheduled"]
     assert "by_status" in stats
+
+    # index snapshot + search against it (indexer_node analog)
+    idx = "/tmp/dcs_cli_test_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    out = _run(capsys, ["--cores", "8", "index", "--state", state, "--out", idx])
+    assert json.loads(out[-1])["index"] == idx
+    out = _run(capsys, [
+        "--cores", "8", "search", "running pages", "--index", idx,
+        "--mode", "bm25", "--topk", "3",
+    ])
+    hits = [json.loads(l) for l in out]
+    assert len(hits) <= 3
+    assert all("score" in h for h in hits)

@@ -377,3 +377,52 @@ def test_stemmed_query_matches_unstemmed_doc(spark):
     assert terms == ["run"]
     got = tf_scores(build_postings_stemmed(docs), terms).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == [(0, 1)]
+
+
+def test_index_snapshot_matches_on_the_fly_search(spark, sf_dir):
+    """The persisted index (indexer_node.py:181-225 analog) must return
+    the same TF and BM25 rankings as the build-per-query path, and the
+    query-term filter must reach the postings parquet scan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.functions.text import process_text_py
+    from distributed_crawler_spark.operators.search import (
+        bm25_from_index,
+        bm25_scores,
+        build_postings_stemmed,
+        tf_from_index,
+        tf_scores,
+        write_index_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    idx = "/tmp/dcs_index_snapshot"
+    shutil.rmtree(idx, ignore_errors=True)
+    write_index_snapshot(docs, idx)
+
+    terms = process_text_py("running sparks windows joins")
+
+    want_tf = [
+        (r["doc_id"], r["score"])
+        for r in tf_scores(build_postings_stemmed(docs), terms).collect()
+    ]
+    got_tf = [
+        (r["doc_id"], r["score"]) for r in tf_from_index(spark, idx, terms).collect()
+    ]
+    assert got_tf == want_tf
+
+    want_bm = [
+        (r["doc_id"], r["score"])
+        for r in bm25_scores(docs, terms, stemmed=True).collect()
+    ]
+    got_q = bm25_from_index(spark, idx, terms)
+    got_bm = [(r["doc_id"], r["score"]) for r in got_q.collect()]
+    assert got_bm == want_bm
+
+    # the term IN (...) predicate is pushed into the postings scan
+    plan = got_q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
