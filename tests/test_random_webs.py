@@ -60,6 +60,37 @@ def test_random_web_parity(spark, seed):
     order, frontier, extracted, _ = simulate(
         pages, robots, seeds, max_depth=depth, max_urls_per_domain=budget
     )
+    _assert_engine_matches(
+        spark, seed, pages, robots, seeds, budget, depth,
+        order, frontier, extracted,
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 59, 103])
+def test_random_web_parity_with_flaky_retries(spark, seed):
+    """Same randomized parity with transient fetch failures and a random
+    retry budget — the retry/re-feed machinery must agree with the
+    row-at-a-time oracle on arbitrary graphs, not just the fixed corpus."""
+    rng = random.Random(seed * 7919)
+    pages, robots, seeds, budget, depth = _random_web(seed)
+    max_retries = rng.choice([0, 1, 2, 3])
+    flaky_mod = rng.choice([2, 3, 4])
+
+    order, frontier, extracted, _ = simulate(
+        pages, robots, seeds, max_depth=depth, max_urls_per_domain=budget,
+        max_retries=max_retries, flaky_mod=flaky_mod,
+    )
+    _assert_engine_matches(
+        spark, f"flaky{seed}", pages, robots, seeds, budget, depth,
+        order, frontier, extracted,
+        max_retries=max_retries, flaky_mod=flaky_mod,
+    )
+
+
+def _assert_engine_matches(
+    spark, tag, pages, robots, seeds, budget, depth,
+    order, frontier, extracted, max_retries=3, flaky_mod=0,
+):
 
     pages_df = spark.createDataFrame(
         [(u, b) for u, b in pages.items()], ["url", "html"]
@@ -70,9 +101,12 @@ def test_random_web_parity(spark, seed):
     )
     seeds_df = spark.createDataFrame([(u,) for u in seeds], ["url"])
 
-    state = f"/tmp/dcs_randweb_{seed}"
+    state = f"/tmp/dcs_randweb_{tag}"
     shutil.rmtree(state, ignore_errors=True)
-    cfg = CrawlConfig(max_depth=depth, max_urls_per_domain=budget)
+    cfg = CrawlConfig(
+        max_depth=depth, max_urls_per_domain=budget,
+        max_retries=max_retries, flaky_mod=flaky_mod,
+    )
     sched = CrawlScheduler(spark, pages_df, robots_df, state, cfg)
     sched.run(seeds=seeds_df)
 
