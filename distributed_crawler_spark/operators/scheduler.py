@@ -365,15 +365,37 @@ class CrawlScheduler:
     def crawl_order(self) -> DataFrame:
         """Canonical crawl order: (seq, round, url) ordered by
         (round, url) over scheduled URLs — the defined total order the
-        reference's emergent BFS converges to (SURVEY.md §7.4.1)."""
+        reference's emergent BFS converges to (SURVEY.md §7.4.1).
+
+        Scale shape: a bare ``Window.orderBy`` would pull the whole
+        frontier into ONE partition; instead the frontier is
+        range-partitioned on the order key, numbered per partition, and
+        offset by the exclusive prefix sum of partition counts (the
+        partition-count table is #partitions rows — driver-trivial)."""
         from pyspark.sql import Window
 
-        w = Window.orderBy("round", "url")
-        return (
+        base = (
             self.frontier()
             .select("round", "url")
-            .withColumn("seq", F.row_number().over(w))
-            .select("seq", "round", "url")
+            .repartitionByRange("round", "url")
+            .withColumn("pid", F.spark_partition_id())
+        )
+        counts = base.groupBy("pid").agg(F.count("*").alias("n"))
+        w_off = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+        )
+        w_in = Window.partitionBy("pid").orderBy("round", "url")
+        return (
+            base.withColumn("rn", F.row_number().over(w_in))
+            .join(F.broadcast(offsets), "pid")
+            .select(
+                (F.col("offset") + F.col("rn")).cast("int").alias("seq"),
+                "round",
+                "url",
+            )
         )
 
     def url_seen(self) -> DataFrame:
