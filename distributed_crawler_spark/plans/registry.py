@@ -366,6 +366,29 @@ def q_search_tf_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.tf_scores(postings, process_text_py("running sparks windows joins"))
 
 
+@q("search_bm25_indexed", None)
+def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED index snapshot (write_index_snapshot,
+    built once per sf_dir into a tempdir cache — crawl_html_round0
+    pattern): the index-once/query-many architecture of the reference's
+    indexer/search split. Rankings ≡ the build-per-query stemmed path
+    (tests/test_text_pipeline.py); rows-only driver check."""
+    import tempfile
+
+    from ..functions.text import process_text_py
+    from ..operators.search import bm25_from_index, write_index_snapshot
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_index_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        write_index_snapshot(_read(spark, sf_dir, "documents"), idx)
+    return bm25_from_index(
+        spark, idx, process_text_py("running sparks windows joins")
+    )
+
+
 @q("search_bm25_stemmed", None)
 def q_search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over stemmed postings + stemmed dl (the Whoosh-index parity
