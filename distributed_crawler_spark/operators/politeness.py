@@ -110,7 +110,11 @@ def host_budget_filter(
         prior = prior_host_counts.select(
             F.col("host").alias(host_col), F.col("n_scheduled").alias("__prior")
         )
-        ranked = ranked.join(F.broadcast(prior), host_col, "left").withColumn(
+        # no broadcast hint: the counts table is per-HOST (10^8+ rows at
+        # web scale — over any broadcast limit); ranked is already
+        # hash-partitioned by host from the phase-2 window, so the join
+        # co-partitions, and AQE still broadcasts when it is truly small
+        ranked = ranked.join(prior, host_col, "left").withColumn(
             "__prior", F.coalesce(F.col("__prior"), F.lit(0))
         )
     else:

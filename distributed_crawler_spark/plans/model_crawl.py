@@ -163,9 +163,14 @@ def model_retry(
     robots = model_robots_df(spark, sf_dir)
     seeds = model_seeds_df(spark, sf_dir)
     cand0 = seeds.join(pages, "url").select("url", "host", F.lit(0).alias("depth"))
-    pend = host_budget_filter(robots_filter(cand0, robots), None, budget).select(
-        "url", "host"
+    # the attempt loop below references this tiny frontier once per
+    # attempt; cache it so the model scan+gates run once, not 4x
+    pend = (
+        host_budget_filter(robots_filter(cand0, robots), None, budget)
+        .select("url", "host")
+        .cache()
     )
+    _LIVE_CACHES.append(pend)
     # portable deterministic hash (== DuckDB ('0x'||substr(md5(u),1,15))::BIGINT)
     ft = (
         F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
