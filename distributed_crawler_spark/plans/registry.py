@@ -571,8 +571,11 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
     r = _read(spark, sf_dir, "region")
+    # nation/region are FIXED-size dims (25/5 rows) → forced broadcast;
+    # customer grows with SF, so its hint is left to Catalyst/AQE
+    # (broadcast at this scale, shuffle join beyond the threshold)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
