@@ -70,8 +70,12 @@ def run_headline() -> None:
 
     spark = get_spark(cores=CPUS, app_name="bench")
     # warm the JVM/Arrow paths once so per-query timings measure the
-    # queries, not session bring-up
+    # queries, not session bring-up — including one tiny-SF pass of the
+    # flagship so the join/window/parquet codegen paths are JITed before
+    # the first timed query (the frontier job below already measures
+    # warm + best-of-2 for the same reason)
     spark.range(1000).selectExpr("sum(id)").collect()
+    _noop_run(registry.QUERIES["crawl_bfs"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
