@@ -426,3 +426,31 @@ def test_index_snapshot_matches_on_the_fly_search(spark, sf_dir):
     # the term IN (...) predicate is pushed into the postings scan
     plan = got_q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_simhash_banding_worst_case_recall(spark):
+    """Pigeonhole guarantee at its worst case: hamming-4 pairs whose 4
+    differing bits land in 4 DIFFERENT bands must still be caught (the
+    5th band is identical); hamming-5 spread one-per-band has no shared
+    band and is correctly outside the <=4 contract anyway."""
+    from distributed_crawler_spark.operators.dedup import simhash_band_pairs
+
+    base = 0x0AAAAAAAAAAAAAA  # 60-bit pattern
+    # bands are 12 bits each: [0:12) [12:24) [24:36) [36:48) [48:60)
+    flip4 = base ^ (1 << 0) ^ (1 << 12) ^ (1 << 24) ^ (1 << 36)
+    flip5 = base ^ (1 << 0) ^ (1 << 12) ^ (1 << 24) ^ (1 << 36) ^ (1 << 48)
+    clustered5 = base ^ 0b11111  # 5 flips in one band: shares bands but hamming 5
+    sigs = spark.createDataFrame(
+        [(0, base), (1, flip4), (2, flip5), (3, clustered5)],
+        "doc_id INT, simhash LONG",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(
+            sigs, bits=60, n_bands=5, max_hamming=4
+        ).collect()
+    }
+    assert got[(0, 1)] == 4          # worst-case spread, still caught
+    assert (0, 2) not in got         # hamming 5 — outside the contract
+    assert (0, 3) not in got         # candidate via shared bands, hamming-verified out
+    assert got[(1, 2)] == 1          # differ only in bit 48
