@@ -34,6 +34,10 @@ class CrawlConfig:
     # :887-916 _retry_failed_tasks): a failed URL re-enters the next
     # round's pending with retry_count+1 until the budget is exhausted
     max_retries: int = 3
+    # deletable-filter variant of the URL-seen prefilter (the cuckoo
+    # role, operators/cuckoo.py): counting (bucket, fp) cells support
+    # retiring frontier rows; same strict-optimization contract as bloom
+    use_cuckoo_prefilter: bool = False
     # fetch fault-injection for tests: when > 0, the fetch of ``url``
     # transiently fails while retry_count < crc32(url) % flaky_mod —
     # deterministic on both the engine (F.crc32) and oracle (zlib.crc32)

@@ -144,9 +144,7 @@ def schedule_candidates(
     # (master_node.py:336-339,352-391 collapsed into one set-oriented join);
     # optional bloom prefilter lets bloom-proven-fresh candidates skip the
     # exact join (operators/bloom.py — result identical, tested)
-    if cfg.use_bloom_prefilter:
-        from .bloom import bloom_anti_join
-
+    if cfg.use_bloom_prefilter or cfg.use_cuckoo_prefilter:
         # size the filter WITHOUT a full pass over the seen set: the
         # per-host counts table already carries the cumulative scheduled
         # total (sum over ~#hosts rows, not 10^10 seen rows)
@@ -157,7 +155,14 @@ def schedule_candidates(
             )
         else:
             n_seen = seen.count()
-        fresh = bloom_anti_join(candidates, seen.select("url"), n_seen)
+        if cfg.use_cuckoo_prefilter:
+            from .cuckoo import cuckoo_anti_join
+
+            fresh = cuckoo_anti_join(candidates, seen.select("url"), n_seen)
+        else:
+            from .bloom import bloom_anti_join
+
+            fresh = bloom_anti_join(candidates, seen.select("url"), n_seen)
     else:
         fresh = candidates.join(seen.select("url"), on="url", how="left_anti")
 

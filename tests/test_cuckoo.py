@@ -91,3 +91,32 @@ def test_probe_plan_never_broadcasts_filter(spark):
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_crawl_with_cuckoo_prefilter_matches_plain(spark, corpus_dir):
+    """Full crawl with the cuckoo-role prefilter on ≡ the plain anti-join
+    crawl (strict-optimization property end-to-end, mirroring the bloom
+    equivalence test)."""
+    import shutil
+
+    from distributed_crawler_spark.config import CrawlConfig
+    from distributed_crawler_spark.operators.scheduler import CrawlScheduler
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    results = {}
+    for use_cuckoo in (False, True):
+        state = f"/tmp/dcs_state_cuckoo_{use_cuckoo}"
+        shutil.rmtree(state, ignore_errors=True)
+        cfg = CrawlConfig(
+            max_depth=2, max_urls_per_domain=10,
+            use_cuckoo_prefilter=use_cuckoo,
+        )
+        s = CrawlScheduler(spark, pages, robots, state, cfg)
+        s.run(seeds=seeds)
+        results[use_cuckoo] = {
+            (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
+        }
+    assert results[True] == results[False]
