@@ -281,3 +281,37 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc duplicated-span statistics — the train-data dedup signal
+    pipelines gate on (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove/downweight docs whose n-token
+    spans largely occur elsewhere). For each doc: how many distinct
+    n-gram spans it has and what fraction of them appear in ≥1 OTHER doc.
+
+    Shape: one span inverted index (groupBy shingle → doc-frequency),
+    joined back and re-aggregated per doc — two shuffles on the span key,
+    no pairwise product anywhere. Returns
+    (id, n_spans, n_dup_spans, dup_frac)."""
+    sh = shingles(docs, id_col, text_col, n)
+    per_span = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(per_span, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )

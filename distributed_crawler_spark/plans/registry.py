@@ -638,7 +638,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_CTE = """
 shing AS (
   SELECT DISTINCT doc_id, sh.shingle FROM (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
   ) d, LATERAL (
     SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
@@ -751,6 +752,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (no cross product)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.8)
+
+
+@q(
+    "dup_span_stats",
+    f"""
+WITH {_SHINGLES_CTE.strip().rstrip()},
+per_span AS (SELECT shingle, count(*) AS n_docs FROM shing GROUP BY shingle)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       round(sum(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+FROM shing s JOIN per_span p USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated 3-gram-span fraction over the FULL corpus — the
+    Lee-et-al-style span-dedup gate (inverted-index shape, no pairwise
+    product)."""
+    return dedup.span_dup_stats(_read(spark, sf_dir, "documents"), n=3)
 
 
 @q(
