@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash",
     "simhash_neardup",
     "ngram_jaccard",
+    "dup_span_stats",
     "embedding_neardup_lsh",
     "search_bm25_stemmed",
     "retry_cohort",

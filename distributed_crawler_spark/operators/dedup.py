@@ -26,21 +26,26 @@ from pyspark.sql import functions as F
 from ..functions.hashing import phash
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Array-lambda
-    based — tokens never leave the JVM."""
+def shingle_array(text_col, n: int = 3):
+    """Column of word n-gram shingles (with in-doc duplicates) — the
+    shared span generator; tokens never leave the JVM."""
     # drop empty tokens (multi-space runs) to match the oracle tokset CTEs
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
     # sequence(1, k) DESCENDS when k < 1 — guard the short-doc case
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    sh = shingle_array(F.col(text_col), n)
     return (
         docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
@@ -295,14 +300,31 @@ def span_dup_stats(
     spans largely occur elsewhere). For each doc: how many distinct
     n-gram spans it has and what fraction of them appear in ≥1 OTHER doc.
 
-    Shape: one span inverted index (groupBy shingle → doc-frequency),
-    joined back and re-aggregated per doc — two shuffles on the span key,
-    no pairwise product anywhere. Returns
-    (id, n_spans, n_dup_spans, dup_frac)."""
-    sh = shingles(docs, id_col, text_col, n)
-    per_span = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    Shape: one span inverted index (groupBy span-key → doc-frequency),
+    joined back and re-aggregated per doc — shuffles on the span key, no
+    pairwise product anywhere. The span text never leaves the first
+    stage: counting only needs identity, so spans travel as a 128-bit
+    fingerprint (two seeded xxhash64 — collision odds ~2^-128, the same
+    fingerprint-identity standard MinHash/span-dedup pipelines use),
+    which roughly halves the shuffled bytes vs raw n-gram strings.
+    Returns (id, n_spans, n_dup_spans, dup_frac)."""
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+        )
+        # fingerprint BEFORE the dedup so even the first shuffle carries
+        # 16-byte keys, not span strings
+        .select(
+            F.col(id_col),
+            F.xxhash64("shingle").alias("k1"),
+            F.xxhash64(F.concat(F.col("shingle"), F.lit("§"))).alias("k2"),
+        )
+        .distinct()
+    )
+    per_span = sh.groupBy("k1", "k2").agg(F.count("*").alias("n_docs"))
     return (
-        sh.join(per_span, "shingle")
+        sh.join(per_span, ["k1", "k2"])
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_spans"),
