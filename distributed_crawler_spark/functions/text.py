@@ -17,6 +17,7 @@ target is our own spec'd pipeline (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import functools
 import re
 
 import pandas as pd
@@ -78,8 +79,11 @@ _STEP4 = [
 ]
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def porter_stem(word: str) -> str:
-    """Porter 1980 stemmer, steps 1a-5b."""
+    """Porter 1980 stemmer, steps 1a-5b. Memoized: corpora repeat a small
+    vocabulary thousands of times per partition, so per-token stemming is
+    vocab-bound, not token-bound (pure function — cache is safe)."""
     w = word
     if len(w) <= 2:
         return w
