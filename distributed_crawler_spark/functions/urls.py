@@ -139,3 +139,33 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def get_domain_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: get_domain_py(u) if u else None)
+
+
+def url_features(df, url_col: str = "url"):
+    """Frontier-prioritization URL features — the URL-quality signals a
+    production crawler scores candidates with before fetch (shallow
+    paths and few params first; tracking params and digit-heavy paths
+    downranked). All native regex/array expressions, no UDF:
+    (url, url_len, path_depth, n_query_params, digit_ratio, has_tracking)."""
+    u = F.col(url_col)
+    after_host = F.regexp_replace(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+    )
+    path = F.regexp_extract(after_host, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    n_digits = F.size(F.regexp_extract_all(path, F.lit(r"[0-9]"), 0))
+    return df.select(
+        u.alias("url"),
+        F.length(u).cast("int").alias("url_len"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit(""))).alias(
+            "path_depth"
+        ),
+        n_params.cast("int").alias("n_query_params"),
+        F.round(
+            n_digits / F.greatest(F.length(path), F.lit(1)), 4
+        ).alias("digit_ratio"),
+        F.contains(query, F.lit("utm_")).alias("has_tracking"),
+    )

@@ -75,6 +75,55 @@ def q_retry_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "url_features",
+    f"""
+WITH {_MODEL},
+noisy AS (
+  SELECT CASE doc_id % 4
+           WHEN 0 THEN url
+           WHEN 1 THEN url || '?q=1&utm_source=x'
+           WHEN 2 THEN url || '/sub/' || doc_id || '/page'
+           ELSE url || '?a=1&b=2&c=3#frag'
+         END AS u
+  FROM pages
+),
+parts AS (
+  SELECT u,
+         regexp_extract(regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1) AS p,
+         regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM noisy
+)
+SELECT u AS url,
+       length(u)::INT AS url_len,
+       len(list_filter(string_split(p, '/'), x -> x <> ''))::INT AS path_depth,
+       (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END)::INT AS n_query_params,
+       round(len(regexp_extract_all(p, '[0-9]'))::DOUBLE / greatest(length(p), 1), 4) AS digit_ratio,
+       contains(q, 'utm_') AS has_tracking
+FROM parts
+""",
+)
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-prioritization URL features over noisy variants (the
+    pre-fetch URL-quality signals production crawlers rank candidates
+    by); native regex/array expressions."""
+    from ..functions.urls import url_features
+
+    pages = model_pages_df(spark, sf_dir)
+    d = F.col("doc_id")
+    noisy = pages.select(
+        F.when(d % 4 == 0, F.col("url"))
+        .when(d % 4 == 1, F.concat(F.col("url"), F.lit("?q=1&utm_source=x")))
+        .when(
+            d % 4 == 2,
+            F.concat(F.col("url"), F.lit("/sub/"), d.cast("string"), F.lit("/page")),
+        )
+        .otherwise(F.concat(F.col("url"), F.lit("?a=1&b=2&c=3#frag")))
+        .alias("url")
+    )
+    return url_features(noisy)
+
+
+@q(
     "normalize_urls",
     f"""
 WITH {_MODEL},
