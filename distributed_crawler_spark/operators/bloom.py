@@ -110,13 +110,20 @@ def _probe_maybe_urls(
     """Partitioned probe core: explode each candidate's k probe positions,
     SHUFFLE-join the words table on word_idx (shuffle_hash hint — the
     words side is never broadcast), and keep urls where every probed bit
-    is set. Returns the maybe-seen url set."""
-    url = F.col(url_col)
-    positions = F.array(*[_probe_hash(url, s, m_bits) for s in range(K_HASHES)])
-    probes = candidates.select(
-        url.alias("__url"), F.explode(positions).alias("pos")
-    ).select(
-        "__url", "pos", (F.col("pos") / 64).cast("long").alias("word_idx")
+    is set. Returns the maybe-seen url set.
+
+    Probes run over DISTINCT candidate urls: the sum(hit) == K test is
+    per-url, so a duplicated candidate row would accumulate 2×K hits and
+    leak a seen URL into the fresh side (the callers' joins against the
+    returned set preserve original multiplicity either way)."""
+    positions = F.array(
+        *[_probe_hash(F.col("__url"), s, m_bits) for s in range(K_HASHES)]
+    )
+    probes = (
+        candidates.select(F.col(url_col).alias("__url"))
+        .distinct()
+        .select("__url", F.explode(positions).alias("pos"))
+        .select("__url", "pos", (F.col("pos") / 64).cast("long").alias("word_idx"))
     )
     joined = probes.join(bloom_words.hint("shuffle_hash"), "word_idx", "left")
     hit = F.when(

@@ -103,14 +103,24 @@ def cuckoo_anti_join(
     url_col: str = "url",
     deleted: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact anti-join with the deletable-filter prefilter: candidates the
-    filter proves unseen skip the join; the rest are checked exactly
-    against ``seen`` (so the result ≡ plain left_anti regardless of
-    filter state — deletions only change how much skips the join)."""
+    """Exact anti-join with the deletable-filter prefilter.
+
+    ``deleted`` means "keys retired FROM the seen set": the effective
+    membership set is seen ∖ deleted, the exact check runs against that
+    set, and result ≡ candidates left_anti (seen ∖ deleted) regardless of
+    filter state (tested). The counting-cell delete ≡ rebuild guarantee
+    only holds for D ⊆ S, so only deleted ∩ seen is subtracted — a
+    retired key that was never inserted must not zero a surviving key's
+    (bucket, fp) collision cell (that would be a filter false negative
+    and a duplicate crawl at 10^10-key scale)."""
     m = filter_size_buckets(max(n_seen_estimate, 1))
     filt = build_filter(seen, m, url_col)
     if deleted is not None:
-        filt = delete_keys(filt, deleted, m, url_col)
+        deleted_in_seen = deleted.select(url_col).join(
+            seen.select(url_col), url_col, "left_semi"
+        )
+        filt = delete_keys(filt, deleted_in_seen, m, url_col)
+        seen = seen.join(deleted.select(url_col), url_col, "left_anti")
     fresh, maybe = filter_split(candidates, filt, m, url_col)
     checked = maybe.join(seen.select(F.col(url_col)), url_col, "left_anti")
     return fresh.unionByName(checked)

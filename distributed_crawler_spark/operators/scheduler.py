@@ -193,11 +193,15 @@ class CrawlScheduler:
 
         rnd = start_round
         # retry-only rounds may extend past max_depth (retries keep their
-        # ORIGINAL depth — crawler_node.py re-queues the same task), so the
-        # hard bound is max_depth + max_retries
-        while rnd <= cfg.max_depth + cfg.max_retries and _exists(
-            _p(self._root, PENDING, rnd)
-        ):
+        # ORIGINAL depth — crawler_node.py re-queues the same task), and a
+        # retried parent succeeding late can push still-in-depth children
+        # into later rounds, so the backstop is (a) RELATIVE to where this
+        # invocation started — a resume past the fresh-run bound must still
+        # drain its pending tail — and (b) sized for the worst delayed
+        # chain (each of max_depth+1 levels delayed by max_retries rounds).
+        # The real terminator is the empty-pending break below.
+        bound = start_round + (cfg.max_depth + 1) * (cfg.max_retries + 1)
+        while rnd <= bound and _exists(_p(self._root, PENDING, rnd)):
             self._run_round(rnd)
             if stop_after_round is not None and rnd >= stop_after_round:
                 break
@@ -407,7 +411,14 @@ class CrawlScheduler:
             raise FileNotFoundError(
                 f"no crawl state found at {self.state_dir} (no committed rounds)"
             )
-        parts = [self._read(EXTRACTED, r) for r in committed]
+        parts = []
+        for r in committed:
+            part = self._read(EXTRACTED, r)
+            if "depth" not in part.columns:
+                # pre-retry-layout shim (mirrors with_retry_count): before
+                # retries existed a page's round WAS its depth
+                part = part.withColumn("depth", F.lit(r))
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

@@ -33,6 +33,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _table_fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint (mtime/size of every file) of one input table —
+    cache keys for derived artifacts (index snapshots, HTML corpora) so a
+    regenerated corpus at the same path invalidates them (the
+    session._pkg_fingerprint pattern)."""
+    import hashlib
+
+    table = os.path.join(sf_dir, f"{name}.parquet")
+    h = hashlib.sha1()
+    for root, dirs, files in os.walk(table):
+        dirs.sort()
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            h.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:12]
+
+
 QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
 
@@ -429,7 +446,10 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = os.path.join(
         tempfile.gettempdir(),
-        "dcs_index_" + os.path.basename(sf_dir.rstrip("/")),
+        "dcs_index_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
     )
     if not os.path.exists(os.path.join(idx, "meta.json")):
         write_index_snapshot(_read(spark, sf_dir, "documents"), idx)
@@ -1277,7 +1297,11 @@ def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scheduler import seed_frontier
 
     corpus = os.path.join(
-        tempfile.gettempdir(), "dcs_query_corpus_" + os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "dcs_query_corpus_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
     )
     if not os.path.exists(os.path.join(corpus, "pages.parquet", "_SUCCESS")):
         build_html_corpus(spark, sf_dir, corpus, buckets=8)

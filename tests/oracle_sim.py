@@ -116,7 +116,11 @@ def simulate(
 
     pending = admit([(u, 0) for u in seeds])
     rnd = 0
-    while pending and rnd <= max_depth + max_retries:
+    # backstop mirrors the engine (operators/scheduler.py run()): sized
+    # for the worst delayed chain — retried parents succeeding late push
+    # in-depth children past the naive max_depth+max_retries bound
+    bound = (max_depth + 1) * (max_retries + 1)
+    while pending and rnd <= bound:
         discovered: list[tuple[str, int]] = []
         retries: list[str] = []
         for url in sorted(pending):

@@ -120,3 +120,20 @@ def test_partitioned_probe_never_broadcasts_words(spark):
     assert not (fresh_set & seen_set)          # no false negatives
     maybe_set = {r["url"] for r in maybe.collect()}
     assert seen_set & {r["url"] for r in cand.collect()} <= maybe_set
+
+
+def test_partitioned_probe_duplicate_candidates(spark):
+    """ADVICE r02: duplicated candidate rows must not break the
+    partitioned probe's sum(hit) == K test (a duplicated SEEN url would
+    accumulate 2K hits and leak out as definitely-fresh). Result must
+    equal plain left_anti INCLUDING multiplicity."""
+    from collections import Counter
+
+    seen, cand = _sets(spark, n_seen=2000, n_cand=3000, overlap=1000)
+    dups = cand.unionByName(cand)  # every candidate twice
+    want = Counter(r["url"] for r in dups.join(seen, "url", "left_anti").collect())
+    got = Counter(
+        r["url"]
+        for r in bloom_anti_join(dups, seen, 2000, partitioned=True).collect()
+    )
+    assert got == want

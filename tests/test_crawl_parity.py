@@ -318,3 +318,61 @@ def test_two_jobs_share_state_dir_without_collision(spark, corpus_dir):
     # and the frontier rows carry their job_id
     assert {r["job_id"] for r in sa.frontier().collect()} == {"job-A"}
     assert {r["job_id"] for r in sb.frontier().collect()} == {"job-B"}
+
+
+def test_delayed_retry_tail_fully_drained(spark, corpus_dir):
+    """ADVICE r02: with transient failures delaying completions, children
+    within max_depth can be discovered past the naive
+    max_depth+max_retries round bound. The bound is now relative to the
+    invocation's start and sized for the worst delayed chain, so one run
+    drains everything and a resume finds nothing left."""
+    state = "/tmp/dcs_state_delayed_tail"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(
+        max_depth=2, max_urls_per_domain=10, max_retries=3, flaky_mod=4
+    )
+    s = CrawlScheduler(
+        spark,
+        spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        state,
+        cfg,
+    )
+    s.run(seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"))
+    committed = s.committed_rounds()
+    # nothing processable may remain parked in a pending round
+    assert s.frontier().filter(F.col("status") == "pending").count() == 0
+    # and a resume is a no-op
+    s.run(resume=True)
+    assert s.committed_rounds() == committed
+
+
+def test_extracted_all_spans_pre_depth_layout(spark, corpus_dir):
+    """ADVICE r02: extracted tables written before the depth column
+    existed must still union with post-upgrade rounds (shim fills depth
+    from the round number, mirroring with_retry_count)."""
+    import os
+
+    state = "/tmp/dcs_state_legacy_extracted"
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=2, max_urls_per_domain=8)
+    s = CrawlScheduler(
+        spark,
+        spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        state,
+        cfg,
+    )
+    s.run(seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"))
+
+    # strip depth from round 0 to simulate a pre-upgrade state dir
+    p0 = os.path.join(state, f"job={cfg.job_id}", "extracted", "round=0")
+    legacy = spark.read.parquet(p0).drop("depth")
+    tmp = p0 + ".legacy"
+    legacy.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(p0)
+    os.rename(tmp, p0)
+
+    out = s.extracted_all()
+    assert "depth" in out.columns
+    assert out.filter(F.col("depth").isNull()).count() == 0

@@ -120,3 +120,29 @@ def test_crawl_with_cuckoo_prefilter_matches_plain(spark, corpus_dir):
             (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
         }
     assert results[True] == results[False]
+
+
+def test_deleted_overlapping_and_foreign_keys(spark):
+    """ADVICE r02: `deleted` means keys retired FROM seen — the result is
+    candidates left_anti (seen ∖ deleted), and deleted keys never inserted
+    must not subtract cells (a (bucket, fp) collision with a surviving
+    cnt=1 key would zero it → filter false negative → duplicate crawl)."""
+    seen, cand = _sets(spark)
+    retired = seen.filter(F.expr("url like '%/s/3%'"))       # ⊆ seen
+    foreign = spark.range(500).select(
+        F.concat(F.lit("https://x.com/never/"), F.col("id")).alias("url")
+    )                                                          # ∩ seen = ∅
+    deleted = retired.unionByName(foreign)
+    survivors = seen.join(deleted, "url", "left_anti")
+
+    want = {r["url"] for r in cand.join(survivors, "url", "left_anti").collect()}
+    got = {
+        r["url"]
+        for r in cuckoo_anti_join(cand, seen, 4000, deleted=deleted).collect()
+    }
+    assert got == want
+    # retired seen URLs present in candidates must now come back as fresh
+    retired_cands = {
+        r["url"] for r in cand.join(retired, "url", "left_semi").collect()
+    }
+    assert retired_cands and retired_cands <= got
