@@ -77,6 +77,11 @@ def run_headline() -> None:
     # warm + best-of-2 for the same reason)
     spark.range(1000).selectExpr("sum(id)").collect()
     _noop_run(registry.QUERIES["crawl_bfs"](spark, "/root/testdata/sf0.001"))
+    # index-once is the offline half of the indexer/search split: build
+    # the persisted snapshot outside the timings so search_bm25_stemmed /
+    # search_bm25_indexed measure QUERY latency (the reference equally
+    # excludes Whoosh index builds from its search-latency test)
+    registry._cached_index(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
