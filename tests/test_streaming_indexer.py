@@ -82,3 +82,81 @@ def test_streaming_indexer_matches_batch_and_resumes(spark, corpus_dir):
     # and the streamed index is queryable like any snapshot
     hits = bm25_from_index(spark, idx, ["page", "doc"]).collect()
     assert hits and all(r["score"] > 0 for r in hits)
+
+
+def test_merge_touches_only_batch_buckets(spark, corpus_dir):
+    """Scale property (VERDICT r02): a micro-batch merge must leave every
+    bucket the batch doesn't touch byte-identical (same files, same
+    mtimes) — I/O is O(batch buckets), not O(index)."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import (
+        N_DOC_BUCKETS,
+        _merge_batch_into_index,
+        _with_bucket,
+    )
+
+    idx = "/tmp/dcs_bucket_touch_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string")).alias("text"),
+    )
+    _merge_batch_into_index(docs, idx)
+
+    def snapshot(bucket_dir):
+        return {
+            f: os.stat(os.path.join(bucket_dir, f)).st_mtime_ns
+            for f in os.listdir(bucket_dir)
+        }
+
+    pdir = f"{idx}/postings"
+    before = {d: snapshot(os.path.join(pdir, d))
+              for d in os.listdir(pdir) if d.startswith("bucket=")}
+
+    batch2 = spark.range(3).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("gamma delta").alias("text"),
+    )
+    touched = {
+        f"bucket={r['bucket']}"
+        for r in _with_bucket(batch2.select("doc_id"), "doc_id")
+        .select("bucket").distinct().collect()
+    }
+    assert len(touched) < len(before)  # the test is vacuous otherwise
+    _merge_batch_into_index(batch2, idx)
+
+    after = {d: snapshot(os.path.join(pdir, d))
+             for d in os.listdir(pdir) if d.startswith("bucket=")}
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched {d} was rewritten"
+    # and the touched docs were replaced, not duplicated
+    rows = spark.read.parquet(pdir).filter(F.col("doc_id") == "u0").collect()
+    assert {r["term"] for r in rows} == {"gamma", "delta"}
+    assert N_DOC_BUCKETS >= len(before)
+
+
+def test_recover_buckets_heals_torn_swap(spark):
+    """Crash between the two renames (bucket=K missing, .bak present) is
+    restored; a completed swap with a leftover .bak drops the backup;
+    orphaned staging dirs are removed."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import _recover_buckets
+
+    pdir = "/tmp/dcs_recover_buckets/postings"
+    shutil.rmtree("/tmp/dcs_recover_buckets", ignore_errors=True)
+    os.makedirs(f"{pdir}/bucket=1")
+    os.makedirs(f"{pdir}/bucket=2")
+    open(f"{pdir}/bucket=2/f.parquet", "w").write("new")
+    os.makedirs(f"{pdir}/bucket=2.bak")
+    os.rename(f"{pdir}/bucket=1", f"{pdir}/bucket=1.bak")  # torn: live missing
+    os.makedirs(pdir + ".tmp-stream")
+
+    _recover_buckets(pdir)
+    assert os.path.isdir(f"{pdir}/bucket=1")          # restored
+    assert not os.path.exists(f"{pdir}/bucket=1.bak")
+    assert os.path.exists(f"{pdir}/bucket=2/f.parquet")  # kept the new copy
+    assert not os.path.exists(f"{pdir}/bucket=2.bak")
+    assert not os.path.exists(pdir + ".tmp-stream")
