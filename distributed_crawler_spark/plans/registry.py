@@ -1682,6 +1682,75 @@ def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Composed multifield query language (round 3 — VERDICT r02 missing #3)
+# =========================================================================
+
+@q(
+    "search_multifield",
+    """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS ttl,
+         text
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, x.term FROM t,
+         LATERAL (SELECT unnest(string_split(ttl, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+btoks AS (
+  SELECT doc_id, x.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+pb AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY doc_id, term),
+l_title_spark AS (
+  SELECT doc_id, sum(tf) AS s FROM pt WHERE term = 'spark' GROUP BY doc_id
+),
+l_join AS (
+  SELECT doc_id, sum(tf) AS s FROM (
+    SELECT doc_id, tf FROM pt WHERE term = 'join'
+    UNION ALL SELECT doc_id, tf FROM pb WHERE term = 'join'
+  ) GROUP BY doc_id
+),
+orx AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS score
+  FROM l_title_spark a FULL OUTER JOIN l_join b ON a.doc_id = b.doc_id
+),
+neg AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, term FROM pt UNION ALL SELECT doc_id, term FROM pb
+  ) WHERE starts_with(term, 'wind')
+)
+SELECT doc_id, score::BIGINT AS score FROM orx
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_search_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multifield query (Whoosh MultifieldParser analog,
+    indexer_node.py:233-243): '(title:spark OR join) AND NOT wind*'
+    parsed to an AST and lowered to ONE boolean-retrieval plan — fielded
+    term, multifield term (summed over fields), OR as full-outer join,
+    AND NOT as anti join, wildcard exclusion. The oracle re-derives the
+    same tree by hand in SQL."""
+    from ..operators.query import search_composed
+
+    docs = _read(spark, sf_dir, "documents")
+    fields = {
+        "title": docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text"),
+        ),
+        "body": docs.select("doc_id", "text"),
+    }
+    return search_composed(fields, "(title:spark OR join) AND NOT wind*")
+
+
+# =========================================================================
 # Driver-window ordering
 # =========================================================================
 # The round driver validates the FIRST 50 registry entries against DuckDB.
@@ -1714,6 +1783,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_phrase",
     "search_wildcard",
     "search_highlight",
+    # new in round 3
+    "search_multifield",
     # re-pointed at the index snapshot in round 3 — needs a fresh row
     "search_bm25_stemmed",
     "search_bm25_indexed",
