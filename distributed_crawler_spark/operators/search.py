@@ -299,6 +299,38 @@ def highlight_snippets(
     )
 
 
+def highlight_snippets_multi(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frag_chars: int = 150,
+    surround: int = 50,
+) -> DataFrame:
+    """Multi-term highlighting (Whoosh ContextFragmenter semantics,
+    indexer_node.py:253-280): one fragment per (doc, query term) PRESENT
+    in the doc — a window of ``frag_chars`` starting ``surround`` before
+    that term's first case-insensitive match — and EVERY query term
+    occurring inside the fragment is <b>-wrapped (the r02 version
+    fragmented only around one term's first match). Fully native: the
+    term list is exploded (a handful of rows per doc), locate/substr/
+    regexp_replace stay in whole-stage codegen."""
+    import re as _re
+
+    terms_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    e = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "term", F.explode(terms_arr)
+    )
+    pos = F.expr(f"locate(term, lower({text_col}))")
+    start = F.greatest(pos - surround, F.lit(1))
+    snippet = F.substring(F.col(text_col), start.cast("int"), frag_chars)
+    combined = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+    highlighted = F.regexp_replace(snippet, combined, "<b>$1</b>")
+    return e.filter(pos > 0).select(
+        F.col(id_col), "term", highlighted.alias("snippet")
+    )
+
+
 def fuzzy_tf_scores(
     docs: DataFrame,
     query_term: str,
