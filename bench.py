@@ -389,6 +389,99 @@ def run_crawl() -> None:
     print(json.dumps(out))
 
 
+def run_ivf() -> None:
+    """IVF-vs-brute-force at a scale where list pruning matters (NEXT
+    r02 #6: sf0.1's 2k vectors are too small to show the read win).
+    Synthesizes a deterministic CLUSTERED embedding table (64 seeded
+    cluster centers + 10% noise — the structure real embedding corpora
+    have), builds the centroid-partitioned IVF index offline, then
+    compares query wall time of full-scan brute force vs the
+    partition-pruned probe, plus recall@10. Writes BENCH/IVF.md."""
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators import similarity
+    from distributed_crawler_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_IVF_N", "400000"))
+    dim, n_centroids, n_probe, k = 64, 64, 8, 10
+    spark = get_spark(cores=CPUS, app_name="bench-ivf")
+    base = f"/tmp/dcs_ivf_bench_{n}"
+    vec_path = os.path.join(base, "vectors")
+
+    # center[id % 64][j] + 0.1 * noise[id][j], both xxhash64-derived
+    synth = F.expr(
+        f"transform(sequence(0, {dim - 1}), j -> "
+        f"(pmod(xxhash64(concat(pmod(id, {n_centroids}), ':', j)), 2001) - 1000) / 1000.0"
+        f" + 0.1 * (pmod(xxhash64(concat('n', id, ':', j)), 2001) - 1000) / 1000.0)"
+    )
+
+    if not os.path.exists(os.path.join(vec_path, "_SUCCESS")):
+        spark.range(n).select(
+            F.col("id").alias("vec_id"), synth.alias("embedding")
+        ).write.mode("overwrite").parquet(vec_path)
+    vectors = spark.read.parquet(vec_path)
+    qvec = [float(x) for x in vectors.filter(F.col("vec_id") == 1).head()["embedding"]]
+
+    # offline index build (the write_index_snapshot analog for vectors)
+    assigned, centroids = similarity.ivf_index(
+        vectors, n_centroids=n_centroids, seed=42
+    )
+    idx_dir = os.path.join(base, "ivf_index")
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        similarity.ivf_write_bucketed(vectors, assigned, idx_dir)
+
+    def best_of_2(fn):
+        times, rows = [], None
+        for _ in range(2):
+            t0 = time.monotonic()
+            rows = fn().collect()
+            times.append(time.monotonic() - t0)
+        return round(min(times), 3), rows
+
+    brute_sec, brute_rows = best_of_2(
+        lambda: similarity.brute_force_topk(vectors, qvec, k=k)
+    )
+    ivf_sec, ivf_rows = best_of_2(
+        lambda: similarity.ivf_search_pruned(
+            spark, idx_dir, centroids, qvec, n_probe=n_probe, k=k
+        )
+    )
+    brute_ids = [r["vec_id"] for r in brute_rows]
+    recall = len(set(brute_ids) & {r["vec_id"] for r in ivf_rows}) / k
+    out = {
+        "metric": f"IVF probe ({n_probe}/{n_centroids} lists) vs brute force, {n:,} x {dim}d",
+        "n": n,
+        "brute_sec": brute_sec,
+        "ivf_probe_sec": ivf_sec,
+        "speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
+        "recall_at_10": recall,
+        "cpus": CPUS,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/IVF.md", "w") as f:
+        f.write(
+            f"""# BENCH — IVF ANN at list-pruning scale
+
+sf0.1's embeddings table (2k vectors) is too small to show IVF's read
+win, so this mode synthesizes a deterministic clustered corpus
+({n:,} x {dim}-dim; 64 xxhash64-seeded cluster centers + 10% noise) and
+compares one top-{k} query, index built OFFLINE (k-means quantizer +
+centroid-partitioned lists, operators/similarity.py):
+
+| path | wall s (best of 2, local[{CPUS}]) |
+|---|---|
+| brute-force cosine over all {n:,} | {brute_sec} |
+| IVF probe ({n_probe}/{n_centroids} lists, partition-pruned scan) | {ivf_sec} |
+
+**Speedup {out['speedup']}x, recall@{k} = {recall}** (probe scans ~
+{n_probe}/{n_centroids} = {round(100 * n_probe / n_centroids)}% of rows; the
+`centroid IN (...)` predicate is a partition filter, so non-probed lists
+are never read — plan-asserted in tests/test_skew.py).
+"""
+        )
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--frontier-run" in sys.argv:
         frontier_worker(int(sys.argv[sys.argv.index("--frontier-run") + 1]))
@@ -398,5 +491,7 @@ if __name__ == "__main__":
         run_skew()
     elif "--crawl" in sys.argv:
         run_crawl()
+    elif "--ivf" in sys.argv:
+        run_ivf()
     else:
         run_headline()
