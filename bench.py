@@ -49,6 +49,9 @@ HEADLINE = [
     "dup_span_stats",
     "embedding_neardup_lsh",
     "search_bm25_stemmed",
+    "search_multifield",
+    "search_highlight_multi",
+    "search_analytics",
     "retry_cohort",
     "ann_cosine_topk",
     "ann_lsh_buckets",

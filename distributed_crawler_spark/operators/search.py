@@ -318,10 +318,13 @@ def highlight_snippets_multi(
     import re as _re
 
     terms_arr = F.array(*[F.lit(t.lower()) for t in terms])
-    e = docs.select(F.col(id_col), F.col(text_col)).withColumn(
-        "term", F.explode(terms_arr)
+    e = (
+        docs.select(F.col(id_col), F.col(text_col))
+        # lower once per doc, not once per (doc, term) after the explode
+        .withColumn("__ltext", F.lower(F.col(text_col)))
+        .withColumn("term", F.explode(terms_arr))
     )
-    pos = F.expr(f"locate(term, lower({text_col}))")
+    pos = F.expr("locate(term, __ltext)")
     start = F.greatest(pos - surround, F.lit(1))
     snippet = F.substring(F.col(text_col), start.cast("int"), frag_chars)
     combined = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
