@@ -102,8 +102,7 @@ def _search(args) -> None:
             out = search.bm25_from_index(spark, args.index, terms, topk=args.topk)
         else:
             out = search.tf_from_index(spark, args.index, terms, topk=args.topk)
-        for row in out.collect():
-            print(json.dumps(row.asDict()))
+        _emit_results(spark, args, out)
         return
     sched_extracted = spark.read.parquet(
         f"{args.state}/job={args.job_id}/extracted/round=*"
@@ -116,6 +115,28 @@ def _search(args) -> None:
         out = search.bm25_scores(docs, terms, topk=args.topk)
     elif args.mode == "tf":
         out = search.tf_scores(search.build_postings(docs), terms, topk=args.topk)
+    elif args.mode == "query":
+        # composed multifield query language (MultifieldParser analog):
+        # fielded terms / phrases / wildcard / fuzzy / AND OR NOT, with
+        # the index analyzer (lower/stopword/Porter) applied to both the
+        # postings and the query terms — Whoosh parses against the
+        # schema analyzer the same way
+        from .functions.text import porter_stem
+        from .operators.query import search_composed
+
+        fields = {
+            "title": sched_extracted.select(
+                F.col("url").alias("doc_id"), F.col("title").alias("text")
+            ),
+            "body": docs,
+        }
+        out = search_composed(
+            fields,
+            args.query,
+            topk=args.topk,
+            term_transform=lambda t: porter_stem(t.lower()),
+            postings_fn=search.build_postings_stemmed,
+        )
     else:
         titles = sched_extracted.select(
             F.col("url").alias("doc_id"),
@@ -136,8 +157,32 @@ def _search(args) -> None:
             F.col("url").alias("doc_id"), "status", "depth"
         )
         out = out.join(meta, "doc_id", "left")
+    _emit_results(spark, args, out)
+
+
+def _emit_results(spark, args, out) -> None:
+    """Collect + print hits; with --track, record the executed search in
+    the analytics log (track_search, search_interface.py:66-105) so
+    `suggest` can consume it."""
+    rows = out.collect()
+    if getattr(args, "track", None):
+        from .operators.analytics import track_searches
+
+        track_searches(spark, args.track, [(args.query, len(rows))])
+    for row in rows:
+        print(json.dumps(row.asDict(), default=str))
+
+
+def _suggest(args) -> None:
+    from .operators.analytics import query_log
+    from .operators.search import suggest
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    qlog = query_log(spark, args.log)
+    out = suggest(qlog, args.prefix, k=args.topk, results_col="results_count")
     for row in out.collect():
-        print(json.dumps(row.asDict()))
+        print(json.dumps(row.asDict(), default=str))
 
 
 def _stats(args) -> None:
@@ -211,11 +256,27 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--state", default=None)
     s.add_argument("--index", default=None,
                    help="query a persisted index snapshot instead of rebuilding")
-    s.add_argument("--mode", choices=["bm25", "tf", "substring"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "tf", "substring", "query"],
+                   default="bm25",
+                   help="'query' = composed multifield query language "
+                        "(fielded terms, phrases, wildcard, fuzzy, AND/OR/NOT)")
     s.add_argument("--topk", type=int, default=10)
+    s.add_argument("--track", default=None,
+                   help="analytics log dir: record this search (query + "
+                        "results count) for `suggest`")
     s.add_argument("--enrich", action="store_true",
                    help="join results with frontier status/depth")
     s.set_defaults(fn=_search)
+
+    sg = sub.add_parser(
+        "suggest",
+        help="prefix suggestions from the tracked search log "
+             "(get_search_suggestions analog)",
+    )
+    sg.add_argument("prefix")
+    sg.add_argument("--log", required=True)
+    sg.add_argument("--topk", type=int, default=5)
+    sg.set_defaults(fn=_suggest)
 
     st = sub.add_parser("stats", help="crawl status (dashboard analog)")
     st.add_argument("--state", required=True)

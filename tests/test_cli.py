@@ -55,3 +55,21 @@ def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
     hits = [json.loads(l) for l in out]
     assert len(hits) <= 3
     assert all("score" in h for h in hits)
+
+    # composed query language + analytics tracking -> suggestions
+    log = "/tmp/dcs_cli_test_qlog"
+    shutil.rmtree(log, ignore_errors=True)
+    out = _run(capsys, [
+        "--cores", "8", "search", "page AND doc*", "--state", state,
+        "--mode", "query", "--topk", "3", "--track", log,
+    ])
+    hits = [json.loads(l) for l in out]
+    assert len(hits) <= 3 and all("score" in h for h in hits)
+    # a zero-result query is tracked but must never surface in suggest
+    _run(capsys, [
+        "--cores", "8", "search", "pagexyzzy", "--state", state,
+        "--mode", "query", "--topk", "3", "--track", log,
+    ])
+    out = _run(capsys, ["--cores", "8", "suggest", "page", "--log", log])
+    suggestions = [json.loads(l)["query"] for l in out]
+    assert suggestions == ["page AND doc*"]
