@@ -292,3 +292,70 @@ def search_composed(
     postings = {f: postings_fn(df, id_col) for f, df in fields.items()}
     scored = _execute(ast, postings, fields, id_col, transform)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)
+
+
+# ---- persisted multifield index (index once, parse-and-query many) ---------
+
+def write_multifield_index(
+    fields: dict[str, DataFrame], index_dir: str, id_col: str = "doc_id"
+) -> str:
+    """Persist one stemmed index snapshot PER FIELD (the Whoosh schema's
+    field columns, indexer_node.py:108-118) under
+    ``index_dir/field=NAME/`` — write_index_snapshot layout each, so
+    every leaf's term predicate reaches a term-sorted parquet scan."""
+    import json
+    import os
+
+    from .search import write_index_snapshot
+
+    for name, df in fields.items():
+        write_index_snapshot(df, os.path.join(index_dir, f"field={name}"), id_col)
+    with open(os.path.join(index_dir, "fields.json"), "w") as f:
+        json.dump({"fields": sorted(fields), "id_col": id_col}, f)
+    return index_dir
+
+
+def search_composed_indexed(
+    spark,
+    index_dir: str,
+    query: str,
+    topk: int = 20,
+    term_transform=None,
+) -> DataFrame:
+    """Run a composed query against a persisted multifield index with
+    ZERO query-time tokenization: leaves read per-field postings straight
+    from the snapshot (term filters pushed to the scan). The index stores
+    analyzer-processed terms, so query terms default through the same
+    lower+Porter transform (preprocess_query analog). Phrase leaves need
+    raw field text and are rejected here — run those via search_composed
+    over the source docs."""
+    import json
+    import os
+
+    from ..functions.text import porter_stem
+
+    with open(os.path.join(index_dir, "fields.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    ast = parse_query(query, frozenset(meta["fields"]))
+
+    def _has_phrase(node) -> bool:
+        if isinstance(node, Phrase):
+            return True
+        if isinstance(node, (And, Or)):
+            return any(_has_phrase(c) for c in node.children)
+        if isinstance(node, Not):
+            return _has_phrase(node.child)
+        return False
+
+    if _has_phrase(ast):
+        raise ValueError(
+            "phrase leaves need raw field text; use search_composed over the docs"
+        )
+    transform = term_transform or (lambda t: porter_stem(t.lower()))
+    postings = {
+        name: spark.read.parquet(os.path.join(index_dir, f"field={name}", "postings"))
+        for name in meta["fields"]
+    }
+    scored = _execute(ast, postings, {}, id_col, transform)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)

@@ -155,3 +155,51 @@ def test_executor_rejects_pure_negation(spark):
         search_composed(fields, "NOT spark")
     with pytest.raises(ValueError):
         search_composed(fields, "a OR NOT b")
+
+
+def test_indexed_composed_matches_live(spark, tmp_path):
+    """search_composed_indexed over the persisted multifield index must
+    rank identically to the live stemmed path; phrase leaves are
+    rejected with a pointer to the docs path."""
+    from distributed_crawler_spark.functions.text import porter_stem
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+    from distributed_crawler_spark.operators.search import build_postings_stemmed
+
+    docs = spark.createDataFrame(
+        [
+            (0, "running the spark join daily"),
+            (1, "windows sparked a joining run"),
+            (2, "nothing to see"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    fields = {
+        "title": docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("text"),
+        ),
+        "body": docs.select("doc_id", "text"),
+    }
+    idx = str(tmp_path / "mf_index")
+    write_multifield_index(fields, idx)
+
+    q = "running AND join~"
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search_composed(
+            fields, q,
+            term_transform=lambda t: porter_stem(t.lower()),
+            postings_fn=build_postings_stemmed,
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_composed_indexed(spark, idx, q).collect()
+    ]
+    assert got == want and got  # non-empty: 'running'->'run' matches both docs
+
+    with pytest.raises(ValueError):
+        search_composed_indexed(spark, idx, '"spark join"')
