@@ -169,6 +169,11 @@ class _Parser:
             maybe_field, rest = text.split(":", 1)
             if maybe_field in self.fields and rest:
                 field, text = maybe_field, rest
+            elif maybe_field in self.fields and not rest and self._peek() == "phrase":
+                # fielded phrase: title:"key order"
+                _, pval = self.toks[self.pos]
+                self.pos += 1
+                return Phrase(maybe_field, tuple(w for w in pval.split(" ") if w))
         if text.endswith("*") and len(text) > 1:
             return Wildcard(field, text[:-1])
         if text.endswith("~") and len(text) > 1:

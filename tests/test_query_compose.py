@@ -203,3 +203,18 @@ def test_indexed_composed_matches_live(spark, tmp_path):
 
     with pytest.raises(ValueError):
         search_composed_indexed(spark, idx, '"spark join"')
+
+
+def test_fielded_phrase(spark):
+    assert parse_query('title:"key order"', FIELDS) == Phrase(
+        "title", ("key", "order")
+    )
+    # unknown field prefix before a phrase stays two units (implicit AND)
+    assert parse_query('nope:"key order"', FIELDS) == And(
+        (Term(None, "nope:"), Phrase(None, ("key", "order")))
+    )
+    fields = _fields(spark)
+    # 'key order' is in doc 1's body but not in any 2-word title
+    assert [r["doc_id"] for r in
+            search_composed(fields, 'body:"key order"').collect()] == [1]
+    assert search_composed(fields, 'title:"key order"').count() == 0
