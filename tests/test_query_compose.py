@@ -218,3 +218,67 @@ def test_fielded_phrase(spark):
     assert [r["doc_id"] for r in
             search_composed(fields, 'body:"key order"').collect()] == [1]
     assert search_composed(fields, 'title:"key order"').count() == 0
+
+
+# ---- property-based parser fuzz (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _words = st.text(
+        alphabet="abcdefghij:*~", min_size=1, max_size=8
+    ).filter(lambda w: w not in ("AND", "OR", "NOT"))
+
+    @st.composite
+    def _queries(draw, depth=0):
+        if depth >= 3:
+            return draw(_words)
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            return draw(_words)
+        if kind == 1:
+            ws = draw(st.lists(_words, min_size=1, max_size=3))
+            return '"' + " ".join(w.replace('"', "") for w in ws) + '"'
+        if kind == 2:
+            return "(" + draw(_queries(depth + 1)) + ")"
+        a, b = draw(_queries(depth + 1)), draw(_queries(depth + 1))
+        op = {3: " AND ", 4: " OR ", 5: " NOT "}[kind]
+        return a + op + b
+
+    @given(_queries())
+    @settings(max_examples=200, deadline=None)
+    def test_parser_total_on_generated_queries(q):
+        """Any string the grammar can produce parses without crashing, and
+        the AST is well-formed (group arity >= 2, leaves non-empty)."""
+        ast = parse_query(q, FIELDS)
+
+        def check(node):
+            if isinstance(node, (And, Or)):
+                assert len(node.children) >= 2
+                for c in node.children:
+                    check(c)
+            elif isinstance(node, Not):
+                check(node.child)
+            elif isinstance(node, Phrase):
+                assert node.words and all(node.words)
+            elif isinstance(node, (Term, Wildcard, Fuzzy)):
+                text = getattr(node, "text", None) or getattr(node, "prefix")
+                assert text
+            else:
+                raise AssertionError(f"unknown node {node!r}")
+
+        check(ast)
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_crashes_unexpectedly(q):
+        """Arbitrary input either parses to a well-formed AST or raises
+        ValueError — never anything else."""
+        try:
+            parse_query(q, FIELDS)
+        except ValueError:
+            pass
+
+except ImportError:  # pragma: no cover
+    pass
