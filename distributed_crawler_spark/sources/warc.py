@@ -1,0 +1,100 @@
+"""WARC ingestion — Common-Crawl's native archive format as a source.
+
+BASELINE.json's input_hint is an Iceberg table of Common-Crawl-style
+pages (url, warc_ts, html, ...); real Common-Crawl data arrives as WARC
+archives (ISO 28500: `WARC/1.0` + header block + Content-Length-framed
+body per record). This module turns a directory of WARC files into that
+table shape with a dependency-free parser:
+
+    read_warc(spark, "s3-or-local/*.warc") -> (url, warc_ts, html)
+
+Scale shape: one WARC file = one task (``binaryFiles`` keeps each
+archive whole — WARC records are length-framed, not line-framed, so an
+archive cannot be split without an index; Common-Crawl's ~1 GB-per-file
+layout makes file-granular parallelism the standard approach, and the
+fan-out is #files, i.e. ~100k tasks at 100 TB). Parsing is per-partition
+Python over bytes (no row-at-a-time UDF); the result is written once to
+parquet/Iceberg and every downstream query runs on the columnar table.
+
+Only ``response`` records become pages; the embedded HTTP envelope is
+stripped (body after the first CRLFCRLF when it starts with HTTP/).
+write_warc() is the inverse, used by tests for byte-level round-trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGE_SCHEMA = "url STRING, warc_ts TIMESTAMP, html BINARY"
+
+
+def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (target_uri, warc_date, body) for each response record."""
+    i, n = 0, len(blob)
+    while i < n:
+        head_start = blob.find(b"WARC/", i)
+        if head_start < 0:
+            break
+        head_end = blob.find(b"\r\n\r\n", head_start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[head_start:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "ignore")] = (
+                v.strip().decode("utf-8", "ignore")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break  # unframed record: cannot resync safely
+        body_start = head_end + 4
+        body = blob[body_start : body_start + length]
+        i = body_start + length
+        if headers.get("warc-type") == "response":
+            if body[:5] == b"HTTP/":
+                sep = body.find(b"\r\n\r\n")
+                if sep >= 0:
+                    body = body[sep + 4 :]
+            uri = headers.get("warc-target-uri", "")
+            if uri:
+                yield uri, headers.get("warc-date", ""), body
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Read WARC archives into the input_hint page-table shape."""
+    from pyspark.sql import functions as F
+
+    files = spark.sparkContext.binaryFiles(path_glob)
+
+    def parse(kv):
+        _, blob = kv
+        return list(_parse_warc_bytes(bytes(blob)))
+
+    rows = files.flatMap(parse)
+    raw = spark.createDataFrame(rows, "url STRING, warc_date STRING, html BINARY")
+    return raw.select(
+        "url",
+        F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        "html",
+    )
+
+
+def write_warc(rows: list[tuple[str, str, bytes]], path: str) -> str:
+    """Serialize (url, iso_date, html) rows into one WARC file (test
+    fixture generator and the inverse of read_warc; bodies get the HTTP
+    response envelope Common-Crawl response records carry)."""
+    with open(path, "wb") as f:
+        for url, date, html in rows:
+            body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            headers = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: " + date.encode() + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            )
+            f.write(headers + b"\r\n" + body + b"\r\n\r\n")
+    return path

@@ -1,0 +1,80 @@
+"""WARC ingestion: byte-level round trip into the input_hint page-table
+shape, HTTP-envelope stripping, non-response records skipped, and a
+crawl driven off WARC-ingested pages matching the parquet-ingested
+crawl."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.sources.warc import read_warc, write_warc
+
+
+def test_warc_round_trip(spark, tmp_path):
+    rows = [
+        ("https://a.example.com/", "2024-01-02T03:04:05Z", b"<html>alpha</html>"),
+        ("https://b.example.com/x", "2024-02-03T04:05:06Z", b"<html>beta \xe2\x9c\x93</html>"),
+    ]
+    p = str(tmp_path / "test.warc")
+    write_warc(rows, p)
+    # splice in a non-response record: must be skipped, framing intact
+    blob = open(p, "rb").read()
+    extra = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://a.example.com/\r\n"
+        b"Content-Length: 4\r\n\r\nGET /\r\n\r\n"
+    )
+    open(p, "wb").write(extra + blob)
+
+    got = {
+        r["url"]: (str(r["warc_ts"]), bytes(r["html"]))
+        for r in read_warc(spark, p).collect()
+    }
+    assert set(got) == {u for u, _, _ in rows}
+    assert got["https://a.example.com/"][1] == b"<html>alpha</html>"
+    assert got["https://b.example.com/x"][1] == b"<html>beta \xe2\x9c\x93</html>"
+    assert got["https://a.example.com/"][0].startswith("2024-01-02 03:04:05")
+
+
+def test_crawl_from_warc_matches_parquet_ingest(spark, corpus_dir, tmp_path):
+    """End-to-end: export a slice of the HTML corpus to WARC, re-ingest
+    with read_warc, run the same bounded crawl on both page tables, and
+    compare the frontiers."""
+    from distributed_crawler_spark.config import CrawlConfig
+    from distributed_crawler_spark.operators.scheduler import CrawlScheduler
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+
+    sample = pages.orderBy("url").limit(200).select("url", "warc_ts", "html")
+    rows = [
+        (r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(r["html"]))
+        for r in sample.collect()
+    ]
+    # two archives to prove file-granular parallelism composes
+    write_warc(rows[:100], str(tmp_path / "a.warc"))
+    write_warc(rows[100:], str(tmp_path / "b.warc"))
+    warc_pages = read_warc(spark, str(tmp_path) + "/*.warc")
+
+    # byte parity of the ingested html (timestamps survive to the second)
+    orig = {r["url"]: bytes(r["html"]) for r in sample.collect()}
+    back = {r["url"]: bytes(r["html"]) for r in warc_pages.collect()}
+    assert back == orig
+
+    results = {}
+    for name, table in (("parquet", sample), ("warc", warc_pages)):
+        state = f"/tmp/dcs_warc_crawl_{name}"
+        shutil.rmtree(state, ignore_errors=True)
+        s = CrawlScheduler(
+            spark, table.withColumn("html", F.col("html").cast("binary")),
+            robots, state,
+            CrawlConfig(max_depth=1, max_urls_per_domain=5, max_retries=0),
+        )
+        s.run(seeds=seeds)
+        results[name] = {
+            (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
+        }
+    assert results["warc"] == results["parquet"]
