@@ -97,11 +97,18 @@ def _search(args) -> None:
         # query the persisted index (stemmed terms, zero query-time Python)
         from .functions.text import process_text_py
 
-        terms = process_text_py(args.query)
-        if args.mode == "bm25":
-            out = search.bm25_from_index(spark, args.index, terms, topk=args.topk)
+        if args.mode == "query":
+            # composed query over a multifield index snapshot
+            # (write_multifield_index layout)
+            from .operators.query import search_composed_indexed
+
+            out = search_composed_indexed(spark, args.index, args.query, topk=args.topk)
         else:
-            out = search.tf_from_index(spark, args.index, terms, topk=args.topk)
+            terms = process_text_py(args.query)
+            if args.mode == "bm25":
+                out = search.bm25_from_index(spark, args.index, terms, topk=args.topk)
+            else:
+                out = search.tf_from_index(spark, args.index, terms, topk=args.topk)
         _emit_results(spark, args, out)
         return
     sched_extracted = spark.read.parquet(

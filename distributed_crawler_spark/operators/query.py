@@ -100,6 +100,10 @@ def _tokenize(q: str) -> list[tuple[str, str | None]]:
     while i < len(q):
         m = _TOKEN.match(q, i)
         if m is None or m.end() == i:
+            if q[i:].strip():
+                # e.g. an unterminated quote — erroring beats silently
+                # truncating the query (which would broaden its scope)
+                raise ValueError(f"cannot tokenize query at position {i}: {q[i:]!r}")
             break
         i = m.end()
         if m.group("lparen"):
@@ -161,8 +165,9 @@ class _Parser:
         kind, val = self.toks[self.pos]
         self.pos += 1
         if kind == "phrase":
-            return Phrase(None, tuple(w for w in val.split(" ") if w))
-        assert kind == "word"
+            return self._phrase(None, val)
+        if kind != "word":
+            raise ValueError(f"unexpected {kind!r} where a term was expected")
         field = None
         text = val
         if ":" in text:
@@ -173,12 +178,19 @@ class _Parser:
                 # fielded phrase: title:"key order"
                 _, pval = self.toks[self.pos]
                 self.pos += 1
-                return Phrase(maybe_field, tuple(w for w in pval.split(" ") if w))
+                return self._phrase(maybe_field, pval)
         if text.endswith("*") and len(text) > 1:
             return Wildcard(field, text[:-1])
         if text.endswith("~") and len(text) > 1:
             return Fuzzy(field, text[:-1])
         return Term(field, text)
+
+    @staticmethod
+    def _phrase(field: str | None, val: str) -> Phrase:
+        words = tuple(w for w in val.split(" ") if w)
+        if not words:
+            raise ValueError("empty phrase")
+        return Phrase(field, words)
 
 
 def parse_query(q: str, known_fields: set[str] | frozenset[str] = frozenset()):
@@ -223,17 +235,17 @@ def _leaf_scores(
                 ).select(id_col, F.col("tf").alias("score"))
             )
         elif isinstance(leaf, Phrase):
-            # occurrence count by length arithmetic over the raw field
-            # text (operators/search.py phrase_match)
-            phrase = " ".join(transform(w) for w in leaf.words)
-            text = F.col("text")
-            n = (
-                (F.length(text) - F.length(F.replace(text, F.lit(phrase), F.lit(""))))
-                / len(phrase)
-            ).cast("long")
+            # phrases match the RAW field text (search.py phrase_match's
+            # occurrence-count arithmetic), so the analyzer transform is
+            # deliberately NOT applied — stemming the words of
+            # '"Breaking News"' would make a literally-present phrase
+            # unmatchable against the unanalyzed text
+            from .search import phrase_match
+
+            phrase = " ".join(leaf.words)
             parts.append(
-                docs[f].select(F.col(id_col), n.alias("score")).filter(
-                    F.col("score") > 0
+                phrase_match(docs[f], phrase, id_col).select(
+                    id_col, F.col("n_occurrences").alias("score")
                 )
             )
         else:  # pragma: no cover
@@ -339,8 +351,20 @@ def search_composed_indexed(
 
     from ..functions.text import porter_stem
 
-    with open(os.path.join(index_dir, "fields.json")) as f:
-        meta = json.load(f)
+    fields_json = os.path.join(index_dir, "fields.json")
+    if os.path.exists(fields_json):
+        with open(fields_json) as f:
+            meta = json.load(f)
+        field_dirs = {
+            name: os.path.join(index_dir, f"field={name}") for name in meta["fields"]
+        }
+    else:
+        # plain write_index_snapshot layout (the CLI `index` command):
+        # treat it as one body field
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        field_dirs = {"body": index_dir}
+        meta = {"fields": ["body"], "id_col": meta["id_col"]}
     id_col = meta["id_col"]
     ast = parse_query(query, frozenset(meta["fields"]))
 
@@ -359,8 +383,8 @@ def search_composed_indexed(
         )
     transform = term_transform or (lambda t: porter_stem(t.lower()))
     postings = {
-        name: spark.read.parquet(os.path.join(index_dir, f"field={name}", "postings"))
-        for name in meta["fields"]
+        name: spark.read.parquet(os.path.join(d, "postings"))
+        for name, d in field_dirs.items()
     }
     scored = _execute(ast, postings, {}, id_col, transform)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)

@@ -15,13 +15,15 @@ scale each directory is an Iceberg table and each round a snapshot):
         pending/round=R/    (url, host, depth, retry_count)
         cohort/round=R/     (url, host, depth, status, round, retry_count)
         extracted/round=R/  parse output (incl. parent depth)
+        seen/round=R/       (url, host) first attempts of round R
         counts/round=R/     (host, n_scheduled) cumulative first-attempt
         lineage/round=R/    (round, partition_id, urls_in, urls_out, bytes, wall_ms)
 
 Resume: the max round with a lineage marker is the last committed round;
-restart reads pending/round=R+1 and reconstructs seen/host-counts from
-cohorts 0..R ∪ pending R+1. (north_rule: "resumable from checkpoint with
-per-partition lineage + metrics".)
+restart reads pending/round=R+1; seen is one partition-discovered read
+of seen/ (missing rounds backfilled from pending) and host-counts come
+from the cumulative counts table. (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics".)
 """
 
 from __future__ import annotations
@@ -111,7 +113,7 @@ class CrawlScheduler:
     def _read(self, table: str, rnd: int) -> DataFrame:
         return self.spark.read.parquet(_p(self._root, table, rnd))
 
-    def _seen_and_counts(self, upto_round: int, include_pending_round: int | None):
+    def _seen_and_counts(self, pending_round: int | None):
         """seen = every URL ever scheduled (first attempts through the
         not-yet-processed pending cohort).
 
@@ -128,7 +130,7 @@ class CrawlScheduler:
           * counts/round=R holds the cumulative per-host scheduled totals
             through pending cohort R, maintained as prior-counts +
             new-cohort-counts — O(new URLs) per round."""
-        rnd = include_pending_round
+        rnd = pending_round
         if rnd is None:
             return None, None
         # backfill any missing seen partition (first processing of this
@@ -235,7 +237,7 @@ class CrawlScheduler:
         t0 = time.monotonic()
         cfg = self.cfg
         pending = with_retry_count(self._read(PENDING, rnd))
-        seen, counts = self._seen_and_counts(rnd - 1, include_pending_round=rnd)
+        seen, counts = self._seen_and_counts(rnd)
 
         cohort, extracted, fetched = fetch_extract(
             pending, self.pages, rnd, cfg.flaky_mod

@@ -31,7 +31,16 @@ PAGE_SCHEMA = "url STRING, warc_ts TIMESTAMP, html BINARY"
 
 
 def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
-    """Yield (target_uri, warc_date, body) for each response record."""
+    """Yield (target_uri, warc_date, body) for each response record.
+    Transparently inflates gzip archives (.warc.gz — multi-member
+    streams, how Common-Crawl actually ships) and raises on content
+    that is recognizably not WARC instead of yielding an empty table."""
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+
+        blob = gzip.decompress(blob)  # handles concatenated members
+    if blob and blob.find(b"WARC/") < 0:
+        raise ValueError("not a WARC archive (no WARC/ record header found)")
     i, n = 0, len(blob)
     while i < n:
         head_start = blob.find(b"WARC/", i)

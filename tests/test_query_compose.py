@@ -282,3 +282,44 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_review_r03_parser_edge_cases(spark):
+    """Code-review findings: operator-in-leaf-position and unterminated
+    quotes raise ValueError (never AssertionError / silent truncation);
+    empty phrases are rejected; phrase leaves match RAW text even under
+    an analyzer transform."""
+    from distributed_crawler_spark.functions.text import porter_stem
+    from distributed_crawler_spark.operators.search import build_postings_stemmed
+
+    for bad in ("AND", ")", "OR foo", "x AND AND y", 'foo "bar baz', '""', 'a "" b'):
+        with pytest.raises(ValueError):
+            parse_query(bad, FIELDS)
+
+    # phrase + analyzer transform: '"Breaking News"' must match the raw
+    # text even though the transform would stem/lower the words
+    docs = spark.createDataFrame(
+        [(0, "Breaking News today and running joins")], "doc_id INT, text STRING"
+    )
+    got = search_composed(
+        {"body": docs},
+        '"Breaking News" AND running',
+        term_transform=lambda t: porter_stem(t.lower()),
+        postings_fn=build_postings_stemmed,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+def test_indexed_composed_single_field_snapshot(spark, tmp_path):
+    """search_composed_indexed accepts a plain write_index_snapshot dir
+    (the CLI `index` output) as a single body field."""
+    from distributed_crawler_spark.operators.query import search_composed_indexed
+    from distributed_crawler_spark.operators.search import write_index_snapshot
+
+    docs = spark.createDataFrame(
+        [(0, "running the join daily"), (1, "nothing")], "doc_id INT, text STRING"
+    )
+    idx = str(tmp_path / "plain_index")
+    write_index_snapshot(docs, idx)
+    got = search_composed_indexed(spark, idx, "running AND joins").collect()
+    assert [r["doc_id"] for r in got] == [0]

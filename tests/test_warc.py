@@ -78,3 +78,25 @@ def test_crawl_from_warc_matches_parquet_ingest(spark, corpus_dir, tmp_path):
             (r["url"], r["depth"], r["status"]) for r in s.frontier().collect()
         }
     assert results["warc"] == results["parquet"]
+
+
+def test_warc_gzip_and_diagnostics(spark, tmp_path):
+    """.warc.gz archives (how Common-Crawl ships) inflate transparently;
+    unrecognizable content raises instead of yielding an empty table."""
+    import gzip
+
+    import pytest
+
+    from distributed_crawler_spark.sources.warc import _parse_warc_bytes
+
+    rows = [("https://gz.example.com/", "2024-01-01T00:00:00Z", b"<html>gz</html>")]
+    p = str(tmp_path / "test.warc")
+    write_warc(rows, p)
+    gz = str(tmp_path / "test.warc.gz")
+    open(gz, "wb").write(gzip.compress(open(p, "rb").read()))
+
+    got = {r["url"]: bytes(r["html"]) for r in read_warc(spark, gz).collect()}
+    assert got == {"https://gz.example.com/": b"<html>gz</html>"}
+
+    with pytest.raises(ValueError):
+        list(_parse_warc_bytes(b"this is definitely not an archive"))
