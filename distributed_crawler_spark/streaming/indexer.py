@@ -12,20 +12,27 @@ update-else-insert semantics as update_document — a re-crawled url's
 postings replace its old ones.
 
 Scale shape: each micro-batch touches only the NEW pages' postings. The
-postings table is hash-partitioned on the DOC (bucket=xxhash64(doc_id)
-mod N, sorted by term within each file so ``term IN (...)`` still skips
-row groups via parquet min/max stats), and the merge rewrites ONLY the
-buckets containing the batch's docs: a partition-pruned read of those
-buckets, anti-join out the batch docs' old rows, stage the merged
+postings AND docstats tables are hash-partitioned on the DOC
+(bucket=xxhash64(doc_id) mod N; postings term-sorted within files so
+``term IN (...)`` still skips row groups), and the merge rewrites ONLY
+the buckets containing the batch's docs: a partition-pruned read of
+those buckets, anti-join out the batch docs' old rows, stage the merged
 buckets to a tmp dir, then an atomic per-bucket directory swap — I/O per
 micro-batch is O(batch ∪ its buckets), not O(index) (VERDICT r02 "What's
 wrong" #3; an Iceberg MERGE INTO over the bucket transform at cluster
-scale). The swap follows sources/storage.py's rename/.bak protocol and
-the merge is idempotent (anti-join by doc then insert), so any crash
-point is healed by bucket recovery plus the checkpoint replaying the
-batch. State (which files are already indexed) lives in the streaming
-checkpoint, so the indexer resumes exactly like the reference's queue
-consumer.
+scale). meta.json (n_docs, avgdl) is maintained INCREMENTALLY from the
+replaced docs' old stats (read from the touched buckets alone) instead
+of a per-batch full docstats scan.
+
+Crash safety: the swap follows sources/storage.py's rename/.bak protocol
+and the table merges are idempotent (anti-join by doc then insert), so
+any crash point is healed by bucket recovery plus the checkpoint
+replaying the batch; the meta delta is NOT idempotent, so it carries the
+micro-batch's epoch id and is written BEFORE the swaps — a replay of the
+same epoch skips the already-applied delta and just re-runs the
+idempotent merges. State (which files are already indexed) lives in the
+streaming checkpoint, so the indexer resumes exactly like the
+reference's queue consumer.
 """
 
 from __future__ import annotations
@@ -46,75 +53,135 @@ def _with_bucket(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _recover_buckets(postings_dir: str) -> None:
+def _recover_buckets(table_dir: str) -> None:
     """Heal a crash mid bucket-swap (single-writer assumption, mirroring
     sources/storage.py recover_table): a leftover bucket=K.bak means the
     swap either completed (bucket=K exists: drop the backup) or crashed
     between the renames (restore the backup); orphaned staging dirs are
     safe to delete — the checkpoint will replay the batch."""
-    if os.path.isdir(postings_dir):
-        for d in os.listdir(postings_dir):
+    if os.path.isdir(table_dir):
+        for d in os.listdir(table_dir):
             if d.endswith(".bak"):
-                bak = os.path.join(postings_dir, d)
+                bak = os.path.join(table_dir, d)
                 live = bak[: -len(".bak")]
                 if os.path.exists(live):
                     shutil.rmtree(bak)
                 else:
                     os.rename(bak, live)
-    tmp = postings_dir + ".tmp-stream"
+    tmp = table_dir + ".tmp-stream"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
 
 
+def _swap_touched_buckets(
+    merged: DataFrame, table_dir: str, touched: list[int], sort_col: str
+) -> None:
+    """Stage ``merged`` (rows of the touched buckets only, with a bucket
+    column) and atomically swap just those bucket dirs into place."""
+    tmp = table_dir + ".tmp-stream"
+    (
+        merged.repartition(F.col("bucket"))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    for k in touched:
+        live = os.path.join(table_dir, f"bucket={k}")
+        bak = live + ".bak"
+        staged = os.path.join(tmp, f"bucket={k}")
+        if os.path.exists(live):
+            os.rename(live, bak)
+        if os.path.exists(staged):
+            os.rename(staged, live)  # touched ⇒ ≥1 fresh row ⇒ staged exists
+        elif os.path.exists(bak):
+            os.rename(bak, live)  # defensive: never lose a bucket
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+    shutil.rmtree(tmp)
+
+
+def _read_meta(meta_path: str) -> dict:
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def _merge_batch_into_index(
-    batch: DataFrame, index_dir: str, id_col: str = "doc_id"
+    batch: DataFrame, index_dir: str, id_col: str = "doc_id", epoch_id: int = -1
 ) -> None:
     """update_document semantics per micro-batch: delete the batch docs'
     old postings, insert their fresh ones — touching ONLY the doc-buckets
-    the batch hits; docstats merged likewise; meta.json (n_docs, avgdl)
-    recomputed from the merged docstats."""
+    the batch hits; docstats likewise; meta.json updated incrementally
+    (epoch-guarded: a checkpoint replay of the same epoch skips the
+    already-applied delta and re-runs only the idempotent merges)."""
     from ..operators.search import build_postings_stemmed
-    from ..sources.storage import merge_upsert, read_table
 
     spark = batch.sparkSession
     postings = _with_bucket(build_postings_stemmed(batch, id_col), id_col).persist()
     postings_dir = os.path.join(index_dir, "postings")
     stats_dir = os.path.join(index_dir, "docstats")
+    meta_path = os.path.join(index_dir, "meta.json")
 
     touched = [r["bucket"] for r in postings.select("bucket").distinct().collect()]
     if not touched:
         postings.unpersist()
         return
 
-    # postings key is (doc, term) — but update_document replaces the DOC:
-    # within the touched buckets only, anti-join out every old row of the
-    # batch's docs, then append the fresh rows; every untouched bucket's
-    # files are left exactly as they are
+    os.makedirs(index_dir, exist_ok=True)
     _recover_buckets(postings_dir)
+    _recover_buckets(stats_dir)
+    batch_ids = postings.select(id_col).distinct()
+    stats = _with_bucket(
+        postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl")), id_col
+    ).persist()
+
+    # ---- meta delta FIRST (pre-swap state is what the delta is against)
+    old_meta = _read_meta(meta_path)
+    if old_meta.get("last_epoch") != epoch_id or epoch_id < 0:
+        new_row = stats.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        old_count, old_sum = 0, 0
+        if os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
+            replaced = (
+                spark.read.parquet(stats_dir)
+                .filter(F.col("bucket").isin(touched))  # partition-pruned
+                .join(batch_ids, id_col, "left_semi")
+            )
+            row = replaced.agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+            ).collect()[0]
+            old_count, old_sum = row["n"], row["s"]
+        n_docs = old_meta.get("n_docs", 0)
+        # pre-incremental metas lack sum_dl: reconstruct once from avgdl
+        sum_dl = old_meta.get("sum_dl", round(old_meta.get("avgdl", 0.0) * n_docs))
+        n_docs = n_docs - old_count + new_row["n"]
+        sum_dl = sum_dl - old_sum + new_row["s"]
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+                    "sum_dl": sum_dl,
+                    "id_col": id_col,
+                    "last_epoch": epoch_id,
+                },
+                f,
+            )
+        os.replace(tmp_meta, meta_path)  # atomic: no torn meta on crash
+
+    # ---- postings: anti-join the batch docs' old rows out of the
+    # touched buckets only, append the fresh rows, swap those buckets
     if os.path.exists(os.path.join(postings_dir, "_SUCCESS")):
         current = spark.read.parquet(postings_dir).filter(
             F.col("bucket").isin(touched)  # partition-pruned scan
         )
-        kept = current.join(postings.select(id_col).distinct(), id_col, "left_anti")
+        kept = current.join(batch_ids, id_col, "left_anti")
         merged = kept.unionByName(postings.select(*kept.columns))
-        tmp = postings_dir + ".tmp-stream"
-        (
-            merged.repartition(F.col("bucket"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(tmp)
-        )
-        for k in touched:
-            live = os.path.join(postings_dir, f"bucket={k}")
-            bak = live + ".bak"
-            staged = os.path.join(tmp, f"bucket={k}")
-            if os.path.exists(live):
-                os.rename(live, bak)
-            os.rename(staged, live)  # touched ⇒ ≥1 fresh row ⇒ staged exists
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-        shutil.rmtree(tmp)
+        _swap_touched_buckets(merged, postings_dir, touched, "term")
     else:
         (
             postings.repartition(F.col("bucket"))
@@ -124,19 +191,23 @@ def _merge_batch_into_index(
             .parquet(postings_dir)
         )
 
-    stats = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    merge_upsert(spark, stats_dir, stats, key=id_col)
-    postings.unpersist()
-
-    all_stats = read_table(spark, stats_dir)
-    row = all_stats.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("a")
-    ).collect()[0]
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(
-            {"n_docs": row["n"], "avgdl": float(row["a"] or 0.0), "id_col": id_col},
-            f,
+    # ---- docstats: identical layout and swap (same touched buckets —
+    # the bucket function keys on the doc id)
+    if os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
+        cur_stats = spark.read.parquet(stats_dir).filter(F.col("bucket").isin(touched))
+        kept_stats = cur_stats.join(batch_ids, id_col, "left_anti")
+        merged_stats = kept_stats.unionByName(stats.select(*kept_stats.columns))
+        _swap_touched_buckets(merged_stats, stats_dir, touched, id_col)
+    else:
+        (
+            stats.repartition(F.col("bucket"))
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(stats_dir)
         )
+    postings.unpersist()
+    stats.unpersist()
 
 
 def start_streaming_indexer(
@@ -167,7 +238,7 @@ def start_streaming_indexer(
     return (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda batch, _epoch: _merge_batch_into_index(batch, index_dir)
+            lambda b, epoch: _merge_batch_into_index(b, index_dir, epoch_id=epoch)
         )
         .trigger(availableNow=True)
         .start()

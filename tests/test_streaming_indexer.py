@@ -160,3 +160,46 @@ def test_recover_buckets_heals_torn_swap(spark):
     assert os.path.exists(f"{pdir}/bucket=2/f.parquet")  # kept the new copy
     assert not os.path.exists(f"{pdir}/bucket=2.bak")
     assert not os.path.exists(pdir + ".tmp-stream")
+
+
+def test_docstats_bucketed_and_meta_incremental(spark):
+    """docstats uses the same touched-bucket merge as postings, and
+    meta.json (n_docs, avgdl) maintained incrementally equals a full
+    recompute after inserts AND updates."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_meta_incr_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.range(300).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string")).alias("text"),
+    )
+    _merge_batch_into_index(b1, idx, epoch_id=0)
+    # update 5 existing docs + insert 2 new ones
+    b2 = spark.range(5).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("gamma delta epsilon").alias("text"),
+    ).unionByName(
+        spark.range(2).select(
+            F.concat(F.lit("new"), F.col("id")).alias("doc_id"),
+            F.lit("zeta").alias("text"),
+        )
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=1)
+
+    stats = spark.read.parquet(f"{idx}/docstats")
+    want = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["n_docs"] == want["n"] == 302
+    assert abs(meta["avgdl"] - want["a"]) < 1e-9
+    # docstats is bucket-partitioned like postings
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{idx}/docstats"))
+
+    # checkpoint-replay semantics: re-running the SAME epoch must not
+    # re-apply the meta delta (merges are idempotent, the delta is not)
+    _merge_batch_into_index(b2, idx, epoch_id=1)
+    meta2 = json.load(open(f"{idx}/meta.json"))
+    assert meta2["n_docs"] == meta["n_docs"]
+    assert abs(meta2["avgdl"] - meta["avgdl"]) < 1e-9
