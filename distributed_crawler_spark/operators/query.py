@@ -94,8 +94,11 @@ _TOKEN = re.compile(r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<phrase>"[^"]*")|(?
 _OPERATORS = ("AND", "OR", "NOT")
 
 
-def _tokenize(q: str) -> list[tuple[str, str | None]]:
-    out: list[tuple[str, str | None]] = []
+def _tokenize(q: str) -> list[tuple[str, str | None, int, int]]:
+    """(kind, value, start, end) — spans let the parser distinguish
+    adjacent constructs (title:"x") from whitespace-separated ones
+    (title: "x"), which tokenization would otherwise erase."""
+    out: list[tuple[str, str | None, int, int]] = []
     i = 0
     while i < len(q):
         m = _TOKEN.match(q, i)
@@ -107,14 +110,17 @@ def _tokenize(q: str) -> list[tuple[str, str | None]]:
             break
         i = m.end()
         if m.group("lparen"):
-            out.append(("(", None))
+            out.append(("(", None, m.start("lparen"), m.end("lparen")))
         elif m.group("rparen"):
-            out.append((")", None))
+            out.append((")", None, m.start("rparen"), m.end("rparen")))
         elif m.group("phrase") is not None:
-            out.append(("phrase", m.group("phrase")[1:-1]))
+            out.append(
+                ("phrase", m.group("phrase")[1:-1], m.start("phrase"), m.end("phrase"))
+            )
         else:
             w = m.group("word")
-            out.append((w, None) if w in _OPERATORS else ("word", w))
+            kind = w if w in _OPERATORS else "word"
+            out.append((kind, None if kind != "word" else w, m.start("word"), m.end("word")))
     return out
 
 
@@ -162,7 +168,7 @@ class _Parser:
                 raise ValueError("unbalanced parenthesis")
             self.pos += 1
             return node
-        kind, val = self.toks[self.pos]
+        kind, val, _start, end = self.toks[self.pos]
         self.pos += 1
         if kind == "phrase":
             return self._phrase(None, val)
@@ -174,9 +180,15 @@ class _Parser:
             maybe_field, rest = text.split(":", 1)
             if maybe_field in self.fields and rest:
                 field, text = maybe_field, rest
-            elif maybe_field in self.fields and not rest and self._peek() == "phrase":
+            elif (
+                maybe_field in self.fields
+                and not rest
+                and self._peek() == "phrase"
+                and self.toks[self.pos][2] == end  # ADJACENT: title:"x",
+                # not title: "x" (whitespace separates into two units)
+            ):
                 # fielded phrase: title:"key order"
-                _, pval = self.toks[self.pos]
+                _, pval, _, _ = self.toks[self.pos]
                 self.pos += 1
                 return self._phrase(maybe_field, pval)
         if text.endswith("*") and len(text) > 1:

@@ -59,7 +59,13 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break  # unframed record: cannot resync safely
+        if length < 0:
+            raise ValueError("negative Content-Length in WARC record")
         body_start = head_end + 4
+        if body_start + length > n:
+            # truncated archive (partial download): raising beats
+            # yielding a silently-clamped body as a valid page
+            raise ValueError("truncated WARC record (Content-Length past EOF)")
         body = blob[body_start : body_start + length]
         i = body_start + length
         if headers.get("warc-type") == "response":
@@ -80,7 +86,9 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
 
     def parse(kv):
         _, blob = kv
-        return list(_parse_warc_bytes(bytes(blob)))
+        # generator, not list: flatMap pipelines one record at a time, so
+        # a task never holds every page body of a ~1 GB archive at once
+        return _parse_warc_bytes(bytes(blob))
 
     rows = files.flatMap(parse)
     raw = spark.createDataFrame(rows, "url STRING, warc_date STRING, html BINARY")

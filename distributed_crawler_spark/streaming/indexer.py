@@ -108,14 +108,43 @@ def _read_meta(meta_path: str) -> dict:
         return json.load(f)
 
 
+def _migrate_flat_docstats(spark, stats_dir: str, id_col: str) -> None:
+    """One-time upgrade of a pre-bucketing index: docstats written by the
+    old merge_upsert layout is a flat (doc, dl) table with no bucket
+    column — rewrite it into the bucket layout (O(index) once, after
+    which every merge is bucket-incremental again)."""
+    flat = spark.read.parquet(stats_dir)
+    if "bucket" in flat.columns:
+        return
+    tmp = stats_dir + ".tmp-migrate"
+    (
+        _with_bucket(flat, id_col)
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    bak = stats_dir + ".bak"
+    os.rename(stats_dir, bak)
+    os.rename(tmp, stats_dir)
+    shutil.rmtree(bak)
+
+
 def _merge_batch_into_index(
-    batch: DataFrame, index_dir: str, id_col: str = "doc_id", epoch_id: int = -1
+    batch: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    epoch_id: int = -1,
+    stream_id: str = "",
 ) -> None:
     """update_document semantics per micro-batch: delete the batch docs'
     old postings, insert their fresh ones — touching ONLY the doc-buckets
-    the batch hits; docstats likewise; meta.json updated incrementally
-    (epoch-guarded: a checkpoint replay of the same epoch skips the
-    already-applied delta and re-runs only the idempotent merges)."""
+    the batch hits; docstats likewise; meta.json updated incrementally.
+    The meta guard key is (stream identity, epoch): a checkpoint replay
+    of the same epoch skips the already-applied delta and re-runs only
+    the idempotent merges, while a NEW checkpoint over an existing index
+    (fresh epoch numbering) is a different key and applies normally."""
     from ..operators.search import build_postings_stemmed
 
     spark = batch.sparkSession
@@ -137,22 +166,38 @@ def _merge_batch_into_index(
         postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl")), id_col
     ).persist()
 
+    from ..sources.storage import recover_table
+
+    recover_table(stats_dir)  # heal a crash mid flat->bucket migration
+    have_stats = os.path.exists(os.path.join(stats_dir, "_SUCCESS"))
+    cur_stats = None
+    if have_stats:
+        _migrate_flat_docstats(spark, stats_dir, id_col)
+        # ONE partition-pruned scan of the touched buckets, reused by
+        # both the meta delta and the merge below
+        cur_stats = (
+            spark.read.parquet(stats_dir)
+            .filter(F.col("bucket").isin(touched))
+            .persist()
+        )
+
     # ---- meta delta FIRST (pre-swap state is what the delta is against)
+    epoch_key = f"{stream_id}:{epoch_id}"
     old_meta = _read_meta(meta_path)
-    if old_meta.get("last_epoch") != epoch_id or epoch_id < 0:
+    if old_meta.get("last_epoch_key") != epoch_key or epoch_id < 0:
         new_row = stats.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
         ).collect()[0]
         old_count, old_sum = 0, 0
-        if os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
-            replaced = (
-                spark.read.parquet(stats_dir)
-                .filter(F.col("bucket").isin(touched))  # partition-pruned
-                .join(batch_ids, id_col, "left_semi")
+        if cur_stats is not None:
+            row = (
+                cur_stats.join(batch_ids, id_col, "left_semi")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+                )
+                .collect()[0]
             )
-            row = replaced.agg(
-                F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
-            ).collect()[0]
             old_count, old_sum = row["n"], row["s"]
         n_docs = old_meta.get("n_docs", 0)
         # pre-incremental metas lack sum_dl: reconstruct once from avgdl
@@ -167,7 +212,7 @@ def _merge_batch_into_index(
                     "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
                     "sum_dl": sum_dl,
                     "id_col": id_col,
-                    "last_epoch": epoch_id,
+                    "last_epoch_key": epoch_key,
                 },
                 f,
             )
@@ -192,12 +237,12 @@ def _merge_batch_into_index(
         )
 
     # ---- docstats: identical layout and swap (same touched buckets —
-    # the bucket function keys on the doc id)
-    if os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
-        cur_stats = spark.read.parquet(stats_dir).filter(F.col("bucket").isin(touched))
+    # the bucket function keys on the doc id); reuses the cur_stats scan
+    if cur_stats is not None:
         kept_stats = cur_stats.join(batch_ids, id_col, "left_anti")
         merged_stats = kept_stats.unionByName(stats.select(*kept_stats.columns))
         _swap_touched_buckets(merged_stats, stats_dir, touched, id_col)
+        cur_stats.unpersist()
     else:
         (
             stats.repartition(F.col("bucket"))
@@ -235,10 +280,17 @@ def start_streaming_indexer(
         .parquet(extracted_glob)
         .select(F.col("url").alias("doc_id"), "text")
     )
+    # the checkpoint IS the epoch-numbering authority, so its path is the
+    # stream identity for the meta guard: replays within one checkpoint
+    # share (id, epoch); a fresh checkpoint over the same index restarts
+    # epochs at 0 but under a different id, so its deltas apply normally
+    stream_id = os.path.abspath(checkpoint_dir)
     return (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda b, epoch: _merge_batch_into_index(b, index_dir, epoch_id=epoch)
+            lambda b, epoch: _merge_batch_into_index(
+                b, index_dir, epoch_id=epoch, stream_id=stream_id
+            )
         )
         .trigger(availableNow=True)
         .start()

@@ -323,3 +323,11 @@ def test_indexed_composed_single_field_snapshot(spark, tmp_path):
     write_index_snapshot(docs, idx)
     got = search_composed_indexed(spark, idx, "running AND joins").collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+def test_fielded_phrase_requires_adjacency():
+    """'title: "key order"' (whitespace after the colon) must stay two
+    units — only the adjacent form binds the phrase to the field."""
+    assert parse_query('title: "key order"', FIELDS) == And(
+        (Term(None, "title:"), Phrase(None, ("key", "order")))
+    )

@@ -203,3 +203,65 @@ def test_docstats_bucketed_and_meta_incremental(spark):
     meta2 = json.load(open(f"{idx}/meta.json"))
     assert meta2["n_docs"] == meta["n_docs"]
     assert abs(meta2["avgdl"] - meta["avgdl"]) < 1e-9
+
+
+def test_legacy_flat_docstats_migrates(spark):
+    """An index whose docstats was written by the pre-bucketing layout
+    (flat merge_upsert table, no bucket column) must migrate on the next
+    merge instead of crashing on the bucket filter."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_legacy_stats_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.range(50).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("alpha beta").alias("text"),
+    )
+    _merge_batch_into_index(b1, idx, epoch_id=0)
+    # rewrite docstats into the LEGACY flat layout
+    flat = spark.read.parquet(f"{idx}/docstats").select("doc_id", "dl")
+    tmp = f"{idx}/docstats.flat"
+    flat.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{idx}/docstats")
+    os.rename(tmp, f"{idx}/docstats")
+
+    b2 = spark.range(3).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("gamma delta epsilon").alias("text"),
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=1)  # must not raise
+    stats = spark.read.parquet(f"{idx}/docstats")
+    assert "bucket" in stats.columns and stats.count() == 50
+    meta = json.load(open(f"{idx}/meta.json"))
+    want = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    assert meta["n_docs"] == want["n"]
+    assert abs(meta["avgdl"] - want["a"]) < 1e-9
+
+
+def test_new_checkpoint_over_existing_index_applies_meta(spark, corpus_dir):
+    """The meta guard keys on (stream identity, epoch): a FRESH checkpoint
+    over an existing index restarts epochs at 0 but must still apply its
+    delta (same-epoch-number skip only holds within one checkpoint)."""
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_epoch_key_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("alpha beta").alias("text"),
+    )
+    _merge_batch_into_index(b1, idx, epoch_id=0, stream_id="ckpt-A")
+    n1 = json.load(open(f"{idx}/meta.json"))["n_docs"]
+    # new checkpoint, epoch numbering restarts at 0, new docs
+    b2 = spark.range(4).select(
+        F.concat(F.lit("v"), F.col("id")).alias("doc_id"),
+        F.lit("gamma").alias("text"),
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=0, stream_id="ckpt-B")
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["n_docs"] == n1 + 4
+    # and a replay WITHIN ckpt-B of the same epoch is still skipped
+    _merge_batch_into_index(b2, idx, epoch_id=0, stream_id="ckpt-B")
+    assert json.load(open(f"{idx}/meta.json"))["n_docs"] == n1 + 4

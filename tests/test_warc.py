@@ -100,3 +100,25 @@ def test_warc_gzip_and_diagnostics(spark, tmp_path):
 
     with pytest.raises(ValueError):
         list(_parse_warc_bytes(b"this is definitely not an archive"))
+
+
+def test_warc_rejects_negative_and_truncated_records():
+    """A negative Content-Length must not loop forever, and a record cut
+    off mid-body raises instead of yielding a clamped page."""
+    import pytest
+
+    from distributed_crawler_spark.sources.warc import _parse_warc_bytes
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/\r\nContent-Length: -1000\r\n\r\nbody"
+    )
+    with pytest.raises(ValueError):
+        list(_parse_warc_bytes(neg))
+
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/\r\nContent-Length: 99999\r\n\r\nshort"
+    )
+    with pytest.raises(ValueError):
+        list(_parse_warc_bytes(truncated))
