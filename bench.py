@@ -157,7 +157,7 @@ def frontier_worker(cores: int) -> None:
     spark = get_spark(cores=cores, app_name=f"frontier-bench-{cores}")
     corpus = _ensure_corpus(spark)
     # warmup pre-spawns + reuses the per-core Python workers and JITs the
-    # JVM paths; then best-of-3 measured runs — this sandbox is a VM and
+    # JVM paths; then best-of-2 measured runs — this sandbox is a VM and
     # host-side vCPU jitter hits multi-core runs hardest (observed 1.35k
     # vs 1.73k pages/s for the identical 4-core job minutes apart), so a
     # single sample under-reports the engine's scaling

@@ -193,8 +193,12 @@ class _Parser:
                 return self._phrase(maybe_field, pval)
         if text.endswith("*") and len(text) > 1:
             return Wildcard(field, text[:-1])
-        if text.endswith("~") and len(text) > 1:
-            return Fuzzy(field, text[:-1])
+        # Whoosh FuzzyTermPlugin syntax: term~ (1 edit) or term~N
+        # (N edits). A bare trailing ~ with no word would otherwise
+        # parse as a literal Term that can never match an indexed term.
+        fz = re.fullmatch(r"(.+?)~(\d*)", text)
+        if fz and fz.group(1):
+            return Fuzzy(field, fz.group(1), int(fz.group(2) or "1"))
         return Term(field, text)
 
     @staticmethod
@@ -216,54 +220,176 @@ def parse_query(q: str, known_fields: set[str] | frozenset[str] = frozenset()):
 
 # ---- executor ---------------------------------------------------------------
 
-def _leaf_scores(
-    leaf,
-    postings: dict[str, DataFrame],
-    docs: dict[str, DataFrame],
-    id_col: str,
-    transform,
-) -> DataFrame:
-    names = [leaf.field] if leaf.field else list(postings)
-    parts = []
-    for f in names:
-        p = postings[f]
-        if isinstance(leaf, Term):
-            parts.append(
-                p.filter(F.col("term") == transform(leaf.text)).select(
-                    id_col, F.col("tf").alias("score")
-                )
+class _ExecCtx:
+    """Everything a composed-query execution needs: per-field postings
+    (and optionally raw docs for the raw-text phrase path), the analyzer
+    transforms, and the leaf scorer.
+
+    ``transform`` processes Term/Fuzzy text (the preprocess_query analog);
+    ``prefix_transform`` processes Wildcard prefixes — Whoosh does NOT
+    stem wildcard text, so the indexed path lowercases only (the residual
+    divergence — a lowercased prefix probing a stemmed term space — is
+    inherent to prefix-matching stemmed terms and documented at the call
+    site). ``scorer`` maps a field's matched postings rows to (id, score).
+    """
+
+    def __init__(
+        self,
+        postings: dict[str, DataFrame],
+        docs: dict[str, DataFrame],
+        id_col: str,
+        transform,
+        prefix_transform=None,
+        phrase_transform=None,
+        scorer=None,
+    ):
+        self.postings = postings
+        self.docs = docs
+        self.id_col = id_col
+        self.transform = transform
+        self.prefix_transform = prefix_transform or transform
+        # analyzed-phrase pipeline (stemmed index: stopword-drop +
+        # renumber happens on BOTH sides); None = raw-text phrase path
+        self.phrase_transform = phrase_transform
+        self.scorer = scorer or _TfLeafScorer()
+
+
+class _TfLeafScorer:
+    """Leaf score = term frequency (the search_tf scoring surface —
+    SQL-oracle-able); summed per doc over the leaf's matched terms."""
+
+    sum_type = "long"
+
+    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame) -> DataFrame:
+        return matched.select(ctx.id_col, F.col("tf").alias("score"))
+
+
+class _BM25FLeafScorer:
+    """Leaf score = per-field BM25 (Whoosh's BM25F retrieval of the
+    parsed multifield tree, indexer_node.py:246-251: each (field, term)
+    scored with the field's own df/dl/avgdl and the schema's field boost
+    — the reference schema has no boosts, so they default to 1.0).
+
+        score(t, f, d) = boost_f · idf_f(t) · tf·(k1+1)
+                         / (tf + k1·(1 − b + b·dl_f(d)/avgdl_f))
+
+    ``stats`` maps field -> docstats DataFrame (id, dl); ``n`` / ``avgdl``
+    map field -> corpus literals from the index meta (no per-query 1-row
+    crossJoins). idf is a per-term aggregate over the leaf's matched
+    terms — a handful of rows, broadcast. Phrase leaves arrive with
+    tf = occurrence count and term = the phrase string, so df is the
+    phrase's own document frequency — BM25 over the phrase as a unit
+    (Whoosh's phrase scoring shape)."""
+
+    sum_type = "double"
+
+    def __init__(
+        self,
+        stats: dict[str, DataFrame],
+        n: dict[str, float],
+        avgdl: dict[str, float],
+        boosts: dict[str, float] | None = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        self.stats = stats
+        self.n = n
+        self.avgdl = avgdl
+        self.boosts = boosts or {}
+        self.k1 = k1
+        self.b = b
+
+    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame) -> DataFrame:
+        n = float(self.n[field])
+        avgdl = float(self.avgdl[field]) or 1.0
+        boost = float(self.boosts.get(field, 1.0))
+        idf = (
+            matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .select(
+                "term",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ).alias("idf"),
             )
-        elif isinstance(leaf, Wildcard):
-            parts.append(
-                p.filter(F.col("term").startswith(transform(leaf.prefix))).select(
-                    id_col, F.col("tf").alias("score")
-                )
+        )
+        return (
+            matched.join(F.broadcast(idf), "term")
+            .join(self.stats[field], ctx.id_col)
+            .select(
+                ctx.id_col,
+                (
+                    F.lit(boost)
+                    * F.col("idf")
+                    * (F.col("tf") * (self.k1 + 1))
+                    / (
+                        F.col("tf")
+                        + F.lit(self.k1)
+                        * (F.lit(1 - self.b) + F.lit(self.b) * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("score"),
             )
-        elif isinstance(leaf, Fuzzy):
-            parts.append(
-                p.filter(
-                    F.levenshtein(F.col("term"), F.lit(transform(leaf.text)))
-                    <= leaf.max_edits
-                ).select(id_col, F.col("tf").alias("score"))
-            )
-        elif isinstance(leaf, Phrase):
-            # phrases match the RAW field text (search.py phrase_match's
-            # occurrence-count arithmetic), so the analyzer transform is
-            # deliberately NOT applied — stemming the words of
-            # '"Breaking News"' would make a literally-present phrase
-            # unmatchable against the unanalyzed text
+        )
+
+
+def _leaf_matched(ctx: _ExecCtx, leaf, field: str) -> DataFrame:
+    """The leaf's matched postings rows (id, term, tf) in one field."""
+    p = ctx.postings[field]
+    if isinstance(leaf, Term):
+        return p.filter(F.col("term") == ctx.transform(leaf.text)).select(
+            ctx.id_col, "term", "tf"
+        )
+    if isinstance(leaf, Wildcard):
+        return p.filter(
+            F.col("term").startswith(ctx.prefix_transform(leaf.prefix))
+        ).select(ctx.id_col, "term", "tf")
+    if isinstance(leaf, Fuzzy):
+        return p.filter(
+            F.levenshtein(F.col("term"), F.lit(ctx.transform(leaf.text)))
+            <= leaf.max_edits
+        ).select(ctx.id_col, "term", "tf")
+    if isinstance(leaf, Phrase):
+        phrase = " ".join(leaf.words)
+        if ctx.phrase_transform is not None and "positions" in p.columns:
+            # positional-postings path: analyze the phrase with the
+            # index's pipeline, match by position adjacency — no raw text
+            from .search import phrase_scores_positional
+
+            words = ctx.phrase_transform(phrase)
+            if not words:
+                raise ValueError(f"phrase analyzes to no terms: {phrase!r}")
+            occ = phrase_scores_positional(p, words, ctx.id_col)
+        else:
+            # raw-text path: occurrence-count arithmetic on the source
+            # docs; the analyzer transform is deliberately NOT applied —
+            # stemming the words of '"Breaking News"' would make a
+            # literally-present phrase unmatchable in the raw text
             from .search import phrase_match
 
-            phrase = " ".join(leaf.words)
-            parts.append(
-                phrase_match(docs[f], phrase, id_col).select(
-                    id_col, F.col("n_occurrences").alias("score")
+            if field not in ctx.docs:
+                raise ValueError(
+                    "phrase leaves need positional postings or raw field "
+                    "text; rebuild the index with positions=True or use "
+                    "search_composed over the docs"
                 )
-            )
-        else:  # pragma: no cover
-            raise TypeError(f"not a leaf: {leaf!r}")
+            occ = phrase_match(ctx.docs[field], phrase, ctx.id_col)
+        return occ.select(
+            ctx.id_col,
+            F.lit(phrase).alias("term"),
+            F.col("n_occurrences").alias("tf"),
+        )
+    raise TypeError(f"not a leaf: {leaf!r}")  # pragma: no cover
+
+
+def _leaf_scores(ctx: _ExecCtx, leaf) -> DataFrame:
+    names = [leaf.field] if leaf.field else list(ctx.postings)
+    parts = [ctx.scorer.leaf(ctx, f, _leaf_matched(ctx, leaf, f)) for f in names]
     unioned = reduce(lambda a, b: a.unionByName(b), parts)
-    return unioned.groupBy(id_col).agg(F.sum("score").cast("long").alias("score"))
+    return unioned.groupBy(ctx.id_col).agg(
+        F.sum("score").cast(ctx.scorer.sum_type).alias("score")
+    )
 
 
 def _combine(a: DataFrame, b: DataFrame, id_col: str, how: str) -> DataFrame:
@@ -277,26 +403,26 @@ def _combine(a: DataFrame, b: DataFrame, id_col: str, how: str) -> DataFrame:
     )
 
 
-def _execute(node, postings, docs, id_col, transform) -> DataFrame:
+def _execute(node, ctx: _ExecCtx) -> DataFrame:
     if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
-        return _leaf_scores(node, postings, docs, id_col, transform)
+        return _leaf_scores(ctx, node)
     if isinstance(node, Or):
         if any(isinstance(c, Not) for c in node.children):
             raise ValueError("NOT under OR is not supported (match-all semantics)")
-        parts = [_execute(c, postings, docs, id_col, transform) for c in node.children]
-        return reduce(lambda a, b: _combine(a, b, id_col, "full"), parts)
+        parts = [_execute(c, ctx) for c in node.children]
+        return reduce(lambda a, b: _combine(a, b, ctx.id_col, "full"), parts)
     if isinstance(node, And):
         pos = [c for c in node.children if not isinstance(c, Not)]
         neg = [c.child for c in node.children if isinstance(c, Not)]
         if not pos:
             raise ValueError("purely negative query (Whoosh also rejects these)")
         out = reduce(
-            lambda a, b: _combine(a, b, id_col, "inner"),
-            [_execute(c, postings, docs, id_col, transform) for c in pos],
+            lambda a, b: _combine(a, b, ctx.id_col, "inner"),
+            [_execute(c, ctx) for c in pos],
         )
         for n in neg:
-            excl = _execute(n, postings, docs, id_col, transform)
-            out = out.join(excl.select(id_col), id_col, "left_anti")
+            excl = _execute(n, ctx)
+            out = out.join(excl.select(ctx.id_col), ctx.id_col, "left_anti")
         return out
     if isinstance(node, Not):
         raise ValueError("top-level NOT needs a positive clause")
@@ -319,29 +445,63 @@ def search_composed(
     ast = parse_query(query, frozenset(fields))
     transform = term_transform or (lambda t: t)
     postings = {f: postings_fn(df, id_col) for f, df in fields.items()}
-    scored = _execute(ast, postings, fields, id_col, transform)
+    ctx = _ExecCtx(postings, fields, id_col, transform)
+    scored = _execute(ast, ctx)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)
 
 
 # ---- persisted multifield index (index once, parse-and-query many) ---------
 
 def write_multifield_index(
-    fields: dict[str, DataFrame], index_dir: str, id_col: str = "doc_id"
+    fields: dict[str, DataFrame],
+    index_dir: str,
+    id_col: str = "doc_id",
+    analyzer: str = "stemmed",
 ) -> str:
-    """Persist one stemmed index snapshot PER FIELD (the Whoosh schema's
-    field columns, indexer_node.py:108-118) under
-    ``index_dir/field=NAME/`` — write_index_snapshot layout each, so
-    every leaf's term predicate reaches a term-sorted parquet scan."""
+    """Persist one index snapshot PER FIELD (the Whoosh schema's field
+    columns, indexer_node.py:108-118) under ``index_dir/field=NAME/`` —
+    write_index_snapshot layout each (positional postings included), so
+    every leaf's term predicate reaches a term-sorted parquet scan and
+    phrase leaves run as position-adjacency joins."""
     import json
     import os
 
     from .search import write_index_snapshot
 
     for name, df in fields.items():
-        write_index_snapshot(df, os.path.join(index_dir, f"field={name}"), id_col)
+        write_index_snapshot(
+            df, os.path.join(index_dir, f"field={name}"), id_col, analyzer=analyzer
+        )
     with open(os.path.join(index_dir, "fields.json"), "w") as f:
         json.dump({"fields": sorted(fields), "id_col": id_col}, f)
     return index_dir
+
+
+def _load_multifield_index(spark, index_dir: str):
+    """(field -> dir, field -> field-meta, id_col) for either layout:
+    the fields.json multifield tree or a plain write_index_snapshot dir
+    (the CLI `index` command) treated as one 'body' field."""
+    import json
+    import os
+
+    fields_json = os.path.join(index_dir, "fields.json")
+    if os.path.exists(fields_json):
+        with open(fields_json) as f:
+            top = json.load(f)
+        field_dirs = {
+            name: os.path.join(index_dir, f"field={name}") for name in top["fields"]
+        }
+        id_col = top["id_col"]
+    else:
+        field_dirs = {"body": index_dir}
+        id_col = None
+    field_meta = {}
+    for name, d in field_dirs.items():
+        with open(os.path.join(d, "meta.json")) as f:
+            field_meta[name] = json.load(f)
+    if id_col is None:
+        id_col = field_meta["body"]["id_col"]
+    return field_dirs, field_meta, id_col
 
 
 def search_composed_indexed(
@@ -350,53 +510,75 @@ def search_composed_indexed(
     query: str,
     topk: int = 20,
     term_transform=None,
+    scoring: str = "tf",
 ) -> DataFrame:
     """Run a composed query against a persisted multifield index with
     ZERO query-time tokenization: leaves read per-field postings straight
-    from the snapshot (term filters pushed to the scan). The index stores
-    analyzer-processed terms, so query terms default through the same
-    lower+Porter transform (preprocess_query analog). Phrase leaves need
-    raw field text and are rejected here — run those via search_composed
-    over the source docs."""
-    import json
+    from the snapshot (term filters pushed to the scan). A stemmed index
+    puts query terms through the same lower+Porter transform
+    (preprocess_query analog); wildcard prefixes are LOWERCASED ONLY —
+    Whoosh does not stem wildcard text — with the residual divergence
+    (an unstemmed prefix probing a stemmed term space) inherent to
+    prefix-matching stemmed terms. Phrase leaves lower to
+    position-adjacency joins over positional postings (no raw-text scan);
+    snapshots written before positions existed raise with a rebuild hint.
+
+    ``scoring``: "tf" sums term frequencies (SQL-oracle-able);
+    "bm25f" scores the tree the way the reference's searcher does
+    (indexer_node.py:246-251) — per-field BM25 with the field's own
+    df/dl/avgdl, summed over the tree."""
     import os
 
-    from ..functions.text import porter_stem
+    from ..functions.text import porter_stem, process_text_py
 
-    fields_json = os.path.join(index_dir, "fields.json")
-    if os.path.exists(fields_json):
-        with open(fields_json) as f:
-            meta = json.load(f)
-        field_dirs = {
-            name: os.path.join(index_dir, f"field={name}") for name in meta["fields"]
-        }
+    field_dirs, field_meta, id_col = _load_multifield_index(spark, index_dir)
+    analyzers = {m.get("analyzer", "stemmed") for m in field_meta.values()}
+    if len(analyzers) != 1:
+        raise ValueError(f"fields indexed with mixed analyzers: {sorted(analyzers)}")
+    analyzer = analyzers.pop()
+    ast = parse_query(query, frozenset(field_dirs))
+
+    if term_transform is not None:
+        transform = term_transform
+        prefix_transform = term_transform
+    elif analyzer == "stemmed":
+        transform = lambda t: porter_stem(t.lower())  # noqa: E731
+        prefix_transform = str.lower
     else:
-        # plain write_index_snapshot layout (the CLI `index` command):
-        # treat it as one body field
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            meta = json.load(f)
-        field_dirs = {"body": index_dir}
-        meta = {"fields": ["body"], "id_col": meta["id_col"]}
-    id_col = meta["id_col"]
-    ast = parse_query(query, frozenset(meta["fields"]))
-
-    def _has_phrase(node) -> bool:
-        if isinstance(node, Phrase):
-            return True
-        if isinstance(node, (And, Or)):
-            return any(_has_phrase(c) for c in node.children)
-        if isinstance(node, Not):
-            return _has_phrase(node.child)
-        return False
-
-    if _has_phrase(ast):
-        raise ValueError(
-            "phrase leaves need raw field text; use search_composed over the docs"
-        )
-    transform = term_transform or (lambda t: porter_stem(t.lower()))
+        transform = lambda t: t  # noqa: E731
+        prefix_transform = transform
+    phrase_transform = (
+        process_text_py
+        if analyzer == "stemmed"
+        else (lambda p: [w for w in p.split(" ") if w])
+    )
     postings = {
         name: spark.read.parquet(os.path.join(d, "postings"))
         for name, d in field_dirs.items()
     }
-    scored = _execute(ast, postings, {}, id_col, transform)
+    scorer = None
+    if scoring == "bm25f":
+        stats = {
+            name: spark.read.parquet(os.path.join(d, "docstats"))
+            for name, d in field_dirs.items()
+        }
+        scorer = _BM25FLeafScorer(
+            stats,
+            n={name: m["n_docs"] for name, m in field_meta.items()},
+            avgdl={name: m["avgdl"] for name, m in field_meta.items()},
+        )
+    elif scoring != "tf":
+        raise ValueError(f"unknown scoring {scoring!r} (tf | bm25f)")
+    ctx = _ExecCtx(
+        postings,
+        {},
+        id_col,
+        transform,
+        prefix_transform=prefix_transform,
+        phrase_transform=phrase_transform,
+        scorer=scorer,
+    )
+    scored = _execute(ast, ctx)
+    if scoring == "bm25f":
+        scored = scored.select(id_col, F.round("score", 4).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)

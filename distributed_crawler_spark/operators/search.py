@@ -82,6 +82,46 @@ def build_postings_stemmed(
     )
 
 
+def build_postings_pos(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf, positions) over whitespace tokens — positional
+    postings (the Whoosh TEXT field stores term positions by default,
+    indexer_node.py:108-118), enabling phrase queries against the index
+    instead of a raw-text scan. Positions are 0-based indices into the
+    split; empty tokens (double spaces) keep their slots so adjacency
+    means literal adjacency in the source text."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy(id_col, F.col("token").alias("term")).agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_postings_stemmed_pos(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf, positions) over STEMMED terms. Positions index the
+    POST-analyzer token stream (stopwords removed, stream renumbered) —
+    so an analyzed phrase query ("breaking the news" → [break, news])
+    matches by plain adjacency, the same renumbering applied to both
+    sides. (Whoosh keeps pre-filter positions with gaps; the renumbered
+    form is equivalent for adjacency once both sides use one analyzer,
+    and documented as the divergence.)"""
+    from ..functions.text import process_text_udf
+
+    stem = process_text_udf.asNondeterministic()
+    toks = docs.select(
+        F.col(id_col), F.posexplode(stem(F.col(text_col))).alias("pos", "token")
+    )
+    return toks.groupBy(id_col, F.col("token").alias("term")).agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
 def doc_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -373,6 +413,73 @@ def phrase_match(
     )
 
 
+def phrase_scores_positional(
+    postings: DataFrame, words: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Phrase matching against POSITIONAL postings (Whoosh PhrasePlugin
+    over a positional TEXT field, indexer_node.py:108-118, :238): the
+    occurrence count of words appearing at consecutive positions, via
+    array intersection of shifted position lists — occurrences(d) =
+    |∩_i (positions(w_i, d) − i)|. Each word's predicate is a term
+    equality pushed to the (term-sorted) postings scan; the joins key on
+    the doc id and each side is only that term's rows — no raw-text scan
+    anywhere. Duplicate words in the phrase reuse the same postings row
+    under different shifts, which the intersection handles naturally."""
+    if not words:
+        raise ValueError("empty phrase")
+    cand = None
+    for i, w in enumerate(words):
+        part = postings.filter(F.col("term") == w).select(
+            F.col(id_col),
+            F.transform(F.col("positions"), lambda p: p - F.lit(i)).alias(f"__pos{i}"),
+        )
+        if cand is None:
+            cand = part.withColumnRenamed("__pos0", "__cand")
+        else:
+            cand = cand.join(part, id_col).select(
+                F.col(id_col),
+                F.array_intersect(F.col("__cand"), F.col(f"__pos{i}")).alias("__cand"),
+            )
+    return (
+        cand.select(F.col(id_col), F.size("__cand").cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def phrase_from_index(
+    spark, index_dir: str, phrase: str, topk: int | None = None
+) -> DataFrame:
+    """Phrase search against the persisted index snapshot — the analyzer
+    recorded in meta.json is applied to the phrase (stemmed index ⇒ the
+    query words go through the same lower/stopword/Porter pipeline, so
+    'breaking the news' matches the renumbered [break, news] stream),
+    then matched by position adjacency. Requires a positions-bearing
+    snapshot (write_index_snapshot positions=True)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positions"):
+        raise ValueError(
+            "index snapshot has no positional postings; rebuild with "
+            "write_index_snapshot(..., positions=True) for phrase queries"
+        )
+    if meta.get("analyzer", "stemmed") == "stemmed":
+        from ..functions.text import process_text_py
+
+        words = process_text_py(phrase)
+        if not words:
+            raise ValueError(f"phrase analyzes to no terms: {phrase!r}")
+    else:
+        words = [w for w in phrase.split(" ") if w]
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    out = phrase_scores_positional(postings, words, meta["id_col"])
+    if topk is not None:
+        out = out.orderBy(F.desc("n_occurrences"), F.col(meta["id_col"])).limit(topk)
+    return out
+
+
 def wildcard_tf_scores(
     docs: DataFrame,
     prefix: str,
@@ -502,18 +609,31 @@ def write_index_snapshot(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 16,
+    analyzer: str = "stemmed",
+    positions: bool = True,
 ) -> str:
-    """indexer_node.py:181-225 analog: persist the STEMMED inverted index
-    once per corpus snapshot — postings (doc, term, tf) range-partitioned
-    and sorted BY TERM (parquet row-group min/max stats make a
-    ``term IN (...)`` query skip everything else), doc lengths, and the
-    corpus constants (n_docs, avgdl) in meta.json. Queries then run
-    against the index with ZERO per-query Python (the Porter pass happens
-    here, once — exactly the reference's indexer-node/search split)."""
+    """indexer_node.py:181-225 analog: persist the inverted index once
+    per corpus snapshot — postings (doc, term, tf, positions)
+    range-partitioned and sorted BY TERM (parquet row-group min/max stats
+    make a ``term IN (...)`` query skip everything else), doc lengths,
+    and the corpus constants (n_docs, avgdl) in meta.json. Queries then
+    run against the index with ZERO per-query Python (the Porter pass
+    happens here, once — exactly the reference's indexer-node/search
+    split). ``analyzer`` picks the term pipeline: "stemmed" (the
+    reference's StemmingAnalyzer twin — default) or "raw" (whitespace
+    tokens, SQL-oracle-portable). ``positions`` stores per-term position
+    arrays (Whoosh TEXT fields store positions by default,
+    indexer_node.py:108-118) so phrase queries run against the index."""
     import json
     import os
 
-    postings = build_postings_stemmed(docs, id_col, text_col).persist()
+    builders = {
+        ("stemmed", True): build_postings_stemmed_pos,
+        ("stemmed", False): build_postings_stemmed,
+        ("raw", True): build_postings_pos,
+        ("raw", False): build_postings,
+    }
+    postings = builders[(analyzer, positions)](docs, id_col, text_col).persist()
     (
         postings.repartitionByRange(buckets, F.col("term"))
         .sortWithinPartitions("term")
@@ -526,7 +646,16 @@ def write_index_snapshot(
     avgdl = stats.agg(F.avg("dl").alias("a")).collect()[0]["a"] or 0.0
     postings.unpersist()
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl, "id_col": id_col}, f)
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "id_col": id_col,
+                "analyzer": analyzer,
+                "positions": positions,
+            },
+            f,
+        )
     return index_dir
 
 

@@ -58,7 +58,13 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # unframed record: cannot resync safely
+            # unframed record: cannot resync safely, and silently dropping
+            # the remaining records would contradict the raise-on-
+            # truncation policy above (partial ingestion must be visible)
+            raise ValueError(
+                "WARC record without a numeric Content-Length "
+                f"(at byte {head_start}): cannot frame the archive"
+            ) from None
         if length < 0:
             raise ValueError("negative Content-Length in WARC record")
         body_start = head_end + 4

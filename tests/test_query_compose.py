@@ -159,8 +159,8 @@ def test_executor_rejects_pure_negation(spark):
 
 def test_indexed_composed_matches_live(spark, tmp_path):
     """search_composed_indexed over the persisted multifield index must
-    rank identically to the live stemmed path; phrase leaves are
-    rejected with a pointer to the docs path."""
+    rank identically to the live stemmed path; phrase leaves run against
+    the POSITIONAL postings with analyzed-adjacency semantics."""
     from distributed_crawler_spark.functions.text import porter_stem
     from distributed_crawler_spark.operators.query import (
         search_composed_indexed,
@@ -201,8 +201,193 @@ def test_indexed_composed_matches_live(spark, tmp_path):
     ]
     assert got == want and got  # non-empty: 'running'->'run' matches both docs
 
+    # indexed phrase: '"spark join"' analyzes to [spark, join], which is
+    # adjacent in BOTH docs' analyzed streams — doc 0 literally ('the' is
+    # a stopword, renumbered away on both sides would not matter here),
+    # doc 1 via stemming ('sparked a joining' -> [spark, join] after the
+    # stopword 'a' drops and the renumbered stream makes them adjacent).
+    # The raw-text path would only match doc 0 — this is Whoosh's
+    # analyzed-phrase semantics, which the raw scan could never give.
+    phr = {
+        r["doc_id"] for r in search_composed_indexed(spark, idx, '"spark join"').collect()
+    }
+    assert phr == {0, 1}
+
+
+def test_indexed_wildcard_prefix_not_stemmed(spark, tmp_path):
+    """Whoosh does not stem wildcard text (ADVICE r03): 'testing*' must
+    probe the stemmed term space with the LOWERCASED prefix 'testing' —
+    which no stemmed term starts with — instead of stemming to 'test'
+    and matching far more than the reference would. 'Test*' still
+    matches (lowercased prefix 'test' = the stemmed term)."""
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "we are testing the pipeline"), (1, "nothing here")],
+        "doc_id INT, text STRING",
+    )
+    idx = str(tmp_path / "wc_index")
+    write_multifield_index({"body": docs}, idx)
+    assert search_composed_indexed(spark, idx, "testing*").count() == 0
+    got = [r["doc_id"] for r in search_composed_indexed(spark, idx, "Test*").collect()]
+    assert got == [0]
+
+
+def test_fuzzy_max_edits_syntax(spark):
+    """Whoosh FuzzyTermPlugin 'term~N' syntax (ADVICE r03): the digit
+    parses into max_edits instead of the whole token silently becoming a
+    literal term that matches nothing."""
+    assert parse_query("spak~2", FIELDS) == Fuzzy(None, "spak", 2)
+    assert parse_query("title:spak~2", FIELDS) == Fuzzy("title", "spak", 2)
+    fields = _fields(spark)
+    # 'spok' is 2 edits from 'spark' (insert r, o->a): ~2 matches, ~ (1) not
+    assert search_composed(fields, "spok~").count() == 0
+    got = {r["doc_id"] for r in search_composed(fields, "spok~2").collect()}
+    assert got == {0, 2, 4}
+
+
+def test_phrase_from_index_matches_python(spark, tmp_path):
+    """phrase_from_index ≡ an independent Python implementation of
+    analyzed-adjacency matching over the same corpus (positions index
+    the post-analyzer stream on both sides)."""
+    from distributed_crawler_spark.functions.text import process_text_py
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+
+    rows = [
+        (0, "Breaking News today: the breaking news cycle"),
+        (1, "breaking the news gently"),  # stopword drop makes it adjacent
+        (2, "news breaking order is reversed"),
+        (3, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    idx = str(tmp_path / "pidx")
+    write_index_snapshot(docs, idx)
+
+    phrase = "breaking news"
+    want = {}
+    q = process_text_py(phrase)
+    for d, t in rows:
+        toks = process_text_py(t)
+        n = sum(
+            1
+            for i in range(len(toks) - len(q) + 1)
+            if toks[i : i + len(q)] == q
+        )
+        if n:
+            want[d] = n
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_from_index(spark, idx, phrase).collect()
+    }
+    assert got == want and set(want) == {0, 1}
+
+    # duplicate-word phrase exercises the same-postings-row double shift
+    docs2 = spark.createDataFrame(
+        [(0, "buffalo buffalo buffalo"), (1, "buffalo alone")],
+        "doc_id INT, text STRING",
+    )
+    idx2 = str(tmp_path / "pidx2")
+    write_index_snapshot(docs2, idx2)
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_from_index(spark, idx2, "buffalo buffalo").collect()
+    }
+    assert got2 == {0: 2}
+
     with pytest.raises(ValueError):
-        search_composed_indexed(spark, idx, '"spark join"')
+        phrase_from_index(spark, idx, "the a of")  # analyzes to no terms
+
+
+def test_phrase_from_index_requires_positions(spark, tmp_path):
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id INT, text STRING")
+    idx = str(tmp_path / "nopos")
+    write_index_snapshot(docs, idx, positions=False)
+    with pytest.raises(ValueError):
+        phrase_from_index(spark, idx, "a b")
+
+
+def test_composed_bm25f_matches_python(spark, tmp_path):
+    """Composed tree + BM25F scoring (VERDICT r03 next #3) ≡ an
+    independent row-at-a-time Python computation of per-field BM25
+    (Whoosh's scoring of the parsed multifield tree,
+    indexer_node.py:246-251) on a raw-analyzer index."""
+    import math
+
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+
+    rows = [
+        (0, "spark joins the window order"),
+        (1, "join join the key order club"),
+        (2, "windows spark and spark again"),
+        (3, "nothing relevant here"),
+        (4, "spark wind turbine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    title = {d: " ".join(t.split()[:2]) for d, t in rows}
+    body = dict(rows)
+    fields_py = {"title": title, "body": body}
+    fields = {
+        "title": docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("text"),
+        ),
+        "body": docs.select("doc_id", "text"),
+    }
+    idx = str(tmp_path / "bm25f_idx")
+    write_multifield_index(fields, idx, analyzer="raw")
+
+    k1, b = 1.2, 0.75
+
+    def bm25(field, term, d):
+        toks = fields_py[field][d].split()
+        tf = toks.count(term)
+        if tf == 0:
+            return None
+        dls = {dd: len(tt.split()) for dd, tt in fields_py[field].items()}
+        n = len(dls)
+        avgdl = sum(dls.values()) / n
+        df = sum(1 for tt in fields_py[field].values() if term in tt.split())
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+
+    # query: (title:spark OR join) AND NOT wind*
+    want = {}
+    for d, _ in rows:
+        s_title = bm25("title", "spark", d)
+        s_join = [bm25(f, "join", d) for f in ("title", "body")]
+        s_join = [x for x in s_join if x is not None]
+        if s_title is None and not s_join:
+            continue
+        has_wind = any(
+            w.startswith("wind")
+            for f in ("title", "body")
+            for w in fields_py[f][d].split()
+        )
+        if has_wind:
+            continue
+        want[d] = round((s_title or 0.0) + sum(s_join), 4)
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_composed_indexed(
+            spark, idx, "(title:spark OR join) AND NOT wind*", scoring="bm25f"
+        ).collect()
+    }
+    assert got == pytest.approx(want) and set(got) == {1}
 
 
 def test_fielded_phrase(spark):
