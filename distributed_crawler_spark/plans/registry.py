@@ -442,7 +442,10 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> str:
 
     idx = os.path.join(
         tempfile.gettempdir(),
-        "dcs_index_"
+        # the _p marks the positional-postings format (round 4): a stale
+        # round-3 snapshot at the unmarked path has no positions column
+        # and must not satisfy this cache
+        "dcs_index_p_"
         + os.path.basename(sf_dir.rstrip("/"))
         + "_"
         + _table_fingerprint(sf_dir, "documents"),
@@ -1817,6 +1820,227 @@ def q_search_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Index-backed composed queries (round 4 — VERDICT r03 next #1/#2/#3)
+# =========================================================================
+
+def _cached_multifield_raw_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus content) the persisted RAW-analyzer
+    multifield index (title = first 10 words, body = full text — the
+    search_multifield field split) with positional postings. The raw
+    analyzer keeps every term SQL-derivable, so the indexed composed
+    queries get HARD DuckDB oracles; the stemmed variant of the same
+    machinery is covered by _cached_index + pytest parity."""
+    import tempfile
+
+    from ..operators.query import write_multifield_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_mfidx_raw_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
+    )
+    # fields.json is written LAST, so its presence implies a complete index
+    if not os.path.exists(os.path.join(idx, "fields.json")):
+        docs = _read(spark, sf_dir, "documents")
+        fields = {
+            "title": docs.select(
+                "doc_id",
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text"),
+            ),
+            "body": docs.select("doc_id", "text"),
+        }
+        write_multifield_index(fields, idx, analyzer="raw")
+    return idx
+
+
+# per-field CTEs shared by the indexed-composed oracles: postings and
+# docstats exactly as write_index_snapshot derives them (dl = sum tf;
+# n/avgdl over docs with >=1 token in the field)
+_MF_FIELDS_CTE = """
+t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS ttl,
+         text
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, x.term FROM t,
+         LATERAL (SELECT unnest(string_split(ttl, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+btoks AS (
+  SELECT doc_id, x.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+pb AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY doc_id, term)
+"""
+
+
+@q(
+    "search_multifield_indexed",
+    f"""
+WITH {_MF_FIELDS_CTE},
+l_title_spark AS (
+  SELECT doc_id, sum(tf) AS s FROM pt WHERE term = 'spark' GROUP BY doc_id
+),
+l_join AS (
+  SELECT doc_id, sum(tf) AS s FROM (
+    SELECT doc_id, tf FROM pt WHERE term = 'join'
+    UNION ALL SELECT doc_id, tf FROM pb WHERE term = 'join'
+  ) GROUP BY doc_id
+),
+orx AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS score
+  FROM l_title_spark a FULL OUTER JOIN l_join b ON a.doc_id = b.doc_id
+),
+neg AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, term FROM pt UNION ALL SELECT doc_id, term FROM pb
+  ) WHERE starts_with(term, 'wind')
+)
+SELECT doc_id, score::BIGINT AS score FROM orx
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_search_multifield_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-BACKED composed query path (VERDICT r03 wrong #2): the
+    same '(title:spark OR join) AND NOT wind*' tree as search_multifield,
+    but every leaf reads the PERSISTED per-field postings snapshot — term
+    predicates pushed to term-sorted parquet scans, zero query-time
+    tokenization. This is the form that survives 100 TB: per-query work
+    is O(query-term postings), not O(corpus)."""
+    from ..operators.query import search_composed_indexed
+
+    return search_composed_indexed(
+        spark,
+        _cached_multifield_raw_index(spark, sf_dir),
+        "(title:spark OR join) AND NOT wind*",
+    )
+
+
+@q(
+    "search_multifield_bm25f",
+    f"""
+WITH {_MF_FIELDS_CTE},
+dt AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+db AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+nt AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dt),
+nb AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM db),
+dft AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+dfb AS (SELECT term, count(*) AS df FROM pb GROUP BY term),
+l_title_spark AS (
+  SELECT p.doc_id,
+         ln(1 + (nt.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * dt.dl / nt.avgdl)) AS s
+  FROM pt p JOIN dt ON p.doc_id = dt.doc_id
+       JOIN dft d ON d.term = p.term, nt
+  WHERE p.term = 'spark'
+),
+lj_t AS (
+  SELECT p.doc_id,
+         ln(1 + (nt.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * dt.dl / nt.avgdl)) AS s
+  FROM pt p JOIN dt ON p.doc_id = dt.doc_id
+       JOIN dft d ON d.term = p.term, nt
+  WHERE p.term = 'join'
+),
+lj_b AS (
+  SELECT p.doc_id,
+         ln(1 + (nb.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * db.dl / nb.avgdl)) AS s
+  FROM pb p JOIN db ON p.doc_id = db.doc_id
+       JOIN dfb d ON d.term = p.term, nb
+  WHERE p.term = 'join'
+),
+l_join AS (
+  SELECT doc_id, sum(s) AS s FROM (
+    SELECT * FROM lj_t UNION ALL SELECT * FROM lj_b
+  ) GROUP BY doc_id
+),
+orx AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS score
+  FROM l_title_spark a FULL OUTER JOIN l_join b ON a.doc_id = b.doc_id
+),
+neg AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, term FROM pt UNION ALL SELECT doc_id, term FROM pb
+  ) WHERE starts_with(term, 'wind')
+)
+SELECT doc_id, round(score, 4) AS score FROM orx
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+""",
+)
+def q_search_multifield_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed query tree scored with BM25F (VERDICT r03 missing #3 —
+    Whoosh scores the parsed multifield tree with BM25F in one retrieval,
+    indexer_node.py:246-251): each (field, term) leaf gets the field's
+    own idf/dl/avgdl BM25 (boost 1.0, the reference schema declares
+    none), summed over the boolean tree. Runs against the persisted
+    index; the oracle re-derives the full per-field math in SQL."""
+    from ..operators.query import search_composed_indexed
+
+    return search_composed_indexed(
+        spark,
+        _cached_multifield_raw_index(spark, sf_dir),
+        "(title:spark OR join) AND NOT wind*",
+        scoring="bm25f",
+    )
+
+
+@q(
+    "search_phrase_indexed",
+    """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(l) - 1)) AS i, l FROM d
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM pos
+  WHERE l[i] = 'key' AND l[i + 1] = 'order'
+  GROUP BY doc_id
+)
+SELECT doc_id, n::BIGINT AS n_occurrences FROM hits WHERE n > 0
+""",
+)
+def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search against the PERSISTED POSITIONAL index (VERDICT r03
+    missing #1 / next #1 — Whoosh TEXT fields store positions,
+    indexer_node.py:108-118, and PhrasePlugin searches the index): the
+    occurrence count of 'key order' as ADJACENT TOKENS via array
+    intersection of shifted position lists — term-equality predicates
+    pushed to the term-sorted postings scan, no raw-text scan. The oracle
+    re-derives token adjacency positionally (token-adjacency counting,
+    unlike search_phrase's substring arithmetic, cannot match inside a
+    longer token like 'monkey order')."""
+    from ..operators.search import phrase_from_index
+
+    idx = _cached_multifield_raw_index(spark, sf_dir)
+    return phrase_from_index(spark, os.path.join(idx, "field=body"), "key order")
+
+
+@q("search_phrase_stemmed", None)
+def q_search_phrase_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search against the STEMMED positional index — the query
+    words run through the reference's analyzer (lower → stopword drop →
+    Porter) and match by adjacency in the renumbered analyzed stream,
+    exactly what Whoosh's PhrasePlugin does over a StemmingAnalyzer
+    field. Porter isn't SQL-expressible → rows-only driver check; the
+    adjacency math ≡ an independent Python reference is pytest-verified
+    (tests/test_query_compose.py::test_phrase_from_index_matches_python)."""
+    from ..operators.search import phrase_from_index
+
+    return phrase_from_index(spark, _cached_index(spark, sf_dir), "key order")
+
+
+# =========================================================================
 # Driver-window ordering
 # =========================================================================
 # The round driver validates the FIRST 50 registry entries against DuckDB.
@@ -1829,35 +2053,40 @@ def q_search_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep (tests/test_queries_oracle.py covers ALL entries every run).
 _DRIVER_WINDOW_PRIORITY = [
     "crawl_bfs",
-    # never driver-validated before round 3 (incl. type_dispatch_pivot,
-    # the r01 FAIL whose fix needs a hard green row)
-    "type_dispatch_pivot",
-    "json_extract",
-    "url_filename",
-    "politeness_waves",
-    "rollup_pricing",
-    "training_filter",
-    "crawl_stats",
-    "unigram_logprob",
-    "simhash_neardup",
-    "search_bm25f",
-    "ann_ivf_topk",
-    "approx_url_cardinality",
-    "crawl_html_round0",
-    # r01-green, pushed out of the r02 window — refresh their rows
-    "search_fuzzy",
-    "search_phrase",
-    "search_wildcard",
-    "search_highlight",
-    # new in round 3
+    # new in round 4 (indexed composed/phrase paths)
+    "search_multifield_indexed",
+    "search_multifield_bm25f",
+    "search_phrase_indexed",
+    "search_phrase_stemmed",
+    # rotated back in: the 20 queries whose newest driver row is r02
+    # (rested through the r03 window; VERDICT r03 next #7)
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "dup_span_stats",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_buckets",
+    "embedding_neardup_lsh",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "media_features",
+    "media_summary",
+    "freshness_boost",
+    "set_ops",
+    "distinct_ids",
+    "time_range_filter",
+    "url_validate",
+    # code paths touched in round 4 (executor refactor; positional index
+    # snapshots feeding _cached_index) — re-prove them with fresh rows
     "search_multifield",
-    "search_highlight_multi",
-    "search_analytics",
-    # re-pointed at the index snapshot in round 3 — needs a fresh row
     "search_bm25_stemmed",
     "search_bm25_indexed",
     "search_tf_stemmed",
-    # representative core of r02-green queries (the rest keep their r02
+    # representative core of r03-green queries (the rest keep their r03
     # rows and stay covered by the local sweep)
     "retry_cohort",
     "url_features",
@@ -1880,11 +2109,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_term_boost",
     "keywords_top10",
     "suggest",
-    "pricing_summary",
-    "join_enrich",
-    "topk_orders",
-    "running_total",
-    "dedup_exact",
 ]
 
 

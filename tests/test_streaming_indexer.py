@@ -120,7 +120,7 @@ def test_merge_touches_only_batch_buckets(spark, corpus_dir):
     )
     touched = {
         f"bucket={r['bucket']}"
-        for r in _with_bucket(batch2.select("doc_id"), "doc_id")
+        for r in _with_bucket(batch2.select("doc_id"), "doc_id", N_DOC_BUCKETS)
         .select("bucket").distinct().collect()
     }
     assert len(touched) < len(before)  # the test is vacuous otherwise
@@ -265,3 +265,65 @@ def test_new_checkpoint_over_existing_index_applies_meta(spark, corpus_dir):
     # and a replay WITHIN ckpt-B of the same epoch is still skipped
     _merge_batch_into_index(b2, idx, epoch_id=0, stream_id="ckpt-B")
     assert json.load(open(f"{idx}/meta.json"))["n_docs"] == n1 + 4
+
+
+def test_bucket_count_parameterized(spark):
+    """n_buckets is a per-index creation parameter recorded in meta.json
+    (VERDICT r03 wrong #3): indexes created at two different counts both
+    merge correctly, each keeping its own layout — and a later merge
+    passing a DIFFERENT n_buckets must stick with the meta's count (the
+    bucket function never changes under a live layout)."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    b1 = spark.range(40).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("alpha beta w"), F.col("id").cast("string")).alias("text"),
+    )
+    b2 = spark.range(5).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("gamma delta").alias("text"),
+    )
+    results = {}
+    for n in (4, 16):
+        idx = f"/tmp/dcs_nbuckets_{n}_idx"
+        shutil.rmtree(idx, ignore_errors=True)
+        _merge_batch_into_index(b1, idx, epoch_id=0, n_buckets=n)
+        meta = json.load(open(f"{idx}/meta.json"))
+        assert meta["n_buckets"] == n
+        buckets = {d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")}
+        assert 0 < len(buckets) <= n
+        assert all(int(b.split("=")[1]) < n for b in buckets)
+        # second merge: a different n_buckets argument must be ignored
+        _merge_batch_into_index(b2, idx, epoch_id=1, n_buckets=64)
+        meta2 = json.load(open(f"{idx}/meta.json"))
+        assert meta2["n_buckets"] == n
+        buckets2 = {d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")}
+        assert all(int(b.split("=")[1]) < n for b in buckets2)
+        post = spark.read.parquet(f"{idx}/postings")
+        results[n] = {
+            (r["doc_id"], r["term"], r["tf"])
+            for r in post.select("doc_id", "term", "tf").collect()
+        }
+        assert meta2["n_docs"] == 40
+    # layout-independent content: both bucket counts hold identical postings
+    assert results[4] == results[16]
+
+
+def test_stream_identity_survives_checkpoint_recreate(tmp_path):
+    """The stream identity is a uuid INSIDE the checkpoint dir (ADVICE
+    r03): stable across restarts of the same checkpoint, but deleting and
+    recreating the checkpoint at the SAME PATH yields a fresh identity —
+    so the meta guard cannot skip the new stream's first delta against a
+    stale last_epoch_key."""
+    import shutil as _shutil
+
+    from distributed_crawler_spark.streaming.indexer import _stream_identity
+
+    ckpt = str(tmp_path / "ckpt")
+    a = _stream_identity(ckpt)
+    assert _stream_identity(ckpt) == a  # stable within one checkpoint
+    _shutil.rmtree(ckpt)
+    b = _stream_identity(ckpt)
+    assert b != a
