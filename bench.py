@@ -50,6 +50,9 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "search_bm25_stemmed",
     "search_multifield",
+    "search_multifield_indexed",
+    "search_multifield_bm25f",
+    "search_phrase_indexed",
     "search_highlight_multi",
     "search_analytics",
     "retry_cohort",
@@ -81,10 +84,12 @@ def run_headline() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     _noop_run(registry.QUERIES["crawl_bfs"](spark, "/root/testdata/sf0.001"))
     # index-once is the offline half of the indexer/search split: build
-    # the persisted snapshot outside the timings so search_bm25_stemmed /
-    # search_bm25_indexed measure QUERY latency (the reference equally
-    # excludes Whoosh index builds from its search-latency test)
+    # the persisted snapshots outside the timings so search_bm25_stemmed /
+    # search_bm25_indexed / search_*_indexed measure QUERY latency (the
+    # reference equally excludes Whoosh index builds from its
+    # search-latency test)
     registry._cached_index(spark, SF_DIR)
+    registry._cached_multifield_raw_index(spark, SF_DIR)
 
     # best-of-2 per query: the sandbox VM's host throughput drifts in
     # multi-minute epochs (same query measured 0.5-2x minutes apart) and

@@ -99,10 +99,19 @@ def _search(args) -> None:
 
         if args.mode == "query":
             # composed query over a multifield index snapshot
-            # (write_multifield_index layout)
+            # (write_multifield_index layout); --scoring bm25f scores the
+            # tree the way the reference's searcher does
             from .operators.query import search_composed_indexed
 
-            out = search_composed_indexed(spark, args.index, args.query, topk=args.topk)
+            out = search_composed_indexed(
+                spark, args.index, args.query, topk=args.topk,
+                scoring=getattr(args, "scoring", "tf"),
+            )
+        elif args.mode == "phrase":
+            # phrase against the positional postings (PhrasePlugin analog)
+            out = search.phrase_from_index(
+                spark, args.index, args.query, topk=args.topk
+            )
         else:
             terms = process_text_py(args.query)
             if args.mode == "bm25":
@@ -122,6 +131,13 @@ def _search(args) -> None:
         out = search.bm25_scores(docs, terms, topk=args.topk)
     elif args.mode == "tf":
         out = search.tf_scores(search.build_postings(docs), terms, topk=args.topk)
+    elif args.mode == "phrase":
+        # raw-text phrase scan over the extracted docs (no index yet)
+        out = (
+            search.phrase_match(docs, args.query)
+            .orderBy(F.desc("n_occurrences"), F.col("doc_id"))
+            .limit(args.topk)
+        )
     elif args.mode == "query":
         # composed multifield query language (MultifieldParser analog):
         # fielded terms / phrases / wildcard / fuzzy / AND OR NOT, with
@@ -263,7 +279,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--state", default=None)
     s.add_argument("--index", default=None,
                    help="query a persisted index snapshot instead of rebuilding")
-    s.add_argument("--mode", choices=["bm25", "tf", "substring", "query"],
+    s.add_argument("--scoring", choices=["tf", "bm25f"], default="tf",
+                   help="leaf scoring for --mode query on an index")
+    s.add_argument("--mode", choices=["bm25", "tf", "substring", "query", "phrase"],
                    default="bm25",
                    help="'query' = composed multifield query language "
                         "(fielded terms, phrases, wildcard, fuzzy, AND/OR/NOT)")

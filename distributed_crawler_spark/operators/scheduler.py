@@ -18,6 +18,9 @@ scale each directory is an Iceberg table and each round a snapshot):
         seen/round=R/       (url, host) first attempts of round R
         counts/round=R/     (host, n_scheduled) cumulative first-attempt
         lineage/round=R/    (round, partition_id, urls_in, urls_out, bytes, wall_ms)
+        frontier_rollup/round=R/  compacted per-url frontier through round R
+                            (written lazily by reporting calls; one table
+                             replaces the O(R) cohort union)
 
 Resume: the max round with a lineage marker is the last committed round;
 restart reads pending/round=R+1; seen is one partition-discovered read
@@ -44,6 +47,22 @@ from .politeness import host_budget_filter, robots_filter
 PENDING, COHORT, EXTRACTED, LINEAGE = "pending", "cohort", "extracted", "lineage"
 COUNTS = "counts"
 SEEN = "seen"
+ROLLUP = "frontier_rollup"
+
+
+def _collapse_frontier(df: DataFrame) -> DataFrame:
+    """Collapse attempt rows to the per-url frontier row (DynamoDB
+    url-table semantics, master_node.py:404-428): first-attempt
+    round/depth, latest-attempt status, max retry_count. ``last_round``
+    (the attempt round) rides along so rollups of rollups stay correct."""
+    return df.groupBy("url").agg(
+        F.first("host").alias("host"),
+        F.min("depth").alias("depth"),
+        F.max_by("status", F.col("last_round")).alias("status"),
+        F.min("round").alias("round"),
+        F.max("retry_count").alias("retry_count"),
+        F.max("last_round").alias("last_round"),
+    )
 
 
 def _p(state_dir: str, table: str, rnd: int) -> str:
@@ -339,19 +358,49 @@ class CrawlScheduler:
 
     # -- results ---------------------------------------------------------
 
+    def _frontier_rollup(self, committed: list[int]) -> DataFrame:
+        """Compacted per-url frontier through the last committed round
+        (VERDICT r03 next #6 — the old frontier() unioned every cohort
+        round per call, O(R) reads in the reporting path). The rollup for
+        round R is written once, as (newest existing rollup) ∪ (the
+        cohorts since it) collapsed in ONE job — so a reporting call
+        reads ONE table plus only the cohorts added since the previous
+        report, and repeat calls within a round read exactly one table.
+        Rounds are deterministic, so a crash re-run reproduces the same
+        rollup content. At cluster scale this is the Iceberg MERGE
+        maintaining the reference's DynamoDB url table."""
+        last = committed[-1]
+        last_path = _p(self._root, ROLLUP, last)
+        if not _exists(last_path):
+            have = [r for r in committed if _exists(_p(self._root, ROLLUP, r))]
+            base = have[-1] if have else None
+            parts = [] if base is None else [self._read(ROLLUP, base)]
+            parts += [
+                with_retry_count(self._read(COHORT, r)).select(
+                    "url", "host", "depth", "status", "round", "retry_count",
+                    F.col("round").alias("last_round"),
+                )
+                for r in committed
+                if base is None or r > base
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            _collapse_frontier(df).write.mode("overwrite").parquet(last_path)
+        return self._read(ROLLUP, last)
+
     def frontier(self) -> DataFrame:
         """The frontier as the reference's url table sees it: ONE row per
         url — round/depth of the FIRST attempt (crawl order is defined on
         first scheduling), status of the LATEST attempt, max retry_count
         (DynamoDB url-frontier row semantics: status/retry_count updated
-        in place, master_node.py:404-428)."""
+        in place, master_node.py:404-428). Reads the compacted rollup +
+        the live pending cohort — input-file count is constant per round,
+        not O(rounds)."""
         committed = self.committed_rounds()
-        parts = [
-            with_retry_count(self._read(COHORT, r)).select(
-                "url", "host", "depth", "status", "round", "retry_count"
-            )
-            for r in committed
-        ]
+        parts = []
+        if committed:
+            parts.append(self._frontier_rollup(committed))
         nxt = (committed[-1] + 1) if committed else 0
         if _exists(_p(self._root, PENDING, nxt)):
             parts.append(
@@ -360,6 +409,7 @@ class CrawlScheduler:
                     F.lit("pending").alias("status"),
                     F.lit(nxt).alias("round"),
                     "retry_count",
+                    F.lit(nxt).alias("last_round"),
                 )
             )
         if not parts:
@@ -372,15 +422,9 @@ class CrawlScheduler:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        # collapse retry attempts to the per-url row (no-op when there are
-        # no retries; one hash aggregate, partial map-side combine)
-        return df.groupBy("url").agg(
-            F.first("host").alias("host"),
-            F.min("depth").alias("depth"),
-            F.max_by("status", F.col("round")).alias("status"),
-            F.min("round").alias("round"),
-            F.max("retry_count").alias("retry_count"),
-        ).select(
+        # collapse pending retries onto the rolled-up rows (no-op when
+        # there are none; one hash aggregate, partial map-side combine)
+        return _collapse_frontier(df).select(
             "url", "host", "depth", "status", "round", "retry_count",
             F.lit(self.cfg.job_id).alias("job_id"),
         )

@@ -155,8 +155,12 @@ def _merge_batch_into_index(
     (fresh epoch numbering) is a different key and applies normally.
     ``n_buckets`` sizes a NEW index; an existing index always uses the
     count recorded in its meta.json (the bucket function must never
-    change under a live layout)."""
-    from ..operators.search import build_postings_stemmed
+    change under a live layout). Fresh indexes get POSITIONAL postings
+    (so the live-maintained index serves phrase queries exactly like a
+    batch snapshot — Whoosh TEXT fields store positions); merging into a
+    legacy positionless index keeps its schema (the merge select drops
+    the positions column)."""
+    from ..operators.search import build_postings_stemmed_pos
 
     spark = batch.sparkSession
     meta_path = os.path.join(index_dir, "meta.json")
@@ -164,8 +168,9 @@ def _merge_batch_into_index(
     # meta is the layout authority; pre-parameterization indexes (no
     # n_buckets key) were all written at the old constant 64
     n_buckets = int(old_meta.get("n_buckets", n_buckets if not old_meta else 64))
+    has_positions = bool(old_meta.get("positions", not old_meta))
     postings = _with_bucket(
-        build_postings_stemmed(batch, id_col), id_col, n_buckets
+        build_postings_stemmed_pos(batch, id_col), id_col, n_buckets
     ).persist()
     postings_dir = os.path.join(index_dir, "postings")
     stats_dir = os.path.join(index_dir, "docstats")
@@ -232,6 +237,8 @@ def _merge_batch_into_index(
                     "id_col": id_col,
                     "last_epoch_key": epoch_key,
                     "n_buckets": n_buckets,
+                    "analyzer": old_meta.get("analyzer", "stemmed"),
+                    "positions": has_positions,
                 },
                 f,
             )

@@ -376,3 +376,21 @@ def test_extracted_all_spans_pre_depth_layout(spark, corpus_dir):
     out = s.extracted_all()
     assert "depth" in out.columns
     assert out.filter(F.col("depth").isNull()).count() == 0
+
+
+def test_frontier_rollup_compaction(engine):
+    """Reporting-path compaction (VERDICT r03 next #6): frontier() reads
+    ONE rollup table plus the live pending cohort — never the O(R) cohort
+    union — and repeat calls reuse the rollup written by the first."""
+    from distributed_crawler_spark.operators.scheduler import ROLLUP, _exists, _p
+
+    committed = engine.committed_rounds()
+    front = engine.frontier()  # run()'s summary already built the rollup
+    assert _exists(_p(engine._root, ROLLUP, committed[-1]))
+    inputs = front.inputFiles()
+    assert inputs, "frontier plan reports no input files"
+    for f in inputs:
+        assert f"/{ROLLUP}/" in f or "/pending/" in f, f"non-compacted input {f}"
+    # the rollup row count equals the per-url frontier (one row per url)
+    n_rollup = engine._read(ROLLUP, committed[-1]).count()
+    assert n_rollup == front.count()

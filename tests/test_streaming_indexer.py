@@ -327,3 +327,89 @@ def test_stream_identity_survives_checkpoint_recreate(tmp_path):
     _shutil.rmtree(ckpt)
     b = _stream_identity(ckpt)
     assert b != a
+
+
+def test_streamed_index_serves_phrase_queries(spark):
+    """A fresh stream-maintained index stores POSITIONAL postings, so
+    phrase queries run against it exactly like against a batch snapshot
+    (same analyzed-adjacency results) — including after an upsert moves
+    a doc's phrase."""
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    rows = [
+        ("u0", "breaking news today and the breaking news cycle"),
+        ("u1", "breaking the news gently"),
+        ("u2", "news breaking order"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    idx = "/tmp/dcs_phrase_stream_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    _merge_batch_into_index(docs, idx, epoch_id=0)
+    snap = "/tmp/dcs_phrase_snap_idx"
+    shutil.rmtree(snap, ignore_errors=True)
+    write_index_snapshot(docs, snap)
+
+    def res(d):
+        return {
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_from_index(spark, d, "breaking news").collect()
+        }
+
+    assert res(idx) == res(snap) and res(idx)
+
+    # upsert u1 to drop its phrase; the streamed index must reflect it
+    b2 = spark.createDataFrame(
+        [("u1", "nothing here now")], "doc_id STRING, text STRING"
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=1)
+    # only u0 keeps the phrase (u2 has the words in reverse order)
+    assert {d for d, _ in res(idx)} == {"u0"}
+
+
+def test_legacy_positionless_streamed_index_still_merges(spark):
+    """Merging into an index created before positional postings keeps its
+    schema (the merge select drops the batch's positions column) and
+    phrase queries against it raise the rebuild hint."""
+    import os
+
+    import pytest as _pytest
+
+    from distributed_crawler_spark.operators.search import phrase_from_index
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_legacy_pos_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.range(20).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("alpha beta gamma").alias("text"),
+    )
+    _merge_batch_into_index(b1, idx, epoch_id=0)
+    # rewrite into the LEGACY schema: no positions column, meta flag off
+    p = spark.read.parquet(f"{idx}/postings").drop("positions")
+    tmp = f"{idx}/postings.legacy"
+    p.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    shutil.rmtree(f"{idx}/postings")
+    os.rename(tmp, f"{idx}/postings")
+    meta = json.load(open(f"{idx}/meta.json"))
+    meta["positions"] = False
+    json.dump(meta, open(f"{idx}/meta.json", "w"))
+
+    b2 = spark.range(3).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("delta epsilon").alias("text"),
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=1)  # must not raise
+    post = spark.read.parquet(f"{idx}/postings")
+    assert "positions" not in post.columns
+    assert {r["term"] for r in post.filter(F.col("doc_id") == "u0").collect()} == {
+        "delta", "epsilon"
+    }
+    assert json.load(open(f"{idx}/meta.json"))["positions"] is False
+    with _pytest.raises(ValueError):
+        phrase_from_index(spark, idx, "alpha beta")
