@@ -254,13 +254,29 @@ class _ExecCtx:
         self.scorer = scorer or _TfLeafScorer()
 
 
+def _leaf_term_pred(ctx: _ExecCtx, leaf):
+    """The leaf's term-dictionary predicate (None for Phrase — a phrase
+    is not a term-dictionary entry). Shared by the postings match and the
+    termstats (df) lookup so both always filter identically."""
+    if isinstance(leaf, Term):
+        return F.col("term") == ctx.transform(leaf.text)
+    if isinstance(leaf, Wildcard):
+        return F.col("term").startswith(ctx.prefix_transform(leaf.prefix))
+    if isinstance(leaf, Fuzzy):
+        return (
+            F.levenshtein(F.col("term"), F.lit(ctx.transform(leaf.text)))
+            <= leaf.max_edits
+        )
+    return None
+
+
 class _TfLeafScorer:
     """Leaf score = term frequency (the search_tf scoring surface —
     SQL-oracle-able); summed per doc over the leaf's matched terms."""
 
     sum_type = "long"
 
-    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame) -> DataFrame:
+    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame, leaf_node) -> DataFrame:
         return matched.select(ctx.id_col, F.col("tf").alias("score"))
 
 
@@ -275,8 +291,10 @@ class _BM25FLeafScorer:
 
     ``stats`` maps field -> docstats DataFrame (id, dl); ``n`` / ``avgdl``
     map field -> corpus literals from the index meta (no per-query 1-row
-    crossJoins). idf is a per-term aggregate over the leaf's matched
-    terms — a handful of rows, broadcast. Phrase leaves arrive with
+    crossJoins). df comes from the snapshot's precomputed ``termstats``
+    table when available (the Whoosh term-dictionary df: a pushed filter
+    on a tiny term-sorted table) — falling back to a per-term aggregate
+    over the leaf's matched postings. Phrase leaves arrive with
     tf = occurrence count and term = the phrase string, so df is the
     phrase's own document frequency — BM25 over the phrase as a unit
     (Whoosh's phrase scoring shape)."""
@@ -291,6 +309,7 @@ class _BM25FLeafScorer:
         boosts: dict[str, float] | None = None,
         k1: float = 1.2,
         b: float = 0.75,
+        termstats: dict[str, DataFrame] | None = None,
     ):
         self.stats = stats
         self.n = n
@@ -298,22 +317,24 @@ class _BM25FLeafScorer:
         self.boosts = boosts or {}
         self.k1 = k1
         self.b = b
+        self.termstats = termstats or {}
 
-    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame) -> DataFrame:
+    def leaf(self, ctx: _ExecCtx, field: str, matched: DataFrame, leaf_node) -> DataFrame:
         n = float(self.n[field])
         avgdl = float(self.avgdl[field]) or 1.0
         boost = float(self.boosts.get(field, 1.0))
-        idf = (
-            matched.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .select(
-                "term",
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(n) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ).alias("idf"),
-            )
+        pred = _leaf_term_pred(ctx, leaf_node)
+        if field in self.termstats and pred is not None:
+            df_t = self.termstats[field].filter(pred)
+        else:
+            df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+        idf = df_t.select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
         )
         return (
             matched.join(F.broadcast(idf), "term")
@@ -337,19 +358,9 @@ class _BM25FLeafScorer:
 def _leaf_matched(ctx: _ExecCtx, leaf, field: str) -> DataFrame:
     """The leaf's matched postings rows (id, term, tf) in one field."""
     p = ctx.postings[field]
-    if isinstance(leaf, Term):
-        return p.filter(F.col("term") == ctx.transform(leaf.text)).select(
-            ctx.id_col, "term", "tf"
-        )
-    if isinstance(leaf, Wildcard):
-        return p.filter(
-            F.col("term").startswith(ctx.prefix_transform(leaf.prefix))
-        ).select(ctx.id_col, "term", "tf")
-    if isinstance(leaf, Fuzzy):
-        return p.filter(
-            F.levenshtein(F.col("term"), F.lit(ctx.transform(leaf.text)))
-            <= leaf.max_edits
-        ).select(ctx.id_col, "term", "tf")
+    pred = _leaf_term_pred(ctx, leaf)
+    if pred is not None:
+        return p.filter(pred).select(ctx.id_col, "term", "tf")
     if isinstance(leaf, Phrase):
         phrase = " ".join(leaf.words)
         if ctx.phrase_transform is not None and "positions" in p.columns:
@@ -385,7 +396,7 @@ def _leaf_matched(ctx: _ExecCtx, leaf, field: str) -> DataFrame:
 
 def _leaf_scores(ctx: _ExecCtx, leaf) -> DataFrame:
     names = [leaf.field] if leaf.field else list(ctx.postings)
-    parts = [ctx.scorer.leaf(ctx, f, _leaf_matched(ctx, leaf, f)) for f in names]
+    parts = [ctx.scorer.leaf(ctx, f, _leaf_matched(ctx, leaf, f), leaf) for f in names]
     unioned = reduce(lambda a, b: a.unionByName(b), parts)
     return unioned.groupBy(ctx.id_col).agg(
         F.sum("score").cast(ctx.scorer.sum_type).alias("score")
@@ -562,10 +573,17 @@ def search_composed_indexed(
             name: spark.read.parquet(os.path.join(d, "docstats"))
             for name, d in field_dirs.items()
         }
+        termstats = {
+            name: spark.read.parquet(os.path.join(d, "termstats"))
+            for name, d in field_dirs.items()
+            if field_meta[name].get("termstats")
+            and os.path.isdir(os.path.join(d, "termstats"))
+        }
         scorer = _BM25FLeafScorer(
             stats,
             n={name: m["n_docs"] for name, m in field_meta.items()},
             avgdl={name: m["avgdl"] for name, m in field_meta.items()},
+            termstats=termstats,
         )
     elif scoring != "tf":
         raise ValueError(f"unknown scoring {scoring!r} (tf | bm25f)")

@@ -642,6 +642,18 @@ def write_index_snapshot(
     )
     stats = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     stats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+    # term statistics (the Whoosh term-dictionary df): precomputed once so
+    # query-time idf is a pushed filter on this tiny table instead of a
+    # groupBy-shuffle over every matched posting (a wildcard matching a
+    # hot prefix would otherwise aggregate millions of rows per query)
+    (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .repartitionByRange(max(buckets // 4, 1), F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "termstats"))
+    )
     n_docs = stats.count()
     avgdl = stats.agg(F.avg("dl").alias("a")).collect()[0]["a"] or 0.0
     postings.unpersist()
@@ -653,6 +665,7 @@ def write_index_snapshot(
                 "id_col": id_col,
                 "analyzer": analyzer,
                 "positions": positions,
+                "termstats": True,
             },
             f,
         )
@@ -685,16 +698,25 @@ def bm25_from_index(
     """BM25 against the persisted index. n/avgdl come from meta.json as
     LITERALS — the per-query 1-row crossJoins of the build-on-the-fly
     path disappear; the only joins are the query-term postings (pushed
-    scan) × broadcast idf × docstats."""
+    scan) × broadcast idf × docstats. df comes from the precomputed
+    termstats table (pushed filter on a tiny term-sorted table) when the
+    snapshot carries one; older snapshots fall back to a groupBy over
+    the matched postings."""
+    import os
+
     postings, stats, meta = _read_index(spark, index_dir)
     id_col = meta["id_col"]
     n, avgdl = float(meta["n_docs"]), float(meta["avgdl"]) or 1.0
 
     qp = postings.filter(F.col("term").isin(query_terms))
+    if meta.get("termstats") and os.path.isdir(os.path.join(index_dir, "termstats")):
+        df_t = spark.read.parquet(os.path.join(index_dir, "termstats")).filter(
+            F.col("term").isin(query_terms)
+        )
+    else:
+        df_t = qp.groupBy("term").agg(F.count("*").alias("df"))
     idf = (
-        qp.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn(
+        df_t.withColumn(
             "idf",
             F.log(
                 F.lit(1.0)

@@ -445,7 +445,7 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> str:
         # the _p marks the positional-postings format (round 4): a stale
         # round-3 snapshot at the unmarked path has no positions column
         # and must not satisfy this cache
-        "dcs_index_p_"
+        "dcs_index_p2_"
         + os.path.basename(sf_dir.rstrip("/"))
         + "_"
         + _table_fingerprint(sf_dir, "documents"),
@@ -1836,7 +1836,7 @@ def _cached_multifield_raw_index(spark: SparkSession, sf_dir: str) -> str:
 
     idx = os.path.join(
         tempfile.gettempdir(),
-        "dcs_mfidx_raw_"
+        "dcs_mfidx_raw2_"
         + os.path.basename(sf_dir.rstrip("/"))
         + "_"
         + _table_fingerprint(sf_dir, "documents"),

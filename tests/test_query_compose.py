@@ -516,3 +516,39 @@ def test_fielded_phrase_requires_adjacency():
     assert parse_query('title: "key order"', FIELDS) == And(
         (Term(None, "title:"), Phrase(None, ("key", "order")))
     )
+
+
+def test_bm25f_termstats_equals_fallback(spark, tmp_path):
+    """The precomputed termstats (Whoosh term-dictionary df) path must
+    score identically to the groupBy-over-matched-postings fallback —
+    same df by construction, so same BM25F numbers."""
+    import shutil as _shutil
+
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark joins the window order"),
+            (1, "join join the key order club"),
+            (2, "windows spark and spark again"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    fields = {"body": docs}
+    idx = str(tmp_path / "ts_idx")
+    write_multifield_index(fields, idx, analyzer="raw")
+    q = "spark OR (join AND order*)"
+
+    def res(d):
+        return [
+            (r["doc_id"], r["score"])
+            for r in search_composed_indexed(spark, d, q, scoring="bm25f").collect()
+        ]
+
+    with_ts = res(idx)
+    # strip termstats -> the scorer falls back to the matched-postings df
+    _shutil.rmtree(f"{idx}/field=body/termstats")
+    assert res(idx) == with_ts and with_ts
