@@ -458,6 +458,14 @@ def phrase_from_index(
     import json
     import os
 
+    if not os.path.exists(os.path.join(index_dir, "meta.json")) and os.path.exists(
+        os.path.join(index_dir, "fields.json")
+    ):
+        raise ValueError(
+            "this is a multifield index root: point at one field "
+            "(index_dir/field=NAME) or run the phrase through "
+            "search_composed_indexed as a quoted query"
+        )
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     if not meta.get("positions"):
