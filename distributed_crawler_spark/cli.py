@@ -92,6 +92,14 @@ def _search(args) -> None:
 
     if not args.index and not args.state:
         raise SystemExit("search requires --state or --index")
+    if getattr(args, "scoring", "tf") != "tf" and not (
+        args.index and args.mode == "query"
+    ):
+        # never silently return tf-ranked results the user didn't ask for
+        raise SystemExit(
+            "--scoring bm25f applies only to --index ... --mode query "
+            "(the live path scores tf; use --mode bm25 for single-field BM25)"
+        )
     spark = get_spark(cores=args.cores)
     if args.index:
         # query the persisted index (stemmed terms, zero query-time Python)

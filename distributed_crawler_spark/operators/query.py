@@ -253,6 +253,17 @@ class _ExecCtx:
         self.phrase_transform = phrase_transform
         self.scorer = scorer or _TfLeafScorer()
 
+    def with_scorer(self, scorer) -> "_ExecCtx":
+        return _ExecCtx(
+            self.postings,
+            self.docs,
+            self.id_col,
+            self.transform,
+            prefix_transform=self.prefix_transform,
+            phrase_transform=self.phrase_transform,
+            scorer=scorer,
+        )
+
 
 def _leaf_term_pred(ctx: _ExecCtx, leaf):
     """The leaf's term-dictionary predicate (None for Phrase — a phrase
@@ -431,8 +442,12 @@ def _execute(node, ctx: _ExecCtx) -> DataFrame:
             lambda a, b: _combine(a, b, ctx.id_col, "inner"),
             [_execute(c, ctx) for c in pos],
         )
+        # negated children only contribute a doc-id SET to the anti-join:
+        # run them with the cheap tf scorer so a bm25f query doesn't pay
+        # idf/docstats joins for scores that are immediately discarded
+        neg_ctx = ctx.with_scorer(_TfLeafScorer())
         for n in neg:
-            excl = _execute(n, ctx)
+            excl = _execute(n, neg_ctx)
             out = out.join(excl.select(ctx.id_col), ctx.id_col, "left_anti")
         return out
     if isinstance(node, Not):
@@ -447,16 +462,24 @@ def search_composed(
     topk: int = 20,
     term_transform=None,
     postings_fn=build_postings,
+    prefix_transform=None,
 ) -> DataFrame:
     """Parse ``query`` and run it across ``fields`` (name -> DataFrame of
     (id, text)) as one plan; returns (id, score) top-k. Pass
     ``term_transform=porter_stem``-style analyzers to query a stemmed
     index with analyzer parity (preprocess_query analog), and
-    ``postings_fn=build_postings_stemmed`` to match."""
+    ``postings_fn=build_postings_stemmed`` to match. Wildcard prefixes
+    follow Whoosh (wildcard text is NOT stemmed): with an analyzer
+    transform they default to lowercase-only — identical to the indexed
+    path, so live and indexed runs of the same query agree; with no
+    transform (raw postings) they stay byte-exact. Override with
+    ``prefix_transform``."""
     ast = parse_query(query, frozenset(fields))
     transform = term_transform or (lambda t: t)
+    if prefix_transform is None:
+        prefix_transform = str.lower if term_transform is not None else transform
     postings = {f: postings_fn(df, id_col) for f, df in fields.items()}
-    ctx = _ExecCtx(postings, fields, id_col, transform)
+    ctx = _ExecCtx(postings, fields, id_col, transform, prefix_transform=prefix_transform)
     scored = _execute(ast, ctx)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(topk)
 
@@ -488,7 +511,7 @@ def write_multifield_index(
     return index_dir
 
 
-def _load_multifield_index(spark, index_dir: str):
+def _load_multifield_index(index_dir: str):
     """(field -> dir, field -> field-meta, id_col) for either layout:
     the fields.json multifield tree or a plain write_index_snapshot dir
     (the CLI `index` command) treated as one 'body' field."""
@@ -542,7 +565,7 @@ def search_composed_indexed(
 
     from ..functions.text import porter_stem, process_text_py
 
-    field_dirs, field_meta, id_col = _load_multifield_index(spark, index_dir)
+    field_dirs, field_meta, id_col = _load_multifield_index(index_dir)
     analyzers = {m.get("analyzer", "stemmed") for m in field_meta.values()}
     if len(analyzers) != 1:
         raise ValueError(f"fields indexed with mixed analyzers: {sorted(analyzers)}")

@@ -368,7 +368,15 @@ class CrawlScheduler:
         report, and repeat calls within a round read exactly one table.
         Rounds are deterministic, so a crash re-run reproduces the same
         rollup content. At cluster scale this is the Iceberg MERGE
-        maintaining the reference's DynamoDB url table."""
+        maintaining the reference's DynamoDB url table.
+
+        The rollup is a derived CACHE, not primary state: superseded
+        rollup rounds are pruned after each write (storage stays one
+        frontier copy, not O(rounds)), and if the state dir is not
+        writable (read-only mount, another user's crawl) the method
+        falls back to the direct cohort union — reporting always works,
+        compaction is best-effort. Single concurrent reporter assumed,
+        like every other writer in this layout (sources/storage.py)."""
         last = committed[-1]
         last_path = _p(self._root, ROLLUP, last)
         if not _exists(last_path):
@@ -386,7 +394,16 @@ class CrawlScheduler:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-            _collapse_frontier(df).write.mode("overwrite").parquet(last_path)
+            collapsed = _collapse_frontier(df)
+            try:
+                collapsed.write.mode("overwrite").parquet(last_path)
+            except Exception:
+                # unwritable state dir: report from the un-materialized
+                # plan (the pre-compaction behavior, O(R) reads)
+                return collapsed
+            for r in have:
+                if r != last:
+                    shutil.rmtree(_p(self._root, ROLLUP, r), ignore_errors=True)
         return self._read(ROLLUP, last)
 
     def frontier(self) -> DataFrame:

@@ -160,7 +160,7 @@ def _merge_batch_into_index(
     batch snapshot — Whoosh TEXT fields store positions); merging into a
     legacy positionless index keeps its schema (the merge select drops
     the positions column)."""
-    from ..operators.search import build_postings_stemmed_pos
+    from ..operators.search import build_postings_stemmed, build_postings_stemmed_pos
 
     spark = batch.sparkSession
     meta_path = os.path.join(index_dir, "meta.json")
@@ -169,9 +169,10 @@ def _merge_batch_into_index(
     # n_buckets key) were all written at the old constant 64
     n_buckets = int(old_meta.get("n_buckets", n_buckets if not old_meta else 64))
     has_positions = bool(old_meta.get("positions", not old_meta))
-    postings = _with_bucket(
-        build_postings_stemmed_pos(batch, id_col), id_col, n_buckets
-    ).persist()
+    # a legacy positionless index keeps its schema — don't pay the
+    # posexplode/collect_list position build just to drop the column
+    build = build_postings_stemmed_pos if has_positions else build_postings_stemmed
+    postings = _with_bucket(build(batch, id_col), id_col, n_buckets).persist()
     postings_dir = os.path.join(index_dir, "postings")
     stats_dir = os.path.join(index_dir, "docstats")
 
@@ -288,15 +289,24 @@ def _stream_identity(checkpoint_dir: str) -> str:
     path restarts epochs at 0 under the same key, so the first new
     batch's meta delta would be skipped against the stale last_epoch_key.
     The id file lives and dies with the checkpoint — delete the
-    checkpoint and the identity goes with it."""
+    checkpoint and the identity goes with it.
+
+    Migration: a checkpoint that ALREADY has Spark state (an ``offsets``
+    dir) but no id file predates this scheme and had the abs path as its
+    identity — mint the id file with THAT value, so a replayed epoch
+    whose meta delta was applied under the old key is still recognized
+    as applied (a fresh uuid would re-apply it and permanently skew
+    n_docs/sum_dl)."""
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     id_path = os.path.join(checkpoint_dir, "dcs_stream_id")
     if not os.path.exists(id_path):
+        pre_upgrade = os.path.isdir(os.path.join(checkpoint_dir, "offsets"))
+        ident = os.path.abspath(checkpoint_dir) if pre_upgrade else uuid.uuid4().hex
         tmp = id_path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(uuid.uuid4().hex)
+            f.write(ident)
         os.replace(tmp, id_path)
     with open(id_path) as f:
         return f.read().strip()

@@ -394,3 +394,25 @@ def test_frontier_rollup_compaction(engine):
     # the rollup row count equals the per-url frontier (one row per url)
     n_rollup = engine._read(ROLLUP, committed[-1]).count()
     assert n_rollup == front.count()
+
+
+def test_frontier_rollup_prunes_superseded_rounds(spark, corpus_dir):
+    """Review r04: the rollup is a cache — after reporting at round R,
+    rollups for earlier rounds are deleted (storage stays ~one frontier
+    copy, not O(rounds))."""
+    import os
+
+    from distributed_crawler_spark.operators.scheduler import ROLLUP
+
+    state = "/tmp/dcs_rollup_prune_state"
+    shutil.rmtree(state, ignore_errors=True)
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+    cfg = CrawlConfig(max_depth=1, max_urls_per_domain=4, max_retries=0)
+    s = CrawlScheduler(spark, pages, robots, state, cfg)
+    s.run(seeds=seeds, stop_after_round=0)  # summary() -> rollup round 0
+    s.run(resume=True)                       # deeper; new rollup, prune old
+    rdir = os.path.join(s._root, ROLLUP)
+    rounds = sorted(d for d in os.listdir(rdir) if d.startswith("round="))
+    assert rounds == [f"round={s.committed_rounds()[-1]}"]

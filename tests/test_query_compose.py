@@ -552,3 +552,70 @@ def test_bm25f_termstats_equals_fallback(spark, tmp_path):
     # strip termstats -> the scorer falls back to the matched-postings df
     _shutil.rmtree(f"{idx}/field=body/termstats")
     assert res(idx) == with_ts and with_ts
+
+
+def test_live_wildcard_prefix_matches_indexed_behavior(spark, tmp_path):
+    """Review r04: the no-stem-wildcards rule applies to the LIVE path
+    too — with an analyzer transform, 'testing*' must not stem to 'test'
+    and over-match; live and indexed runs of the same query agree."""
+    from distributed_crawler_spark.functions.text import porter_stem
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+    from distributed_crawler_spark.operators.search import build_postings_stemmed
+
+    docs = spark.createDataFrame(
+        [(0, "we are testing the pipeline"), (1, "nothing here")],
+        "doc_id INT, text STRING",
+    )
+    fields = {"body": docs}
+    live = search_composed(
+        fields,
+        "testing*",
+        term_transform=lambda t: porter_stem(t.lower()),
+        postings_fn=build_postings_stemmed,
+    )
+    assert live.count() == 0  # prefix 'testing' probes stemmed terms: none
+    live2 = search_composed(
+        fields,
+        "Test*",
+        term_transform=lambda t: porter_stem(t.lower()),
+        postings_fn=build_postings_stemmed,
+    )
+    idx = str(tmp_path / "wc_live_idx")
+    write_multifield_index(fields, idx)
+    indexed2 = search_composed_indexed(spark, idx, "Test*")
+    assert (
+        [(r["doc_id"], r["score"]) for r in live2.collect()]
+        == [(r["doc_id"], r["score"]) for r in indexed2.collect()]
+        == [(0, 1)]
+    )
+
+
+def test_bm25f_not_subtree_skips_scoring_joins(spark, tmp_path):
+    """Review r04: negated children only feed an anti-join, so a bm25f
+    query must not pay idf/docstats joins for them — exactly one
+    docstats scan (the positive 'spark' leaf) in the plan."""
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark rules"), (1, "spark wind rules")], "doc_id INT, text STRING"
+    )
+    idx = str(tmp_path / "neg_idx")
+    write_multifield_index({"body": docs}, idx, analyzer="raw")
+    df = search_composed_indexed(spark, idx, "spark AND NOT wind*", scoring="bm25f")
+    # formatted explain lists every scan once (plain toString truncates
+    # long plans mid-string and can hide scans entirely)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("docstats") == 1, f"docstats scans != 1 in:\n{plan}"
+    assert [r["doc_id"] for r in df.collect()] == [0]

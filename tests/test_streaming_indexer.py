@@ -413,3 +413,22 @@ def test_legacy_positionless_streamed_index_still_merges(spark):
     assert json.load(open(f"{idx}/meta.json"))["positions"] is False
     with _pytest.raises(ValueError):
         phrase_from_index(spark, idx, "alpha beta")
+
+
+def test_pre_upgrade_checkpoint_keeps_path_identity(tmp_path):
+    """Review r04 migration: a checkpoint that already has Spark state
+    (offsets dir) but no id file predates the uuid scheme — its identity
+    must be the abs path (the old key), so meta deltas applied before the
+    upgrade are still recognized on replay. A brand-new checkpoint gets
+    a uuid."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import _stream_identity
+
+    old = str(tmp_path / "old_ckpt")
+    os.makedirs(os.path.join(old, "offsets"))
+    assert _stream_identity(old) == os.path.abspath(old)
+
+    new = str(tmp_path / "new_ckpt")
+    ident = _stream_identity(new)
+    assert ident != os.path.abspath(new) and len(ident) == 32
