@@ -118,7 +118,8 @@ def _search(args) -> None:
         elif args.mode == "phrase":
             # phrase against the positional postings (PhrasePlugin analog)
             out = search.phrase_from_index(
-                spark, args.index, args.query, topk=args.topk
+                spark, args.index, args.query, topk=args.topk,
+                slop=getattr(args, "slop", 1),
             )
         else:
             terms = process_text_py(args.query)
@@ -289,6 +290,8 @@ def main(argv: list[str] | None = None) -> None:
                    help="query a persisted index snapshot instead of rebuilding")
     s.add_argument("--scoring", choices=["tf", "bm25f"], default="tf",
                    help="leaf scoring for --mode query on an index")
+    s.add_argument("--slop", type=int, default=1,
+                   help="max gap between phrase words for --mode phrase")
     s.add_argument("--mode", choices=["bm25", "tf", "substring", "query", "phrase"],
                    default="bm25",
                    help="'query' = composed multifield query language "

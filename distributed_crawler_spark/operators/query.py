@@ -71,6 +71,9 @@ class Fuzzy:
 class Phrase:
     field: str | None
     words: tuple[str, ...]
+    # Whoosh PhrasePlugin slop ('"a b"~N'): max distance between
+    # consecutive words; 1 = exact adjacency (the default)
+    slop: int = 1
 
 
 @dataclass(frozen=True)
@@ -171,7 +174,7 @@ class _Parser:
         kind, val, _start, end = self.toks[self.pos]
         self.pos += 1
         if kind == "phrase":
-            return self._phrase(None, val)
+            return self._phrase_unit(None, val, end)
         if kind != "word":
             raise ValueError(f"unexpected {kind!r} where a term was expected")
         field = None
@@ -188,9 +191,9 @@ class _Parser:
                 # not title: "x" (whitespace separates into two units)
             ):
                 # fielded phrase: title:"key order"
-                _, pval, _, _ = self.toks[self.pos]
+                _, pval, _, pend = self.toks[self.pos]
                 self.pos += 1
-                return self._phrase(maybe_field, pval)
+                return self._phrase_unit(maybe_field, pval, pend)
         if text.endswith("*") and len(text) > 1:
             return Wildcard(field, text[:-1])
         # Whoosh FuzzyTermPlugin syntax: term~ (1 edit) or term~N
@@ -201,12 +204,26 @@ class _Parser:
             return Fuzzy(field, fz.group(1), int(fz.group(2) or "1"))
         return Term(field, text)
 
+    def _phrase_unit(self, field: str | None, val: str, end: int) -> Phrase:
+        """A parsed phrase, consuming an ADJACENT trailing '~N' as slop
+        (Whoosh PhrasePlugin: '"a b"~2'). Non-adjacent '~N' stays its own
+        unit; without this consumption the tokenizer's '~2' word would
+        parse as a Term that matches nothing and silently empty an AND."""
+        slop = 1
+        if self._peek() == "word":
+            _, w, s, _ = self.toks[self.pos]
+            m = re.fullmatch(r"~(\d+)", w or "")
+            if m and s == end:
+                slop = int(m.group(1))
+                self.pos += 1
+        return self._phrase(field, val, slop)
+
     @staticmethod
-    def _phrase(field: str | None, val: str) -> Phrase:
+    def _phrase(field: str | None, val: str, slop: int = 1) -> Phrase:
         words = tuple(w for w in val.split(" ") if w)
         if not words:
             raise ValueError("empty phrase")
-        return Phrase(field, words)
+        return Phrase(field, words, slop)
 
 
 def parse_query(q: str, known_fields: set[str] | frozenset[str] = frozenset()):
@@ -382,7 +399,7 @@ def _leaf_matched(ctx: _ExecCtx, leaf, field: str) -> DataFrame:
             words = ctx.phrase_transform(phrase)
             if not words:
                 raise ValueError(f"phrase analyzes to no terms: {phrase!r}")
-            occ = phrase_scores_positional(p, words, ctx.id_col)
+            occ = phrase_scores_positional(p, words, ctx.id_col, slop=leaf.slop)
         else:
             # raw-text path: occurrence-count arithmetic on the source
             # docs; the analyzer transform is deliberately NOT applied —
@@ -390,6 +407,11 @@ def _leaf_matched(ctx: _ExecCtx, leaf, field: str) -> DataFrame:
             # literally-present phrase unmatchable in the raw text
             from .search import phrase_match
 
+            if leaf.slop > 1:
+                raise ValueError(
+                    "sloppy phrases need positional postings; rebuild the "
+                    "index with positions=True"
+                )
             if field not in ctx.docs:
                 raise ValueError(
                     "phrase leaves need positional postings or raw field "

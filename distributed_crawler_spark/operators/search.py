@@ -414,32 +414,49 @@ def phrase_match(
 
 
 def phrase_scores_positional(
-    postings: DataFrame, words: list[str], id_col: str = "doc_id"
+    postings: DataFrame, words: list[str], id_col: str = "doc_id", slop: int = 1
 ) -> DataFrame:
     """Phrase matching against POSITIONAL postings (Whoosh PhrasePlugin
     over a positional TEXT field, indexer_node.py:108-118, :238): the
-    occurrence count of words appearing at consecutive positions, via
-    array intersection of shifted position lists — occurrences(d) =
-    |∩_i (positions(w_i, d) − i)|. Each word's predicate is a term
-    equality pushed to the (term-sorted) postings scan; the joins key on
-    the doc id and each side is only that term's rows — no raw-text scan
-    anywhere. Duplicate words in the phrase reuse the same postings row
-    under different shifts, which the intersection handles naturally."""
+    count of in-order chains of the words with consecutive-word gaps in
+    [1, slop] (slop=1 = exact adjacency, the Whoosh default; '"a b"~N'
+    syntax raises it). The candidate set is carried in the CURRENT
+    word's position space: for slop=1 an array intersection with the
+    previous candidates shifted by one; for larger slop a filter/exists
+    over the (tiny, per-doc) position arrays. Each word's predicate is a
+    term equality pushed to the (term-sorted) postings scan; the joins
+    key on the doc id and each side is only that term's rows — no
+    raw-text scan anywhere. Duplicate words in the phrase reuse the same
+    postings row at different chain depths, which both forms handle
+    naturally. Counts are distinct chain END positions (≡ occurrence
+    count at slop=1)."""
     if not words:
         raise ValueError("empty phrase")
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
     cand = None
     for i, w in enumerate(words):
         part = postings.filter(F.col("term") == w).select(
-            F.col(id_col),
-            F.transform(F.col("positions"), lambda p: p - F.lit(i)).alias(f"__pos{i}"),
+            F.col(id_col), F.col("positions").alias(f"__pos{i}")
         )
         if cand is None:
             cand = part.withColumnRenamed("__pos0", "__cand")
-        else:
-            cand = cand.join(part, id_col).select(
-                F.col(id_col),
-                F.array_intersect(F.col("__cand"), F.col(f"__pos{i}")).alias("__cand"),
+            continue
+        joined = cand.join(part, id_col)
+        if slop == 1:
+            new_cand = F.array_intersect(
+                F.transform(F.col("__cand"), lambda p: p + F.lit(1)),
+                F.col(f"__pos{i}"),
             )
+        else:
+            new_cand = F.filter(
+                F.col(f"__pos{i}"),
+                lambda q: F.exists(
+                    F.col("__cand"),
+                    lambda p: ((q - p) >= F.lit(1)) & ((q - p) <= F.lit(slop)),
+                ),
+            )
+        cand = joined.select(F.col(id_col), new_cand.alias("__cand"))
     return (
         cand.select(F.col(id_col), F.size("__cand").cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
@@ -447,7 +464,7 @@ def phrase_scores_positional(
 
 
 def phrase_from_index(
-    spark, index_dir: str, phrase: str, topk: int | None = None
+    spark, index_dir: str, phrase: str, topk: int | None = None, slop: int = 1
 ) -> DataFrame:
     """Phrase search against the persisted index snapshot — the analyzer
     recorded in meta.json is applied to the phrase (stemmed index ⇒ the
@@ -482,7 +499,7 @@ def phrase_from_index(
     else:
         words = [w for w in phrase.split(" ") if w]
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    out = phrase_scores_positional(postings, words, meta["id_col"])
+    out = phrase_scores_positional(postings, words, meta["id_col"], slop=slop)
     if topk is not None:
         out = out.orderBy(F.desc("n_occurrences"), F.col(meta["id_col"])).limit(topk)
     return out

@@ -619,3 +619,69 @@ def test_bm25f_not_subtree_skips_scoring_joins(spark, tmp_path):
     plan = buf.getvalue()
     assert plan.count("docstats") == 1, f"docstats scans != 1 in:\n{plan}"
     assert [r["doc_id"] for r in df.collect()] == [0]
+
+
+def test_phrase_slop_parsing_and_matching(spark, tmp_path):
+    """Whoosh PhrasePlugin slop ('"a b"~N'): adjacent ~N binds to the
+    phrase; matching counts in-order chains with per-gap distance <= N,
+    verified against an independent Python reference on a raw index."""
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+
+    assert parse_query('"a b"~2', FIELDS) == Phrase(None, ("a", "b"), 2)
+    assert parse_query('title:"a b"~3', FIELDS) == Phrase("title", ("a", "b"), 3)
+    # non-adjacent ~2 stays its own unit (implicit AND with a Fuzzy-less term)
+    assert parse_query('"a b" ~2', FIELDS) == And(
+        (Phrase(None, ("a", "b")), Term(None, "~2"))
+    )
+
+    rows = [
+        (0, "a b c"),          # adjacent
+        (1, "a x b"),          # gap 2
+        (2, "a x y b"),        # gap 3
+        (3, "b a"),            # wrong order
+        (4, "a a x b"),        # two chain starts
+        (5, "a x b x b"),      # two ends within slop 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    idx = str(tmp_path / "slop_idx")
+    write_index_snapshot(docs, idx, analyzer="raw")
+
+    def py_count(text, words, slop):
+        toks = text.split()
+        cand = [i for i, t in enumerate(toks) if t == words[0]]
+        for w in words[1:]:
+            posw = [i for i, t in enumerate(toks) if t == w]
+            cand = [q for q in posw if any(1 <= q - p <= slop for p in cand)]
+        return len(cand)
+
+    for slop in (1, 2, 3):
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_from_index(spark, idx, "a b", slop=slop).collect()
+        }
+        want = {
+            d: py_count(t, ["a", "b"], slop) for d, t in rows
+            if py_count(t, ["a", "b"], slop) > 0
+        }
+        assert got == want, f"slop={slop}: {got} != {want}"
+    # sanity anchors for the semantics themselves
+    assert 1 not in {
+        r["doc_id"] for r in phrase_from_index(spark, idx, "a b", slop=1).collect()
+    }
+    assert {
+        r["doc_id"] for r in phrase_from_index(spark, idx, "a b", slop=2).collect()
+    } >= {0, 1, 4, 5}
+
+    # composed executor lowers slop through the AST; raw-docs path rejects it
+    from distributed_crawler_spark.operators.query import search_composed_indexed
+
+    got_c = {
+        r["doc_id"]
+        for r in search_composed_indexed(spark, idx, '"a b"~2').collect()
+    }
+    assert got_c == {0, 1, 4, 5}
+    with pytest.raises(ValueError):
+        search_composed({"body": docs}, '"a b"~2')
