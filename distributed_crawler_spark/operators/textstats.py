@@ -150,3 +150,92 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         phash(F.col(text_col)).alias("fingerprint"),
         F.md5(norm).alias("normalized_md5"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    high top-n-gram / duplicated-n-gram fractions mark boilerplate and
+    spam): per doc,
+
+        top2_frac = occurrences(most frequent 2-gram) * 2 / n_tokens
+        dup3_frac = Σ_{3-grams with count >= 2} count * 3 / n_tokens
+
+    token-fraction variants of the paper's character fractions (the
+    synthetic corpus is uniform-length words, so they rank identically),
+    both capped at 1.0 since overlapping occurrences can push the raw
+    ratio over it. All native: posexplode + per-doc lead() windows +
+    two hash aggregates — the doc-partitioned windows shuffle once on
+    the doc id and every later aggregate reuses that partitioning."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = toks.select(
+        F.col(id_col),
+        F.col("tok"),
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    n_tok = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    bi = (
+        grams.filter(F.col("t1").isNotNull())
+        .groupBy(id_col, F.concat_ws(" ", "tok", "t1").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top2_cnt"))
+    )
+    tri = (
+        grams.filter(F.col("t2").isNotNull())
+        .groupBy(id_col, F.concat_ws(" ", "tok", "t1", "t2").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("dup3_cnt")
+        )
+    )
+    return (
+        n_tok.join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+                ),
+                4,
+            ).alias("top2_frac"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("dup3_cnt"), F.lit(0)) * 3.0 / F.col("n_tokens"),
+                ),
+                4,
+            ).alias("dup3_frac"),
+        )
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction_pct: int,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """DETERMINISTIC corpus sampling (the training-data down-sampling /
+    mixing-weights primitive): keep a row iff
+    portable_hash(seed || key) mod 100 < fraction_pct. Unlike
+    DataFrame.sample(), the decision is a pure function of the key — the
+    same rows are selected on every engine, every run, every partition
+    layout (reproducible data recipes; per-domain quotas compose by
+    keying on the domain). Uses the md5-derived portable hash
+    (functions/hashing.py phash; DuckDB twin phash_sql)."""
+    h = phash(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return docs.filter(F.pmod(h, F.lit(100)) < fraction_pct)

@@ -2040,6 +2040,80 @@ def q_search_phrase_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_from_index(spark, _cached_index(spark, sf_dir), "key order")
 
 
+@q(
+    "rep_signals",
+    """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM d),
+toks AS (SELECT doc_id, i, l[i] AS tok FROM pos WHERE l[i] <> ''),
+seq AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM toks
+),
+n AS (SELECT doc_id, count(*) AS n_tokens FROM seq GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, count(*) AS cnt
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.doc_id, gram
+),
+bi AS (SELECT doc_id, max(cnt) AS top2_cnt FROM big GROUP BY doc_id),
+trig AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram,
+         count(*) AS cnt
+  FROM seq a
+       JOIN seq b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       JOIN seq c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+  GROUP BY a.doc_id, gram
+),
+tri AS (
+  SELECT doc_id,
+         coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dup3_cnt
+  FROM trig GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       round(least(1.0::DOUBLE, coalesce(bi.top2_cnt, 0) * 2.0 / n.n_tokens), 4)
+         AS top2_frac,
+       round(least(1.0::DOUBLE, coalesce(tri.dup3_cnt, 0) * 3.0 / n.n_tokens), 4)
+         AS dup3_frac
+FROM n LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+""",
+)
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality signals (Rae et al. 2021 §A1.1): top
+    2-gram token fraction + duplicated 3-gram token fraction per doc —
+    the boilerplate/spam gate a training-data pipeline runs beside
+    quality_score. Native lead() windows + hash aggregates."""
+    return textstats.repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "hash_sample",
+    """
+SELECT doc_id,
+       (('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+         AS bucket
+FROM documents
+WHERE (('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
+""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus sampling (reproducible
+    training-data recipes / mixing weights): keep doc iff
+    phash('s0'||doc_id) mod 100 < 10 — a pure function of the key, so
+    the same rows are selected on every engine, run, and partition
+    layout (DataFrame.sample() can guarantee none of that)."""
+    from ..functions.hashing import phash
+
+    docs = _read(spark, sf_dir, "documents")
+    sampled = textstats.hash_sample(docs, 10, key_col="doc_id", seed="s0")
+    return sampled.select(
+        "doc_id",
+        F.pmod(
+            phash(F.concat(F.lit("s0"), F.col("doc_id").cast("string"))), F.lit(100)
+        ).alias("bucket"),
+    )
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -2107,8 +2181,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25",
     "search_substring",
     "search_term_boost",
-    "keywords_top10",
-    "suggest",
+    # new round-4 training-pipeline ops (take the last two core slots;
+    # keywords_top10/suggest keep their r03 green rows)
+    "rep_signals",
+    "hash_sample",
 ]
 
 
