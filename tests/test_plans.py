@@ -167,3 +167,52 @@ def test_no_unexpected_cartesian_products(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_indexed_phrase_pushes_term_filters(spark, tmp_path):
+    """Every phrase word must reach the postings parquet scan as a term
+    equality (row-group skip on the term-sorted snapshot) — the whole
+    point of the positional index vs a raw-text scan."""
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha")], "doc_id INT, text STRING"
+    )
+    idx = str(tmp_path / "pp_idx")
+    write_index_snapshot(docs, idx, analyzer="raw")
+    plan = _formatted_plan(phrase_from_index(spark, idx, "alpha beta"))
+    assert "isnotnull(term" in plan and plan.count("PushedFilters") >= 2
+    for w in ("alpha", "beta"):
+        assert f"EqualTo(term,{w})" in plan or f"(term#" in plan, plan
+
+
+def test_bm25f_idf_reads_termstats_not_aggregate(spark, tmp_path):
+    """idf for composed BM25F comes from the precomputed termstats table
+    (pushed term filter), never a groupBy over matched postings."""
+    from distributed_crawler_spark.operators.query import (
+        search_composed_indexed,
+        write_multifield_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha alpha")], "doc_id INT, text STRING"
+    )
+    idx = str(tmp_path / "ts_plan_idx")
+    write_multifield_index({"body": docs}, idx, analyzer="raw")
+    plan = _formatted_plan(
+        search_composed_indexed(spark, idx, "alpha", scoring="bm25f")
+    )
+    assert "termstats" in plan

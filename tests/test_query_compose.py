@@ -685,3 +685,48 @@ def test_phrase_slop_parsing_and_matching(spark, tmp_path):
     assert got_c == {0, 1, 4, 5}
     with pytest.raises(ValueError):
         search_composed({"body": docs}, '"a b"~2')
+
+
+def test_phrase_slop_randomized_parity(spark, tmp_path):
+    """Seeded randomized docs over a tiny alphabet vs the Python
+    chain-matching reference, at slops 1-3 — one DataFrame, one index,
+    three queries (covers overlap/duplicate-word/edge-of-doc shapes the
+    hand-written cases might miss)."""
+    import random
+
+    from distributed_crawler_spark.operators.search import (
+        phrase_from_index,
+        write_index_snapshot,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (d, " ".join(rng.choice("aabx") for _ in range(rng.randint(1, 12))))
+        for d in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    idx = str(tmp_path / "rand_slop_idx")
+    write_index_snapshot(docs, idx, analyzer="raw")
+
+    def py_count(text, words, slop):
+        toks = text.split()
+        cand = [i for i, t in enumerate(toks) if t == words[0]]
+        for w in words[1:]:
+            posw = [i for i, t in enumerate(toks) if t == w]
+            cand = [q for q in posw if any(1 <= q - p <= slop for p in cand)]
+        return len(cand)
+
+    for words in (["a", "b"], ["a", "a"], ["b", "a", "x"]):
+        for slop in (1, 2, 3):
+            got = {
+                r["doc_id"]: r["n_occurrences"]
+                for r in phrase_from_index(
+                    spark, idx, " ".join(words), slop=slop
+                ).collect()
+            }
+            want = {
+                d: py_count(t, words, slop)
+                for d, t in rows
+                if py_count(t, words, slop) > 0
+            }
+            assert got == want, f"{words} slop={slop}"
