@@ -100,6 +100,13 @@ def _search(args) -> None:
             "--scoring bm25f applies only to --index ... --mode query "
             "(the live path scores tf; use --mode bm25 for single-field BM25)"
         )
+    if getattr(args, "slop", 1) != 1 and not (args.index and args.mode == "phrase"):
+        # same silent-ignore class: sloppy matching needs the positional
+        # index (composed queries carry slop inline as '"a b"~N')
+        raise SystemExit(
+            "--slop applies only to --index ... --mode phrase; in "
+            '--mode query write the slop inline: "a b"~N'
+        )
     spark = get_spark(cores=args.cores)
     if args.index:
         # query the persisted index (stemmed terms, zero query-time Python)

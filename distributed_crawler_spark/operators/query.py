@@ -215,6 +215,11 @@ class _Parser:
             m = re.fullmatch(r"~(\d+)", w or "")
             if m and s == end:
                 slop = int(m.group(1))
+                if slop < 1:
+                    # reject at parse time: '"a b"~0' would otherwise
+                    # error on one execution path and silently run as
+                    # exact adjacency on the other
+                    raise ValueError('phrase slop must be >= 1 ("a b"~N)')
                 self.pos += 1
         return self._phrase(field, val, slop)
 
@@ -567,6 +572,7 @@ def search_composed_indexed(
     topk: int = 20,
     term_transform=None,
     scoring: str = "tf",
+    prefix_transform=None,
 ) -> DataFrame:
     """Run a composed query against a persisted multifield index with
     ZERO query-time tokenization: leaves read per-field postings straight
@@ -594,15 +600,19 @@ def search_composed_indexed(
     analyzer = analyzers.pop()
     ast = parse_query(query, frozenset(field_dirs))
 
+    # same prefix-transform defaults as search_composed, so live and
+    # indexed runs of one query agree for any given term_transform:
+    # custom analyzer -> prefixes lowercase-only (Whoosh never stems
+    # wildcard text); no analyzer -> raw/stemmed defaults per the index
     if term_transform is not None:
         transform = term_transform
-        prefix_transform = term_transform
+        prefix_transform = prefix_transform or str.lower
     elif analyzer == "stemmed":
         transform = lambda t: porter_stem(t.lower())  # noqa: E731
-        prefix_transform = str.lower
+        prefix_transform = prefix_transform or str.lower
     else:
         transform = lambda t: t  # noqa: E731
-        prefix_transform = transform
+        prefix_transform = prefix_transform or transform
     phrase_transform = (
         process_text_py
         if analyzer == "stemmed"

@@ -397,13 +397,26 @@ class CrawlScheduler:
             collapsed = _collapse_frontier(df)
             try:
                 collapsed.write.mode("overwrite").parquet(last_path)
-            except Exception:
-                # unwritable state dir: report from the un-materialized
-                # plan (the pre-compaction behavior, O(R) reads)
+            except Exception as e:
+                # unwritable state dir (read-only mount, other-user state)
+                # OR a failing write (disk full): report from the
+                # un-materialized plan (the pre-compaction behavior, O(R)
+                # reads) — but say so, or a persistently failing write
+                # silently re-inflates every future report
+                import warnings
+
+                warnings.warn(
+                    f"frontier rollup write failed ({e!r}); reporting "
+                    "falls back to direct cohort reads",
+                    stacklevel=2,
+                )
                 return collapsed
-            for r in have:
-                if r != last:
-                    shutil.rmtree(_p(self._root, ROLLUP, r), ignore_errors=True)
+            # prune superseded rollups, KEEPING the immediately-previous
+            # generation: a lazy frontier() DataFrame captured before this
+            # write still references it (rollups are caches — hold results
+            # across runs by materializing, not by keeping the plan)
+            for r in have[:-1]:
+                shutil.rmtree(_p(self._root, ROLLUP, r), ignore_errors=True)
         return self._read(ROLLUP, last)
 
     def frontier(self) -> DataFrame:

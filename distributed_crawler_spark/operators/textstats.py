@@ -228,6 +228,7 @@ def hash_sample(
     fraction_pct: int,
     key_col: str = "doc_id",
     seed: str = "s0",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """DETERMINISTIC corpus sampling (the training-data down-sampling /
     mixing-weights primitive): keep a row iff
@@ -236,6 +237,11 @@ def hash_sample(
     same rows are selected on every engine, every run, every partition
     layout (reproducible data recipes; per-domain quotas compose by
     keying on the domain). Uses the md5-derived portable hash
-    (functions/hashing.py phash; DuckDB twin phash_sql)."""
+    (functions/hashing.py phash; DuckDB twin phash_sql). With
+    ``bucket_col`` the 0-99 bucket is kept as an output column."""
     h = phash(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    return docs.filter(F.pmod(h, F.lit(100)) < fraction_pct)
+    bucket = F.pmod(h, F.lit(100))
+    out = docs.filter(bucket < fraction_pct)
+    if bucket_col is not None:
+        out = out.withColumn(bucket_col, bucket)
+    return out

@@ -2088,12 +2088,11 @@ def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "hash_sample",
-    """
+    f"""
 SELECT doc_id,
-       (('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 15))::BIGINT % 100)
-         AS bucket
+       ({phash_sql("'s0' || doc_id::VARCHAR")} % 100) AS bucket
 FROM documents
-WHERE (('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
+WHERE ({phash_sql("'s0' || doc_id::VARCHAR")} % 100) < 10
 """,
 )
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2102,16 +2101,10 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     phash('s0'||doc_id) mod 100 < 10 — a pure function of the key, so
     the same rows are selected on every engine, run, and partition
     layout (DataFrame.sample() can guarantee none of that)."""
-    from ..functions.hashing import phash
-
     docs = _read(spark, sf_dir, "documents")
-    sampled = textstats.hash_sample(docs, 10, key_col="doc_id", seed="s0")
-    return sampled.select(
-        "doc_id",
-        F.pmod(
-            phash(F.concat(F.lit("s0"), F.col("doc_id").cast("string"))), F.lit(100)
-        ).alias("bucket"),
-    )
+    return textstats.hash_sample(
+        docs, 10, key_col="doc_id", seed="s0", bucket_col="bucket"
+    ).select("doc_id", "bucket")
 
 
 # =========================================================================

@@ -397,9 +397,10 @@ def test_frontier_rollup_compaction(engine):
 
 
 def test_frontier_rollup_prunes_superseded_rounds(spark, corpus_dir):
-    """Review r04: the rollup is a cache — after reporting at round R,
-    rollups for earlier rounds are deleted (storage stays ~one frontier
-    copy, not O(rounds))."""
+    """Review r04: the rollup is a cache — pruned to at most TWO
+    generations (the newest + the immediately-previous one, which a lazy
+    frontier() DataFrame captured before the write may still reference),
+    never O(rounds) copies."""
     import os
 
     from distributed_crawler_spark.operators.scheduler import ROLLUP
@@ -409,10 +410,20 @@ def test_frontier_rollup_prunes_superseded_rounds(spark, corpus_dir):
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
     seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
-    cfg = CrawlConfig(max_depth=1, max_urls_per_domain=4, max_retries=0)
+    cfg = CrawlConfig(max_depth=2, max_urls_per_domain=4, max_retries=0)
     s = CrawlScheduler(spark, pages, robots, state, cfg)
-    s.run(seeds=seeds, stop_after_round=0)  # summary() -> rollup round 0
-    s.run(resume=True)                       # deeper; new rollup, prune old
+    s.run(seeds=seeds, stop_after_round=0)   # summary() -> rollup round 0
+    held = s.frontier()                       # lazy plan over rollup 0
+    s.run(resume=True, stop_after_round=1)    # rollup 1; round 0 KEPT
     rdir = os.path.join(s._root, ROLLUP)
-    rounds = sorted(d for d in os.listdir(rdir) if d.startswith("round="))
-    assert rounds == [f"round={s.committed_rounds()[-1]}"]
+
+    def rounds():
+        return sorted(
+            int(d.split("=")[1]) for d in os.listdir(rdir) if d.startswith("round=")
+        )
+
+    assert rounds() == [0, 1]
+    assert held.count() > 0  # pre-write plan still readable
+    s.run(resume=True)                        # newest rollup; 0 pruned
+    last = s.committed_rounds()[-1]
+    assert rounds() == [1, last] and len(rounds()) <= 2
