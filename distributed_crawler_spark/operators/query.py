@@ -628,11 +628,12 @@ def search_composed_indexed(
             name: spark.read.parquet(os.path.join(d, "docstats"))
             for name, d in field_dirs.items()
         }
+        from ..streaming.indexer import read_termstats
+
         termstats = {
-            name: spark.read.parquet(os.path.join(d, "termstats"))
+            name: ts
             for name, d in field_dirs.items()
-            if field_meta[name].get("termstats")
-            and os.path.isdir(os.path.join(d, "termstats"))
+            if (ts := read_termstats(spark, d)) is not None
         }
         scorer = _BM25FLeafScorer(
             stats,

@@ -724,20 +724,20 @@ def bm25_from_index(
     LITERALS — the per-query 1-row crossJoins of the build-on-the-fly
     path disappear; the only joins are the query-term postings (pushed
     scan) × broadcast idf × docstats. df comes from the precomputed
-    termstats table (pushed filter on a tiny term-sorted table) when the
-    snapshot carries one; older snapshots fall back to a groupBy over
-    the matched postings."""
-    import os
+    termstats (a snapshot's table, or a stream-maintained index's
+    base-plus-deltas LSM view — streaming/indexer.py read_termstats);
+    indexes without term stats fall back to a groupBy over the matched
+    postings."""
+    from ..streaming.indexer import read_termstats
 
     postings, stats, meta = _read_index(spark, index_dir)
     id_col = meta["id_col"]
     n, avgdl = float(meta["n_docs"]), float(meta["avgdl"]) or 1.0
 
     qp = postings.filter(F.col("term").isin(query_terms))
-    if meta.get("termstats") and os.path.isdir(os.path.join(index_dir, "termstats")):
-        df_t = spark.read.parquet(os.path.join(index_dir, "termstats")).filter(
-            F.col("term").isin(query_terms)
-        )
+    ts = read_termstats(spark, index_dir)
+    if ts is not None:
+        df_t = ts.filter(F.col("term").isin(query_terms))
     else:
         df_t = qp.groupBy("term").agg(F.count("*").alias("df"))
     idf = (

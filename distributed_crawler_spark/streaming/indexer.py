@@ -24,13 +24,24 @@ scale). meta.json (n_docs, avgdl) is maintained INCREMENTALLY from the
 replaced docs' old stats (read from the touched buckets alone) instead
 of a per-batch full docstats scan.
 
+Term statistics (term -> df, the Whoosh term-dictionary df that makes
+query-time idf a pushed filter instead of a postings aggregate) are
+maintained as an LSM log: each epoch writes a tiny (term, ±delta) table
+derived from pre-swap state, reads aggregate base ∪ unfolded deltas, and
+every TERMSTATS_COMPACT_AT epochs the deltas fold into the base (the new
+base names what it folded in _folded.json, so a crash between the fold
+and the delta-dir deletes double-counts nothing). A pre-termstats index
+bootstraps the base from its full postings once, like the docstats
+migration.
+
 Crash safety: the swap follows sources/storage.py's rename/.bak protocol
 and the table merges are idempotent (anti-join by doc then insert), so
 any crash point is healed by bucket recovery plus the checkpoint
 replaying the batch; the meta delta is NOT idempotent, so it carries the
 micro-batch's epoch id and is written BEFORE the swaps — a replay of the
 same epoch skips the already-applied delta and just re-runs the
-idempotent merges. State (which files are already indexed) lives in the
+idempotent merges (the termstats delta dir's _SUCCESS plays the same
+exactly-once role). State (which files are already indexed) lives in the
 streaming checkpoint, so the indexer resumes exactly like the
 reference's queue consumer.
 """
@@ -138,6 +149,154 @@ def _migrate_flat_docstats(spark, stats_dir: str, id_col: str, n_buckets: int) -
     shutil.rmtree(bak)
 
 
+# fold termstats deltas into the base table once this many epoch-dirs
+# accumulate (LSM compaction threshold; query cost between compactions is
+# base + <=N tiny delta tables aggregated)
+TERMSTATS_COMPACT_AT = 16
+
+
+def _termstats_paths(index_dir: str):
+    return (
+        os.path.join(index_dir, "termstats"),
+        os.path.join(index_dir, "termstats_delta"),
+    )
+
+
+def _delta_dirs(delta_root: str) -> list[str]:
+    if not os.path.isdir(delta_root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(delta_root)
+        if d.startswith("delta-")
+        and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
+    )
+
+
+def _folded_names(base_dir: str) -> set[str]:
+    p = os.path.join(base_dir, "_folded.json")
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def read_termstats(spark, index_dir: str):
+    """(term, df) for an index — the batch snapshot's precomputed table,
+    or, for a stream-maintained index, the LSM view base ∪ unfolded
+    epoch deltas aggregated (df <= 0 terms dropped: every occurrence was
+    replaced away). Returns None when the index carries no term stats
+    (pre-termstats snapshots) — callers fall back to a groupBy over the
+    matched postings."""
+    base_dir, delta_root = _termstats_paths(index_dir)
+    folded = _folded_names(base_dir)
+    parts = []
+    if os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        parts.append(spark.read.parquet(base_dir).select("term", "df"))
+    deltas = [d for d in _delta_dirs(delta_root) if d not in folded]
+    parts += [
+        spark.read.parquet(os.path.join(delta_root, d)).select(
+            "term", F.col("delta").alias("df")
+        )
+        for d in deltas
+    ]
+    if not parts:
+        return None
+    if len(parts) == 1 and not deltas:
+        return parts[0]  # plain snapshot table: no aggregation needed
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return (
+        df.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def compact_termstats(spark, index_dir: str) -> None:
+    """Fold every unfolded delta into the base table (storage.py swap
+    protocol). Crash-safe without exactly-once swaps: the NEW base lists
+    the dirs it folded in _folded.json
+    (underscore-prefixed: invisible to the parquet reader, like _SUCCESS) (written inside the staged dir, so
+    it becomes visible atomically with the base swap); readers skip
+    folded dirs, and the next compaction/merge deletes them — a crash
+    between swap and delete double-counts nothing."""
+    base_dir, delta_root = _termstats_paths(index_dir)
+    # lazy cleanup of dirs a previous compaction folded but didn't delete
+    for d in _folded_names(base_dir):
+        shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+    deltas = [d for d in _delta_dirs(delta_root) if d not in _folded_names(base_dir)]
+    if not deltas:
+        return
+    merged = read_termstats(spark, index_dir)
+    tmp = base_dir + ".tmp-compact"
+    merged.repartitionByRange(4, F.col("term")).sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        json.dump(sorted(deltas), f)
+    bak = base_dir + ".bak"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(base_dir):
+        os.rename(base_dir, bak)
+    os.rename(tmp, base_dir)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    for d in deltas:
+        shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+
+
+def _recover_termstats(base_dir: str) -> None:
+    """Heal a crash mid base swap (same rename/.bak reasoning as
+    _recover_buckets; single writer)."""
+    bak = base_dir + ".bak"
+    if os.path.exists(bak):
+        if os.path.exists(base_dir):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, base_dir)
+    tmp = base_dir + ".tmp-compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _write_termstats_delta(
+    index_dir: str,
+    new_postings: DataFrame,
+    old_rows: DataFrame | None,
+    epoch_key: str,
+    epoch_id: int,
+) -> None:
+    """Per-epoch (term, delta-of-df) log entry, written BEFORE the
+    postings swaps so it is always derived from pre-swap state. The
+    entry dir's _SUCCESS is the exactly-once guard: a checkpoint replay
+    finds it complete and skips recomputation (the postings may already
+    be swapped by then, so recomputing would be wrong); a crash before
+    the swaps rewrites the same content from still-pre-swap state."""
+    import hashlib
+
+    _, delta_root = _termstats_paths(index_dir)
+    if epoch_id >= 0:
+        name = "delta-" + hashlib.md5(epoch_key.encode()).hexdigest()[:12]
+    else:
+        name = f"delta-manual-{len(_delta_dirs(delta_root)):06d}"
+    out = os.path.join(delta_root, name)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    plus = new_postings.groupBy("term").agg(F.count("*").alias("delta"))
+    if old_rows is not None:
+        minus = old_rows.groupBy("term").agg((-F.count("*")).alias("delta"))
+        plus = plus.unionByName(minus)
+    delta = (
+        plus.groupBy("term")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+    delta.write.mode("overwrite").parquet(out)
+
+
 def _merge_batch_into_index(
     batch: DataFrame,
     index_dir: str,
@@ -184,6 +343,7 @@ def _merge_batch_into_index(
     os.makedirs(index_dir, exist_ok=True)
     _recover_buckets(postings_dir)
     _recover_buckets(stats_dir)
+    _recover_termstats(_termstats_paths(index_dir)[0])
     batch_ids = postings.select(id_col).distinct()
     stats = _with_bucket(
         postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl")),
@@ -240,17 +400,42 @@ def _merge_batch_into_index(
                     "n_buckets": n_buckets,
                     "analyzer": old_meta.get("analyzer", "stemmed"),
                     "positions": has_positions,
+                    "termstats": True,
                 },
                 f,
             )
         os.replace(tmp_meta, meta_path)  # atomic: no torn meta on crash
 
-    # ---- postings: anti-join the batch docs' old rows out of the
-    # touched buckets only, append the fresh rows, swap those buckets
-    if os.path.exists(os.path.join(postings_dir, "_SUCCESS")):
+    # ---- termstats (term -> df) as an LSM log: one-time bootstrap for a
+    # pre-termstats index, then a per-epoch delta written BEFORE the
+    # swaps (derived from pre-swap state; the dir is the exactly-once
+    # guard), folded into the base every TERMSTATS_COMPACT_AT epochs
+    have_postings = os.path.exists(os.path.join(postings_dir, "_SUCCESS"))
+    current = old_rows = None
+    if have_postings:
         current = spark.read.parquet(postings_dir).filter(
             F.col("bucket").isin(touched)  # partition-pruned scan
         )
+        old_rows = current.join(batch_ids, id_col, "left_semi")
+        if read_termstats(spark, index_dir) is None:
+            # legacy index: deltas alone would miss every pre-existing
+            # doc's df contribution — derive the base once, O(index)
+            # (the _migrate_flat_docstats pattern)
+            base_dir = _termstats_paths(index_dir)[0]
+            (
+                spark.read.parquet(postings_dir)
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias("df"))
+                .repartitionByRange(4, F.col("term"))
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(base_dir)
+            )
+    _write_termstats_delta(index_dir, postings, old_rows, epoch_key, epoch_id)
+
+    # ---- postings: anti-join the batch docs' old rows out of the
+    # touched buckets only, append the fresh rows, swap those buckets
+    if have_postings:
         kept = current.join(batch_ids, id_col, "left_anti")
         merged = kept.unionByName(postings.select(*kept.columns))
         _swap_touched_buckets(merged, postings_dir, touched, "term")
@@ -280,6 +465,12 @@ def _merge_batch_into_index(
         )
     postings.unpersist()
     stats.unpersist()
+    # compaction runs AFTER the swaps: folding (and deleting) the current
+    # epoch's delta before its swap would let a crash-then-replay
+    # recompute and double-apply it; after the swaps a replayed
+    # recomputation sees new==old and yields an empty (harmless) delta
+    if len(_delta_dirs(_termstats_paths(index_dir)[1])) >= TERMSTATS_COMPACT_AT:
+        compact_termstats(spark, index_dir)
 
 
 def _stream_identity(checkpoint_dir: str) -> str:

@@ -432,3 +432,119 @@ def test_pre_upgrade_checkpoint_keeps_path_identity(tmp_path):
     new = str(tmp_path / "new_ckpt")
     ident = _stream_identity(new)
     assert ident != os.path.abspath(new) and len(ident) == 32
+
+
+def _ts_set(spark, index_dir):
+    from distributed_crawler_spark.streaming.indexer import read_termstats
+
+    ts = read_termstats(spark, index_dir)
+    assert ts is not None
+    return {(r["term"], r["df"]) for r in ts.collect()}
+
+
+def _snap_ts_set(spark, docs, out_dir):
+    from distributed_crawler_spark.operators.search import write_index_snapshot
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_index_snapshot(docs, out_dir)
+    return {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(f"{out_dir}/termstats").collect()
+    }
+
+
+def test_streamed_termstats_matches_batch(spark):
+    """The stream-maintained index's termstats LSM view (base ∪ epoch
+    deltas) equals the batch snapshot's precomputed table after inserts
+    AND updates; a same-epoch replay changes nothing; bm25_from_index
+    ranks identically against both."""
+    from distributed_crawler_spark.functions.text import process_text_py
+    from distributed_crawler_spark.operators.search import bm25_from_index
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_ts_stream_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.range(30).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta running doc "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    _merge_batch_into_index(b1, idx, epoch_id=0, stream_id="ts")
+    assert _ts_set(spark, idx) == _snap_ts_set(spark, b1, "/tmp/dcs_ts_snap1")
+
+    # update 4 docs (their old terms' df must drop), insert 2 new
+    b2 = spark.range(4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("gamma delta joins").alias("text"),
+    ).unionByName(
+        spark.range(2).select(
+            F.concat(F.lit("n"), F.col("id")).alias("doc_id"),
+            F.lit("epsilon alpha").alias("text"),
+        )
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=1, stream_id="ts")
+    full = b1.join(b2.select("doc_id"), "doc_id", "left_anti").unionByName(b2)
+    want = _snap_ts_set(spark, full, "/tmp/dcs_ts_snap2")
+    assert _ts_set(spark, idx) == want
+
+    # checkpoint replay of the same epoch: exactly-once, nothing drifts
+    _merge_batch_into_index(b2, idx, epoch_id=1, stream_id="ts")
+    assert _ts_set(spark, idx) == want
+
+    # and the query path consumes it: identical BM25 rankings
+    terms = process_text_py("alpha joins running")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_from_index(spark, idx, terms).collect()
+    ]
+    snap = [
+        (r["doc_id"], r["score"])
+        for r in bm25_from_index(spark, "/tmp/dcs_ts_snap2", terms).collect()
+    ]
+    assert got == snap and got
+
+
+def test_termstats_compaction_and_legacy_bootstrap(spark, monkeypatch):
+    """Compaction folds deltas into the base (same values, bounded delta
+    count, folded dirs cleaned up), and a pre-termstats index bootstraps
+    its base from the full postings on the next merge so df covers every
+    pre-existing doc."""
+    import os
+
+    from distributed_crawler_spark import streaming
+    from distributed_crawler_spark.streaming.indexer import (
+        _delta_dirs,
+        _merge_batch_into_index,
+        _termstats_paths,
+    )
+
+    monkeypatch.setattr(streaming.indexer, "TERMSTATS_COMPACT_AT", 3)
+    idx = "/tmp/dcs_ts_compact_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    batches = []
+    for e in range(5):
+        b = spark.range(6).select(
+            F.concat(F.lit(f"e{e}-"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit(f"word{e} shared tok"), F.lit(" x")).alias("text"),
+        )
+        batches.append(b)
+        _merge_batch_into_index(b, idx, epoch_id=e, stream_id="c")
+    base_dir, delta_root = _termstats_paths(idx)
+    assert os.path.exists(os.path.join(base_dir, "_SUCCESS"))  # compacted
+    assert len(_delta_dirs(delta_root)) < 5
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    assert _ts_set(spark, idx) == _snap_ts_set(spark, full, "/tmp/dcs_ts_snap3")
+
+    # legacy: strip termstats entirely -> next merge bootstraps the base
+    shutil.rmtree(base_dir)
+    shutil.rmtree(delta_root)
+    b5 = spark.range(2).select(
+        F.concat(F.lit("e0-"), F.col("id")).alias("doc_id"),
+        F.lit("replaced completely").alias("text"),
+    )
+    _merge_batch_into_index(b5, idx, epoch_id=5, stream_id="c")
+    full5 = full.join(b5.select("doc_id"), "doc_id", "left_anti").unionByName(b5)
+    assert _ts_set(spark, idx) == _snap_ts_set(spark, full5, "/tmp/dcs_ts_snap4")
