@@ -730,3 +730,121 @@ def test_phrase_slop_randomized_parity(spark, tmp_path):
                 if py_count(t, words, slop) > 0
             }
             assert got == want, f"{words} slop={slop}"
+
+
+def test_randomized_composed_queries_match_python_evaluator(spark):
+    """Seeded random query trees (terms/wildcards/fuzzy/phrases composed
+    with AND/OR/NOT/parens) executed by the Spark plan vs an independent
+    row-at-a-time Python interpreter of the SAME parsed AST — catches
+    combiner bugs (score addition, outer-join null handling, anti-join
+    scope) no fixed query exercises."""
+    import random
+
+    from distributed_crawler_spark.operators.query import parse_query
+
+    rng = random.Random(7)
+    vocab = ["spark", "join", "wind", "window", "key", "order", "club"]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10))))
+        for d in range(25)
+    ]
+    title = {d: " ".join(t.split()[:2]) for d, t in rows}
+    body = dict(rows)
+    fields_py = {"title": title, "body": body}
+
+    def leafgen():
+        k = rng.randint(0, 3)
+        field = rng.choice(["", "title:", "body:"])
+        w = rng.choice(vocab)
+        if k == 0:
+            return field + w
+        if k == 1:
+            return field + w[:3] + "*"
+        if k == 2:
+            return field + w + "~"
+        return f'{field}"{w} {rng.choice(vocab)}"'
+
+    def qgen(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            return leafgen()
+        a, b = qgen(depth + 1), qgen(depth + 1)
+        op = rng.choice([" AND ", " OR ", " AND NOT "])
+        return f"({a}{op}{b})"
+
+    def edits(a, b):
+        # classic DP Levenshtein (mirrors Spark's levenshtein())
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def ev(node, d):
+        from distributed_crawler_spark.operators.query import (
+            And, Fuzzy, Not, Or, Phrase, Term, Wildcard,
+        )
+
+        if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+            names = [node.field] if node.field else ["title", "body"]
+            s = 0
+            for f in names:
+                toks = fields_py[f][d].split()
+                if isinstance(node, Term):
+                    s += sum(1 for t in toks if t == node.text)
+                elif isinstance(node, Wildcard):
+                    s += sum(1 for t in toks if t.startswith(node.prefix))
+                elif isinstance(node, Fuzzy):
+                    s += sum(
+                        1 for t in toks if edits(t, node.text) <= node.max_edits
+                    )
+                else:
+                    s += fields_py[f][d].count(" ".join(node.words))
+            return s if s > 0 else None
+        if isinstance(node, Or):
+            vals = [ev(c, d) for c in node.children]
+            if all(v is None for v in vals):
+                return None
+            return sum(v or 0 for v in vals)
+        if isinstance(node, And):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c.child for c in node.children if isinstance(c, Not)]
+            vals = [ev(c, d) for c in pos]
+            if any(v is None for v in vals):
+                return None
+            if any(ev(n, d) is not None for n in neg):
+                return None
+            return sum(vals)
+        raise AssertionError(node)
+
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    fields = {
+        "title": docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("text"),
+        ),
+        "body": docs.select("doc_id", "text"),
+    }
+
+    checked = 0
+    for _ in range(40):
+        q = qgen()
+        ast = parse_query(q, frozenset(["title", "body"]))
+        try:
+            got = {
+                r["doc_id"]: r["score"]
+                for r in search_composed(fields, q, topk=100).collect()
+            }
+        except ValueError:
+            continue  # e.g. purely-negative tree the executor rejects
+        want = {d: ev(ast, d) for d, _ in rows}
+        want = {d: v for d, v in want.items() if v is not None}
+        assert got == want, f"query {q!r}: {got} != {want}"
+        checked += 1
+    assert checked >= 25  # the generator must mostly produce valid queries
