@@ -217,11 +217,11 @@ def read_termstats(spark, index_dir: str):
 def compact_termstats(spark, index_dir: str) -> None:
     """Fold every unfolded delta into the base table (storage.py swap
     protocol). Crash-safe without exactly-once swaps: the NEW base lists
-    the dirs it folded in _folded.json
-    (underscore-prefixed: invisible to the parquet reader, like _SUCCESS) (written inside the staged dir, so
-    it becomes visible atomically with the base swap); readers skip
-    folded dirs, and the next compaction/merge deletes them — a crash
-    between swap and delete double-counts nothing."""
+    the dirs it folded in _folded.json (underscore-prefixed so the
+    parquet reader skips it like _SUCCESS), written inside the staged
+    dir so it becomes visible atomically with the base swap; readers
+    skip folded dirs, and the next compaction/merge deletes them — a
+    crash between swap and delete double-counts nothing."""
     base_dir, delta_root = _termstats_paths(index_dir)
     # lazy cleanup of dirs a previous compaction folded but didn't delete
     for d in _folded_names(base_dir):
