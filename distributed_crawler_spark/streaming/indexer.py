@@ -246,6 +246,15 @@ def compact_termstats(spark, index_dir: str) -> None:
         shutil.rmtree(bak)
     for d in deltas:
         shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+    # folded dirs are gone: clear the list so a replayed stream epoch
+    # whose name matches a long-dead entry isn't shadowed forever (its
+    # post-swap recomputation is an empty delta — applying it is a no-op
+    # either way, but the list must not grow without bound)
+    folded_path = os.path.join(base_dir, "_folded.json")
+    tmp_list = folded_path + ".tmp"
+    with open(tmp_list, "w") as f:
+        json.dump([], f)
+    os.replace(tmp_list, folded_path)
 
 
 def _recover_termstats(base_dir: str) -> None:
@@ -276,12 +285,17 @@ def _write_termstats_delta(
     be swapped by then, so recomputing would be wrong); a crash before
     the swaps rewrites the same content from still-pre-swap state."""
     import hashlib
+    import uuid
 
     _, delta_root = _termstats_paths(index_dir)
     if epoch_id >= 0:
         name = "delta-" + hashlib.md5(epoch_key.encode()).hexdigest()[:12]
     else:
-        name = f"delta-manual-{len(_delta_dirs(delta_root)):06d}"
+        # manual (non-streaming) merges always apply, like the meta
+        # guard's epoch<0 rule: a NEVER-REUSED name — a counter could
+        # recycle a name that compaction folded and _folded.json still
+        # lists, silently shadowing the new delta
+        name = "delta-manual-" + uuid.uuid4().hex[:12]
     out = os.path.join(delta_root, name)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return
