@@ -245,3 +245,29 @@ def hash_sample(
     if bucket_col is not None:
         out = out.withColumn(bucket_col, bucket)
     return out
+
+
+def domain_quota_sample(
+    docs: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "q0",
+) -> DataFrame:
+    """Per-domain down-sampling quota (the other half of the mixing-
+    weights primitive beside hash_sample's global fraction): keep at most
+    ``quota`` docs per domain, chosen by DETERMINISTIC hash order —
+    uniform within the domain, reproducible on every engine/run/layout.
+    Output carries ``quota_rank`` (1-based position in the domain's hash
+    order). Reuses the salted two-phase budget window
+    (politeness.host_budget_filter), so a mega-domain holding most of
+    the corpus contributes at most salt_buckets x quota rows to the
+    exact-ranking partition — the same skew bound the crawl's host
+    budget carries."""
+    from .politeness import host_budget_filter
+
+    keyed = docs.withColumn(
+        "__qh", phash(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    )
+    out = host_budget_filter(keyed, None, quota, host_col=domain_col, order_col="__qh")
+    return out.drop("__qh").withColumnRenamed("host_budget_rank", "quota_rank")

@@ -2107,6 +2107,29 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bucket")
 
 
+@q(
+    "quota_sample",
+    f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {phash_sql("'q0' || doc_id::VARCHAR")}
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk::INT AS quota_rank FROM r WHERE rk <= 20
+""",
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain down-sampling quota (mixing weights per source): at
+    most 20 docs per source, chosen by deterministic hash order — the
+    salted two-phase budget window underneath, so a mega-source stays
+    skew-bounded exactly like the crawl's host budget."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return textstats.domain_quota_sample(docs, 20)
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -2173,11 +2196,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_tf",
     "search_bm25",
     "search_substring",
-    "search_term_boost",
-    # new round-4 training-pipeline ops (take the last two core slots;
-    # keywords_top10/suggest keep their r03 green rows)
+    # new round-4 training-pipeline ops (take the last three core slots;
+    # search_term_boost/keywords_top10/suggest keep their r03 green rows)
     "rep_signals",
     "hash_sample",
+    "quota_sample",
 ]
 
 

@@ -30,8 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 PAGE_SCHEMA = "url STRING, warc_ts TIMESTAMP, html BINARY"
 
 
-def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
-    """Yield (target_uri, warc_date, body) for each response record.
+def _parse_warc_bytes(
+    blob: bytes, want_type: str = "response"
+) -> Iterator[tuple[str, str, bytes]]:
+    """Yield (target_uri, warc_date, body) for each record of
+    ``want_type`` — "response" (WARC: raw HTTP captures) or "conversion"
+    (WET: the extracted-text sibling format Common-Crawl publishes).
     Transparently inflates gzip archives (.warc.gz — multi-member
     streams, how Common-Crawl actually ships) and raises on content
     that is recognizably not WARC instead of yielding an empty table."""
@@ -74,7 +78,7 @@ def _parse_warc_bytes(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
             raise ValueError("truncated WARC record (Content-Length past EOF)")
         body = blob[body_start : body_start + length]
         i = body_start + length
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") == want_type:
             if body[:5] == b"HTTP/":
                 sep = body.find(b"\r\n\r\n")
                 if sep >= 0:
@@ -115,6 +119,50 @@ def write_warc(rows: list[tuple[str, str, bytes]], path: str) -> str:
             headers = (
                 b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: " + date.encode() + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            )
+            f.write(headers + b"\r\n" + body + b"\r\n\r\n")
+    return path
+
+
+WET_SCHEMA = "url STRING, warc_ts TIMESTAMP, text STRING"
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Read WET archives (WARC *conversion* records — the extracted-text
+    sibling format Common-Crawl publishes beside every WARC) into
+    (url, warc_ts, text): the `documents`-style table a training-data
+    pipeline starts from when it skips HTML parsing. Same file-granular
+    parallelism and framing/robustness rules as read_warc (one archive
+    per task, generator pipelining, raise on unframed/truncated)."""
+    from pyspark.sql import functions as F
+
+    files = spark.sparkContext.binaryFiles(path_glob)
+
+    def parse(kv):
+        _, blob = kv
+        for uri, date, body in _parse_warc_bytes(bytes(blob), want_type="conversion"):
+            yield uri, date, body.decode("utf-8", "replace")
+
+    rows = files.flatMap(parse)
+    raw = spark.createDataFrame(rows, "url STRING, warc_date STRING, text STRING")
+    return raw.select(
+        "url", F.to_timestamp(F.col("warc_date")).alias("warc_ts"), "text"
+    )
+
+
+def write_wet(rows: list[tuple[str, str, str]], path: str) -> str:
+    """Serialize (url, iso_date, text) rows into one WET file (fixture
+    generator / inverse of read_wet; conversion records carry the bare
+    text payload, no HTTP envelope)."""
+    with open(path, "wb") as f:
+        for url, date, text in rows:
+            body = text.encode("utf-8")
+            headers = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
                 b"WARC-Target-URI: " + url.encode() + b"\r\n"
                 b"WARC-Date: " + date.encode() + b"\r\n"
                 b"Content-Length: " + str(len(body)).encode() + b"\r\n"

@@ -122,3 +122,29 @@ def test_warc_rejects_negative_and_truncated_records():
     )
     with pytest.raises(ValueError):
         list(_parse_warc_bytes(truncated))
+
+
+def test_wet_round_trip(spark, tmp_path):
+    """WET (conversion-record) archives read into the documents-style
+    (url, warc_ts, text) table; response records in the same stream are
+    skipped by the type filter, and read_warc on a WET file yields no
+    rows (and vice versa)."""
+    from distributed_crawler_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        write_wet,
+    )
+
+    rows = [
+        ("http://a.example/x", "2024-01-01T00:00:00Z", "alpha beta text"),
+        ("http://b.example/y", "2024-01-02T00:00:00Z", "unicode éà text"),
+    ]
+    p = str(tmp_path / "f.wet")
+    write_wet(rows, p)
+    got = {
+        (r["url"], r["text"]) for r in read_wet(spark, p).collect()
+    }
+    assert got == {(u, t) for u, _, t in rows}
+    ts = [r["warc_ts"] for r in read_wet(spark, p).collect()]
+    assert all(t is not None for t in ts)
+    assert read_warc(spark, p).count() == 0  # no response records
