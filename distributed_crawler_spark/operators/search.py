@@ -690,7 +690,6 @@ def write_index_snapshot(
                 "id_col": id_col,
                 "analyzer": analyzer,
                 "positions": positions,
-                "termstats": True,
             },
             f,
         )

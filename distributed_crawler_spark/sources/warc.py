@@ -79,7 +79,10 @@ def _parse_warc_bytes(
         body = blob[body_start : body_start + length]
         i = body_start + length
         if headers.get("warc-type") == want_type:
-            if body[:5] == b"HTTP/":
+            # the HTTP envelope exists ONLY in response records; a WET
+            # conversion payload that happens to BEGIN with 'HTTP/' (a
+            # page quoting a raw HTTP exchange) must not be stripped
+            if want_type == "response" and body[:5] == b"HTTP/":
                 sep = body.find(b"\r\n\r\n")
                 if sep >= 0:
                     body = body[sep + 4 :]
@@ -88,24 +91,41 @@ def _parse_warc_bytes(
                 yield uri, headers.get("warc-date", ""), body
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Read WARC archives into the input_hint page-table shape."""
+def _read_records(
+    spark: SparkSession,
+    path_glob: str,
+    want_type: str,
+    body_map,
+    body_field: str,
+) -> DataFrame:
+    """Shared ingestion shape for both archive flavors: one archive per
+    task (file-granular parallelism), generator pipelining (a task never
+    holds every record body of a ~1 GB archive at once), raise on
+    unframed/truncated content."""
     from pyspark.sql import functions as F
 
     files = spark.sparkContext.binaryFiles(path_glob)
 
     def parse(kv):
         _, blob = kv
-        # generator, not list: flatMap pipelines one record at a time, so
-        # a task never holds every page body of a ~1 GB archive at once
-        return _parse_warc_bytes(bytes(blob))
+        for uri, date, body in _parse_warc_bytes(bytes(blob), want_type=want_type):
+            yield uri, date, body_map(body)
 
     rows = files.flatMap(parse)
-    raw = spark.createDataFrame(rows, "url STRING, warc_date STRING, html BINARY")
+    raw = spark.createDataFrame(
+        rows, f"url STRING, warc_date STRING, {body_field}"
+    )
     return raw.select(
         "url",
         F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
-        "html",
+        raw.columns[2],
+    )
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Read WARC archives into the input_hint page-table shape."""
+    return _read_records(
+        spark, path_glob, "response", lambda b: b, "html BINARY"
     )
 
 
@@ -134,22 +154,14 @@ def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
     """Read WET archives (WARC *conversion* records — the extracted-text
     sibling format Common-Crawl publishes beside every WARC) into
     (url, warc_ts, text): the `documents`-style table a training-data
-    pipeline starts from when it skips HTML parsing. Same file-granular
-    parallelism and framing/robustness rules as read_warc (one archive
-    per task, generator pipelining, raise on unframed/truncated)."""
-    from pyspark.sql import functions as F
-
-    files = spark.sparkContext.binaryFiles(path_glob)
-
-    def parse(kv):
-        _, blob = kv
-        for uri, date, body in _parse_warc_bytes(bytes(blob), want_type="conversion"):
-            yield uri, date, body.decode("utf-8", "replace")
-
-    rows = files.flatMap(parse)
-    raw = spark.createDataFrame(rows, "url STRING, warc_date STRING, text STRING")
-    return raw.select(
-        "url", F.to_timestamp(F.col("warc_date")).alias("warc_ts"), "text"
+    pipeline starts from when it skips HTML parsing. Same framing and
+    robustness rules as read_warc (shared reader)."""
+    return _read_records(
+        spark,
+        path_glob,
+        "conversion",
+        lambda b: b.decode("utf-8", "replace"),
+        "text STRING",
     )
 
 

@@ -246,14 +246,20 @@ def compact_termstats(spark, index_dir: str) -> None:
         shutil.rmtree(bak)
     for d in deltas:
         shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
-    # folded dirs are gone: clear the list so a replayed stream epoch
-    # whose name matches a long-dead entry isn't shadowed forever (its
-    # post-swap recomputation is an empty delta — applying it is a no-op
-    # either way, but the list must not grow without bound)
+    # drop VERIFIED-GONE names from the list, so a replayed stream epoch
+    # matching a long-dead entry isn't shadowed forever and the list
+    # cannot grow without bound — but a dir whose delete failed (NFS
+    # silly-rename, permissions) STAYS listed, or the next read would
+    # re-count a delta the base already folded
+    still_listed = sorted(
+        d
+        for d in (_folded_names(base_dir) | set(deltas))
+        if os.path.isdir(os.path.join(delta_root, d))
+    )
     folded_path = os.path.join(base_dir, "_folded.json")
     tmp_list = folded_path + ".tmp"
     with open(tmp_list, "w") as f:
-        json.dump([], f)
+        json.dump(still_listed, f)
     os.replace(tmp_list, folded_path)
 
 
@@ -283,7 +289,13 @@ def _write_termstats_delta(
     entry dir's _SUCCESS is the exactly-once guard: a checkpoint replay
     finds it complete and skips recomputation (the postings may already
     be swapped by then, so recomputing would be wrong); a crash before
-    the swaps rewrites the same content from still-pre-swap state."""
+    the swaps rewrites the same content from still-pre-swap state.
+
+    Manual merges (epoch_id < 0) always apply — the same contract as the
+    meta delta's epoch<0 rule: they are for tests/ad-hoc use and are NOT
+    crash-replay-safe (rerunning a crashed manual merge writes a second
+    uuid-named delta for the same batch); production streaming always
+    carries real epoch ids."""
     import hashlib
     import uuid
 
@@ -414,7 +426,6 @@ def _merge_batch_into_index(
                     "n_buckets": n_buckets,
                     "analyzer": old_meta.get("analyzer", "stemmed"),
                     "positions": has_positions,
-                    "termstats": True,
                 },
                 f,
             )
@@ -431,7 +442,15 @@ def _merge_batch_into_index(
             F.col("bucket").isin(touched)  # partition-pruned scan
         )
         old_rows = current.join(batch_ids, id_col, "left_semi")
-        if read_termstats(spark, index_dir) is None:
+        # pure filesystem probe — building read_termstats' reader plans
+        # (driver-side parquet footer I/O over base + every delta) just
+        # to test for existence would tax every micro-batch
+        ts_base, ts_delta = _termstats_paths(index_dir)
+        has_termstats = (
+            os.path.exists(os.path.join(ts_base, "_SUCCESS"))
+            or bool(_delta_dirs(ts_delta))
+        )
+        if not has_termstats:
             # legacy index: deltas alone would miss every pre-existing
             # doc's df contribution — derive the base once, O(index)
             # (the _migrate_flat_docstats pattern)

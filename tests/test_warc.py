@@ -148,3 +148,15 @@ def test_wet_round_trip(spark, tmp_path):
     ts = [r["warc_ts"] for r in read_wet(spark, p).collect()]
     assert all(t is not None for t in ts)
     assert read_warc(spark, p).count() == 0  # no response records
+
+
+def test_wet_body_starting_with_http_not_stripped(spark, tmp_path):
+    """Review r04: the HTTP-envelope strip belongs to response records
+    ONLY — a WET conversion payload that quotes a raw HTTP exchange
+    (starts with 'HTTP/' and contains CRLFCRLF) must come back intact."""
+    from distributed_crawler_spark.sources.warc import read_wet, write_wet
+
+    text = "HTTP/1.1 200 OK demo\r\n\r\nthe actual extracted text"
+    p = str(tmp_path / "h.wet")
+    write_wet([("http://q/", "2024-01-01T00:00:00Z", text)], p)
+    assert read_wet(spark, p).collect()[0]["text"] == text
