@@ -160,3 +160,49 @@ def test_wet_body_starting_with_http_not_stripped(spark, tmp_path):
     p = str(tmp_path / "h.wet")
     write_wet([("http://q/", "2024-01-01T00:00:00Z", text)], p)
     assert read_wet(spark, p).collect()[0]["text"] == text
+
+
+def test_randomized_mixed_archive_round_trip(spark, tmp_path):
+    """Seeded random archives mixing response/conversion/metadata records
+    with adversarial bodies (bodies containing 'WARC/', CRLFCRLF, or
+    'HTTP/' prefixes): Content-Length framing must recover exactly the
+    records of each requested type, bodies byte-intact."""
+    import random
+
+    from distributed_crawler_spark.sources.warc import read_warc, read_wet
+
+    rng = random.Random(11)
+    nasty = ["WARC/1.0\r\n", "\r\n\r\n", "HTTP/1.1 500 x\r\n\r\ntail", "plain"]
+    recs = []
+    for i in range(30):
+        kind = rng.choice(["response", "conversion", "metadata"])
+        body = (rng.choice(nasty) + f" body-{i} " + rng.choice(nasty)).encode()
+        recs.append((kind, f"http://h{i}.ex/p", "2024-01-01T00:00:00Z", body))
+
+    p = str(tmp_path / "mix.warc")
+    with open(p, "wb") as f:
+        for kind, url, date, body in recs:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                if kind == "response"
+                else body
+            )
+            f.write(
+                b"WARC/1.0\r\nWARC-Type: " + kind.encode()
+                + b"\r\nWARC-Target-URI: " + url.encode()
+                + b"\r\nWARC-Date: " + date.encode()
+                + b"\r\nContent-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n"
+            )
+
+    got_warc = {
+        (r["url"], bytes(r["html"])) for r in read_warc(spark, p).collect()
+    }
+    assert got_warc == {(u, b) for k, u, _, b in recs if k == "response"}
+    got_wet = {(r["url"], r["text"]) for r in read_wet(spark, p).collect()}
+    want_wet = set()
+    for k, u, _, b in recs:
+        if k == "conversion":
+            t = b.decode("utf-8", "replace")
+            want_wet.add((u, t))
+    assert got_wet == want_wet
