@@ -548,3 +548,70 @@ def test_termstats_compaction_and_legacy_bootstrap(spark, monkeypatch):
     _merge_batch_into_index(b5, idx, epoch_id=5, stream_id="c")
     full5 = full.join(b5.select("doc_id"), "doc_id", "left_anti").unionByName(b5)
     assert _ts_set(spark, idx) == _snap_ts_set(spark, full5, "/tmp/dcs_ts_snap4")
+
+
+def test_random_merge_sequences_equal_batch_rebuild(spark, monkeypatch):
+    """Seeded random upsert sequences (overlapping batches, repeated doc
+    ids, varying sizes, compaction forced mid-sequence) must leave EVERY
+    index artifact — postings (with positions), docstats, meta, the
+    termstats LSM view — identical to a one-shot batch snapshot of the
+    final doc set."""
+    import random
+
+    from distributed_crawler_spark import streaming
+    from distributed_crawler_spark.operators.search import write_index_snapshot
+    from distributed_crawler_spark.streaming.indexer import (
+        _merge_batch_into_index,
+        read_termstats,
+    )
+
+    monkeypatch.setattr(streaming.indexer, "TERMSTATS_COMPACT_AT", 2)
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "running", "joins", "the", "gamma", "doc"]
+    idx = "/tmp/dcs_random_seq_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    final: dict[str, str] = {}
+    for e in range(6):
+        n = rng.randint(1, 8)
+        ids = [f"u{rng.randint(0, 14)}" for _ in range(n)]
+        batch_rows = []
+        seen = set()
+        for d in ids:
+            if d in seen:
+                continue  # one attempt per doc per micro-batch
+            seen.add(d)
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+            batch_rows.append((d, text))
+            final[d] = text
+        b = spark.createDataFrame(batch_rows, "doc_id STRING, text STRING")
+        _merge_batch_into_index(b, idx, epoch_id=e, stream_id="rand")
+
+    ref = "/tmp/dcs_random_seq_ref"
+    shutil.rmtree(ref, ignore_errors=True)
+    docs = spark.createDataFrame(sorted(final.items()), "doc_id STRING, text STRING")
+    write_index_snapshot(docs, ref)
+
+    def postings_set(d):
+        rows = spark.read.parquet(f"{d}/postings").collect()
+        return {
+            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+            for r in rows
+        }
+
+    assert postings_set(idx) == postings_set(ref)
+    stats = {
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(f"{idx}/docstats").collect()
+    }
+    ref_stats = {
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(f"{ref}/docstats").collect()
+    }
+    assert stats == ref_stats
+    meta = json.load(open(f"{idx}/meta.json"))
+    ref_meta = json.load(open(f"{ref}/meta.json"))
+    assert meta["n_docs"] == ref_meta["n_docs"]
+    assert abs(meta["avgdl"] - ref_meta["avgdl"]) < 1e-9
+    ts = {(r["term"], r["df"]) for r in read_termstats(spark, idx).collect()}
+    ref_ts = {(r["term"], r["df"]) for r in read_termstats(spark, ref).collect()}
+    assert ts == ref_ts
