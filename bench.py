@@ -175,7 +175,10 @@ def frontier_worker(cores: int) -> None:
     print("FRONTIER_RESULT " + json.dumps(res))
 
 
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+# 5 adjacent lo/hi pairs: the per-pair efficiency varies ±0.1 run-to-run
+# with the host's throughput epochs, and the median of 5 is measurably
+# tighter than 3 (r04: reps [0.833, 0.878, 0.888, 0.933, 0.828])
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
 
 
 def _frontier_subprocess(cores: int) -> dict:
