@@ -79,3 +79,27 @@ def test_rows_only_queries_run(spark, name):
     rows = df.collect()
     assert len(rows) >= 0
     assert len(df.columns) > 0
+
+
+def test_driver_window_priority_names_all_registered():
+    """Every name in the rotation list must be a registered query — a
+    typo would silently shrink the driver's 50-query validation window;
+    and this round's new queries must actually sit inside the window."""
+    from distributed_crawler_spark.plans import registry
+
+    missing = [
+        n for n in registry._DRIVER_WINDOW_PRIORITY if n not in registry.QUERIES
+    ]
+    assert not missing, f"window names not registered: {missing}"
+    window = list(registry.QUERIES)[:50]
+    for n in (
+        "crawl_bfs",
+        "search_multifield_indexed",
+        "search_multifield_bm25f",
+        "search_phrase_indexed",
+        "search_phrase_stemmed",
+        "rep_signals",
+        "hash_sample",
+        "quota_sample",
+    ):
+        assert n in window, f"{n} fell out of the driver window"
