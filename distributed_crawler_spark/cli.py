@@ -298,11 +298,20 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--scoring", choices=["tf", "bm25f"], default="tf",
                    help="leaf scoring for --mode query on an index")
     s.add_argument("--slop", type=int, default=1,
-                   help="max gap between phrase words for --mode phrase")
+                   help="max gap between consecutive phrase words for "
+                        "--mode phrase (Whoosh SpanNear2 semantics: "
+                        "in-order spans, occurrence count = distinct "
+                        "(start, end) spans; 1 = exact adjacency)")
     s.add_argument("--mode", choices=["bm25", "tf", "substring", "query", "phrase"],
                    default="bm25",
                    help="'query' = composed multifield query language "
-                        "(fielded terms, phrases, wildcard, fuzzy, AND/OR/NOT)")
+                        "(fielded terms, phrases, wildcard, fuzzy, AND/OR/NOT). "
+                        "NOTE: quoted phrases are ANALYZED on the --index "
+                        "path (stemmed index: stopwords dropped, words "
+                        "stemmed, adjacency in the analyzed stream) but "
+                        "matched as RAW TEXT on the live --state path — "
+                        "the same quoted string can return different doc "
+                        "sets on the two paths")
     s.add_argument("--topk", type=int, default=10)
     s.add_argument("--track", default=None,
                    help="analytics log dir: record this search (query + "

@@ -444,20 +444,28 @@ def phrase_match(
 def phrase_scores_positional(
     postings: DataFrame, words: list[str], id_col: str = "doc_id", slop: int = 1
 ) -> DataFrame:
-    """Phrase matching against POSITIONAL postings (Whoosh PhrasePlugin
-    over a positional TEXT field, indexer_node.py:108-118, :238): the
-    count of in-order chains of the words with consecutive-word gaps in
-    [1, slop] (slop=1 = exact adjacency, the Whoosh default; '"a b"~N'
-    syntax raises it). The candidate set is carried in the CURRENT
-    word's position space: for slop=1 an array intersection with the
-    previous candidates shifted by one; for larger slop a filter/exists
-    over the (tiny, per-doc) position arrays. Each word's predicate is a
-    term equality pushed to the (term-sorted) postings scan; the joins
-    key on the doc id and each side is only that term's rows — no
-    raw-text scan anywhere. Duplicate words in the phrase reuse the same
-    postings row at different chain depths, which both forms handle
-    naturally. Counts are distinct chain END positions (≡ occurrence
-    count at slop=1)."""
+    """Phrase matching against POSITIONAL postings with WHOOSH SEMANTICS
+    (PhrasePlugin over a positional TEXT field, indexer_node.py:108-118,
+    :238). Whoosh lowers a phrase to ``SpanNear2(terms, slop, ordered=
+    True, mindist=1)`` (whoosh/query/positional.py Phrase.matcher;
+    spans.py SpanNear2._get_spans): spans fold left-to-right — a span
+    (s, e) extends to the next word's position q iff q - e ∈ [1, slop]
+    (ordered needs q ≥ s; mindist=1 rejects overlap, so q > e), merging
+    to (s, q) — and the match count is the number of DISTINCT merged
+    spans, a SET (two chains sharing an end but starting differently are
+    two occurrences; "a a b" at slop 2 has spans (0,2) and (1,2)).
+
+    slop=1 (exact adjacency, the Whoosh default; '"a b"~N' raises it)
+    keeps the cheaper end-position form — with every gap exactly 1 the
+    start is determined by the end, so distinct ends ≡ distinct spans —
+    as an array intersection with the previous candidates shifted by
+    one. slop>1 carries (start, end) span structs through higher-order
+    array functions over the (tiny, per-doc) position arrays. Each
+    word's predicate is a term equality pushed to the (term-sorted)
+    postings scan; the joins key on the doc id and each side is only
+    that term's rows — no raw-text scan anywhere. Duplicate words in the
+    phrase reuse the same postings row at different chain depths, which
+    both forms handle naturally."""
     if not words:
         raise ValueError("empty phrase")
     if slop < 1:
@@ -468,7 +476,16 @@ def phrase_scores_positional(
             F.col(id_col), F.col("positions").alias(f"__pos{i}")
         )
         if cand is None:
-            cand = part.withColumnRenamed("__pos0", "__cand")
+            if slop == 1:
+                cand = part.withColumnRenamed("__pos0", "__cand")
+            else:
+                cand = part.select(
+                    F.col(id_col),
+                    F.transform(
+                        F.col("__pos0"),
+                        lambda p: F.struct(p.alias("s"), p.alias("e")),
+                    ).alias("__cand"),
+                )
             continue
         joined = cand.join(part, id_col)
         if slop == 1:
@@ -477,12 +494,23 @@ def phrase_scores_positional(
                 F.col(f"__pos{i}"),
             )
         else:
-            new_cand = F.filter(
-                F.col(f"__pos{i}"),
-                lambda q: F.exists(
-                    F.col("__cand"),
-                    lambda p: ((q - p) >= F.lit(1)) & ((q - p) <= F.lit(slop)),
-                ),
+            # SpanNear2 step: every (span, q) pair with q - span.e in
+            # [1, slop] merges to (span.s, q); array_distinct is the
+            # span SET (sorted() over a set in whoosh)
+            new_cand = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col(f"__pos{i}"),
+                        lambda q: F.transform(
+                            F.filter(
+                                F.col("__cand"),
+                                lambda sp: ((q - sp["e"]) >= F.lit(1))
+                                & ((q - sp["e"]) <= F.lit(slop)),
+                            ),
+                            lambda sp: F.struct(sp["s"].alias("s"), q.alias("e")),
+                        ),
+                    )
+                )
             )
         cand = joined.select(F.col(id_col), new_cand.alias("__cand"))
     return (

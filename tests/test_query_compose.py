@@ -621,10 +621,49 @@ def test_bm25f_not_subtree_skips_scoring_joins(spark, tmp_path):
     assert [r["doc_id"] for r in df.collect()] == [0]
 
 
+def whoosh_span_count(text, words, slop):
+    """Independent Python reference of Whoosh's ACTUAL phrase matcher:
+    Phrase lowers to SpanNear2(terms, slop, ordered=True, mindist=1)
+    (whoosh/query/positional.py Phrase.matcher; whoosh/query/spans.py
+    SpanNear2._get_spans + Span.distance_to), re-derived step by step —
+    ordered check, overlap->distance-0, mindist/slop window, span merge,
+    span SET — so the Spark implementation is tested against the
+    published algorithm, not against a simplification of itself."""
+    toks = text.split()
+
+    def overlaps(a, b):
+        return (
+            (b[0] <= a[0] <= b[1])
+            or (b[0] <= a[1] <= b[1])
+            or (a[0] <= b[0] <= a[1])
+            or (a[0] <= b[1] <= a[1])
+        )
+
+    def distance_to(a, b):  # Span.distance_to
+        if overlaps(a, b):
+            return 0
+        return max(a[0], b[0]) - min(a[1], b[1])
+
+    spans = [(i, i) for i, t in enumerate(toks) if t == words[0]]
+    for w in words[1:]:
+        bspans = [(i, i) for i, t in enumerate(toks) if t == w]
+        out = set()
+        for a in spans:
+            for b in bspans:
+                if a[0] > b[0]:  # ordered=True
+                    continue
+                if 1 <= distance_to(a, b) <= slop:  # mindist=1
+                    out.add((min(a[0], b[0]), max(a[1], b[1])))  # Span.to
+        spans = sorted(out)
+        if not spans:
+            return 0
+    return len(spans)
+
+
 def test_phrase_slop_parsing_and_matching(spark, tmp_path):
     """Whoosh PhrasePlugin slop ('"a b"~N'): adjacent ~N binds to the
-    phrase; matching counts in-order chains with per-gap distance <= N,
-    verified against an independent Python reference on a raw index."""
+    phrase; matching follows Whoosh's SpanNear2 span-set semantics,
+    verified against the independent Python reference on a raw index."""
     from distributed_crawler_spark.operators.search import (
         phrase_from_index,
         write_index_snapshot,
@@ -644,18 +683,11 @@ def test_phrase_slop_parsing_and_matching(spark, tmp_path):
         (3, "b a"),            # wrong order
         (4, "a a x b"),        # two chain starts
         (5, "a x b x b"),      # two ends within slop 2
+        (6, "a a b"),          # two SPANS sharing one end: (0,2) and (1,2)
     ]
     docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
     idx = str(tmp_path / "slop_idx")
     write_index_snapshot(docs, idx, analyzer="raw")
-
-    def py_count(text, words, slop):
-        toks = text.split()
-        cand = [i for i, t in enumerate(toks) if t == words[0]]
-        for w in words[1:]:
-            posw = [i for i, t in enumerate(toks) if t == w]
-            cand = [q for q in posw if any(1 <= q - p <= slop for p in cand)]
-        return len(cand)
 
     for slop in (1, 2, 3):
         got = {
@@ -663,10 +695,26 @@ def test_phrase_slop_parsing_and_matching(spark, tmp_path):
             for r in phrase_from_index(spark, idx, "a b", slop=slop).collect()
         }
         want = {
-            d: py_count(t, ["a", "b"], slop) for d, t in rows
-            if py_count(t, ["a", "b"], slop) > 0
+            d: whoosh_span_count(t, ["a", "b"], slop) for d, t in rows
+            if whoosh_span_count(t, ["a", "b"], slop) > 0
         }
         assert got == want, f"slop={slop}: {got} != {want}"
+    # the span-SET anchor: doc 6 has TWO spans (0,2),(1,2) at slop 2 —
+    # counting distinct chain ENDS would say 1 (the pre-round-5 bug)
+    assert (
+        phrase_from_index(spark, idx, "a b", slop=2)
+        .filter(F.col("doc_id") == 6)
+        .collect()[0]["n_occurrences"]
+        == 2
+    )
+    # ordered=True: wrong-order text never matches at any slop (refutes
+    # the "slop admits out-of-order" reading of Whoosh — SpanNear2 is
+    # constructed with ordered=True by Phrase.matcher)
+    for slop in (1, 2, 3):
+        assert 3 not in {
+            r["doc_id"]
+            for r in phrase_from_index(spark, idx, "a b", slop=slop).collect()
+        }
     # sanity anchors for the semantics themselves
     assert 1 not in {
         r["doc_id"] for r in phrase_from_index(spark, idx, "a b", slop=1).collect()
@@ -682,16 +730,18 @@ def test_phrase_slop_parsing_and_matching(spark, tmp_path):
         r["doc_id"]
         for r in search_composed_indexed(spark, idx, '"a b"~2').collect()
     }
-    assert got_c == {0, 1, 4, 5}
+    assert got_c == {0, 1, 4, 5, 6}
     with pytest.raises(ValueError):
         search_composed({"body": docs}, '"a b"~2')
 
 
 def test_phrase_slop_randomized_parity(spark, tmp_path):
     """Seeded randomized docs over a tiny alphabet vs the Python
-    chain-matching reference, at slops 1-3 — one DataFrame, one index,
-    three queries (covers overlap/duplicate-word/edge-of-doc shapes the
-    hand-written cases might miss)."""
+    SpanNear2 reference (whoosh_span_count), at slops 1-3 — one
+    DataFrame, one index, several phrase shapes (covers overlap/
+    duplicate-word/shared-end/edge-of-doc shapes the hand-written cases
+    might miss; 3-word phrases exercise span-set dedup on (start, end)
+    with differing middles)."""
     import random
 
     from distributed_crawler_spark.operators.search import (
@@ -708,15 +758,7 @@ def test_phrase_slop_randomized_parity(spark, tmp_path):
     idx = str(tmp_path / "rand_slop_idx")
     write_index_snapshot(docs, idx, analyzer="raw")
 
-    def py_count(text, words, slop):
-        toks = text.split()
-        cand = [i for i, t in enumerate(toks) if t == words[0]]
-        for w in words[1:]:
-            posw = [i for i, t in enumerate(toks) if t == w]
-            cand = [q for q in posw if any(1 <= q - p <= slop for p in cand)]
-        return len(cand)
-
-    for words in (["a", "b"], ["a", "a"], ["b", "a", "x"]):
+    for words in (["a", "b"], ["a", "a"], ["b", "a", "x"], ["a", "a", "b"]):
         for slop in (1, 2, 3):
             got = {
                 r["doc_id"]: r["n_occurrences"]
@@ -725,9 +767,9 @@ def test_phrase_slop_randomized_parity(spark, tmp_path):
                 ).collect()
             }
             want = {
-                d: py_count(t, words, slop)
+                d: whoosh_span_count(t, words, slop)
                 for d, t in rows
-                if py_count(t, words, slop) > 0
+                if whoosh_span_count(t, words, slop) > 0
             }
             assert got == want, f"{words} slop={slop}"
 
