@@ -126,6 +126,33 @@ def _read_meta(meta_path: str) -> dict:
         return json.load(f)
 
 
+def _migrate_flat_postings(
+    spark, postings_dir: str, id_col: str, n_buckets: int
+) -> None:
+    """One-time upgrade of a BATCH SNAPSHOT (write_index_snapshot lays
+    postings out flat, range-partitioned by term) into the stream-merge
+    doc-bucket layout, so a stream can take over maintenance of an index
+    built in batch (the reference's indexer adopts whatever index dir it
+    is pointed at). O(index) once; term-sorted within each bucket so
+    term predicates still skip row groups."""
+    flat = spark.read.parquet(postings_dir)
+    if "bucket" in flat.columns:
+        return
+    tmp = postings_dir + ".tmp-migrate"
+    (
+        _with_bucket(flat, id_col, n_buckets)
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    bak = postings_dir + ".bak"
+    os.rename(postings_dir, bak)
+    os.rename(tmp, postings_dir)
+    shutil.rmtree(bak)
+
+
 def _migrate_flat_docstats(spark, stats_dir: str, id_col: str, n_buckets: int) -> None:
     """One-time upgrade of a pre-bucketing index: docstats written by the
     old merge_upsert layout is a flat (doc, dl) table with no bucket
@@ -283,6 +310,7 @@ def _write_termstats_delta(
     old_rows: DataFrame | None,
     epoch_key: str,
     epoch_id: int,
+    idempotency_key: str | None = None,
 ) -> None:
     """Per-epoch (term, delta-of-df) log entry, written BEFORE the
     postings swaps so it is always derived from pre-swap state. The
@@ -291,9 +319,10 @@ def _write_termstats_delta(
     be swapped by then, so recomputing would be wrong); a crash before
     the swaps rewrites the same content from still-pre-swap state.
 
-    Manual merges (epoch_id < 0) always apply — the same contract as the
-    meta delta's epoch<0 rule: they are for tests/ad-hoc use and are NOT
-    crash-replay-safe (rerunning a crashed manual merge writes a second
+    Manual merges (epoch_id < 0) with an ``idempotency_key`` get the
+    same exactly-once treatment under a key-derived name; keyless manual
+    merges always apply — they are for tests/ad-hoc use and are NOT
+    crash-replay-safe (rerunning a crashed keyless merge writes a second
     uuid-named delta for the same batch); production streaming always
     carries real epoch ids."""
     import hashlib
@@ -301,12 +330,29 @@ def _write_termstats_delta(
 
     _, delta_root = _termstats_paths(index_dir)
     if epoch_id >= 0:
-        name = "delta-" + hashlib.md5(epoch_key.encode()).hexdigest()[:12]
+        # the raw epoch id in the dir name keeps names unique by
+        # construction across epochs (ADVICE r04: a truncated-digest
+        # collision between two epochs would find the earlier dir's
+        # _SUCCESS and silently skip the later delta); the full digest
+        # of (stream_id, epoch) disambiguates streams sharing an epoch
+        digest = hashlib.md5(epoch_key.encode()).hexdigest()
+        name = f"delta-{epoch_id}-{digest}"
+        # pre-round-5 layout used the first 12 digest hex chars alone:
+        # honor an existing legacy entry so a replay across the upgrade
+        # doesn't double-apply its epoch
+        legacy = "delta-" + digest[:12]
+        if os.path.exists(os.path.join(delta_root, legacy, "_SUCCESS")):
+            return
+    elif idempotency_key is not None:
+        name = (
+            "delta-manual-"
+            + hashlib.md5(idempotency_key.encode()).hexdigest()
+        )
     else:
-        # manual (non-streaming) merges always apply, like the meta
-        # guard's epoch<0 rule: a NEVER-REUSED name — a counter could
-        # recycle a name that compaction folded and _folded.json still
-        # lists, silently shadowing the new delta
+        # keyless manual merges always apply, like the meta guard's
+        # epoch<0 rule: a NEVER-REUSED name — a counter could recycle a
+        # name that compaction folded and _folded.json still lists,
+        # silently shadowing the new delta
         name = "delta-manual-" + uuid.uuid4().hex[:12]
     out = os.path.join(delta_root, name)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -330,6 +376,7 @@ def _merge_batch_into_index(
     epoch_id: int = -1,
     stream_id: str = "",
     n_buckets: int = N_DOC_BUCKETS,
+    idempotency_key: str | None = None,
 ) -> None:
     """update_document semantics per micro-batch: delete the batch docs'
     old postings, insert their fresh ones — touching ONLY the doc-buckets
@@ -344,8 +391,20 @@ def _merge_batch_into_index(
     (so the live-maintained index serves phrase queries exactly like a
     batch snapshot — Whoosh TEXT fields store positions); merging into a
     legacy positionless index keeps its schema (the merge select drops
-    the positions column)."""
-    from ..operators.search import build_postings_stemmed, build_postings_stemmed_pos
+    the positions column). The ANALYZER is likewise the index's, read
+    from meta.json (ADVICE r04: building stemmed postings into a
+    raw-analyzer snapshot would silently mix term spaces while queries —
+    which apply no stemming for raw indexes — miss the merged docs);
+    fresh indexes are stemmed, matching the reference's
+    StemmingAnalyzer schema. ``idempotency_key`` makes a manual
+    (epoch_id < 0) merge crash-replay-safe: reruns under the same key
+    dedupe exactly like streaming epochs."""
+    from ..operators.search import (
+        build_postings,
+        build_postings_pos,
+        build_postings_stemmed,
+        build_postings_stemmed_pos,
+    )
 
     spark = batch.sparkSession
     meta_path = os.path.join(index_dir, "meta.json")
@@ -354,9 +413,21 @@ def _merge_batch_into_index(
     # n_buckets key) were all written at the old constant 64
     n_buckets = int(old_meta.get("n_buckets", n_buckets if not old_meta else 64))
     has_positions = bool(old_meta.get("positions", not old_meta))
+    analyzer = old_meta.get("analyzer", "stemmed")
+    builders = {
+        ("stemmed", True): build_postings_stemmed_pos,
+        ("stemmed", False): build_postings_stemmed,
+        ("raw", True): build_postings_pos,
+        ("raw", False): build_postings,
+    }
+    if (analyzer, has_positions) not in builders:
+        raise ValueError(
+            f"index {index_dir} has unknown analyzer {analyzer!r}; "
+            "cannot merge without matching its term space"
+        )
     # a legacy positionless index keeps its schema — don't pay the
     # posexplode/collect_list position build just to drop the column
-    build = build_postings_stemmed_pos if has_positions else build_postings_stemmed
+    build = builders[(analyzer, has_positions)]
     postings = _with_bucket(build(batch, id_col), id_col, n_buckets).persist()
     postings_dir = os.path.join(index_dir, "postings")
     stats_dir = os.path.join(index_dir, "docstats")
@@ -379,7 +450,10 @@ def _merge_batch_into_index(
 
     from ..sources.storage import recover_table
 
-    recover_table(stats_dir)  # heal a crash mid flat->bucket migration
+    # heal a crash mid flat->bucket migration (whole-dir swap protocol;
+    # per-bucket .bak healing is _recover_buckets above)
+    recover_table(stats_dir)
+    recover_table(postings_dir)
     have_stats = os.path.exists(os.path.join(stats_dir, "_SUCCESS"))
     cur_stats = None
     if have_stats:
@@ -393,8 +467,15 @@ def _merge_batch_into_index(
         )
 
     # ---- meta delta FIRST (pre-swap state is what the delta is against)
-    epoch_key = f"{stream_id}:{epoch_id}"
-    if old_meta.get("last_epoch_key") != epoch_key or epoch_id < 0:
+    # keyed manual merges join the epoch-guard scheme (replays dedupe);
+    # keyless manual merges keep the always-apply contract
+    if epoch_id < 0 and idempotency_key is not None:
+        epoch_key = f"manual:{idempotency_key}"
+        always_apply = False
+    else:
+        epoch_key = f"{stream_id}:{epoch_id}"
+        always_apply = epoch_id < 0
+    if old_meta.get("last_epoch_key") != epoch_key or always_apply:
         new_row = stats.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
         ).collect()[0]
@@ -424,7 +505,7 @@ def _merge_batch_into_index(
                     "id_col": id_col,
                     "last_epoch_key": epoch_key,
                     "n_buckets": n_buckets,
-                    "analyzer": old_meta.get("analyzer", "stemmed"),
+                    "analyzer": analyzer,
                     "positions": has_positions,
                 },
                 f,
@@ -438,6 +519,10 @@ def _merge_batch_into_index(
     have_postings = os.path.exists(os.path.join(postings_dir, "_SUCCESS"))
     current = old_rows = None
     if have_postings:
+        # a batch snapshot's flat (term-range) layout becomes the
+        # doc-bucket layout on first merge — stream takeover of a
+        # batch-built index
+        _migrate_flat_postings(spark, postings_dir, id_col, n_buckets)
         current = spark.read.parquet(postings_dir).filter(
             F.col("bucket").isin(touched)  # partition-pruned scan
         )
@@ -464,7 +549,10 @@ def _merge_batch_into_index(
                 .write.mode("overwrite")
                 .parquet(base_dir)
             )
-    _write_termstats_delta(index_dir, postings, old_rows, epoch_key, epoch_id)
+    _write_termstats_delta(
+        index_dir, postings, old_rows, epoch_key, epoch_id,
+        idempotency_key=idempotency_key,
+    )
 
     # ---- postings: anti-join the batch docs' old rows out of the
     # touched buckets only, append the fresh rows, swap those buckets

@@ -615,3 +615,158 @@ def test_random_merge_sequences_equal_batch_rebuild(spark, monkeypatch):
     ts = {(r["term"], r["df"]) for r in read_termstats(spark, idx).collect()}
     ref_ts = {(r["term"], r["df"]) for r in read_termstats(spark, ref).collect()}
     assert ts == ref_ts
+
+
+def test_raw_analyzer_merge_preserves_term_space(spark):
+    """Merging a micro-batch into a RAW-analyzer index must build RAW
+    postings (ADVICE r04: the merge always built stemmed postings while
+    meta kept claiming 'raw', silently mixing term spaces — raw-path
+    queries apply no stemming and would miss the merged docs). The
+    merged index must equal a raw rebuild of the union, including for
+    stopword/inflected terms a stemmed build would drop or rewrite."""
+    import os
+
+    from distributed_crawler_spark.operators.search import (
+        tf_from_index,
+        write_index_snapshot,
+    )
+    from distributed_crawler_spark.streaming.indexer import _merge_batch_into_index
+
+    idx = "/tmp/dcs_raw_merge_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.createDataFrame(
+        [("u0", "the running dogs"), ("u1", "alpha beta")],
+        "doc_id STRING, text STRING",
+    )
+    write_index_snapshot(b1, idx, analyzer="raw")
+    # update u1, insert u2 — with terms stemming would mangle ('running'
+    # -> 'run') or drop ('the')
+    b2 = spark.createDataFrame(
+        [("u1", "the running water"), ("u2", "running the race")],
+        "doc_id STRING, text STRING",
+    )
+    _merge_batch_into_index(b2, idx, epoch_id=0, stream_id="raw-m")
+
+    full = b1.join(b2.select("doc_id"), "doc_id", "left_anti").unionByName(b2)
+    ref = "/tmp/dcs_raw_merge_ref"
+    shutil.rmtree(ref, ignore_errors=True)
+    write_index_snapshot(full, ref, analyzer="raw")
+    got = {
+        (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+        for r in spark.read.parquet(f"{idx}/postings")
+        .select("doc_id", "term", "tf", "positions").collect()
+    }
+    want = {
+        (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+        for r in spark.read.parquet(f"{ref}/postings")
+        .select("doc_id", "term", "tf", "positions").collect()
+    }
+    assert got == want
+    assert _ts_set(spark, idx) == {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(f"{ref}/termstats").collect()
+    }
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["analyzer"] == "raw"
+    # raw-path query (no stemming) finds the merged docs by raw terms
+    hits = {r["doc_id"] for r in tf_from_index(spark, idx, ["running"]).collect()}
+    assert hits == {"u0", "u1", "u2"}
+
+    # an index claiming an unknown analyzer refuses to merge rather than
+    # guessing a term space
+    meta_path = os.path.join(idx, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["analyzer"] = "lemmatized"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="analyzer"):
+        _merge_batch_into_index(b2, idx, epoch_id=1, stream_id="raw-m")
+
+
+def test_manual_merge_idempotency_key(spark):
+    """A keyed manual merge (epoch_id < 0 + idempotency_key) dedupes on
+    rerun exactly like a streaming epoch (ADVICE r04: keyless reruns
+    write a second uuid delta and double-count df); the termstats view,
+    meta, and postings all equal the run-once state."""
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import (
+        _merge_batch_into_index,
+        _termstats_paths,
+    )
+
+    idx = "/tmp/dcs_manual_key_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.createDataFrame(
+        [("u0", "alpha beta"), ("u1", "alpha gamma")], "doc_id STRING, text STRING"
+    )
+    _merge_batch_into_index(b1, idx, idempotency_key="load-b1")
+    b2 = spark.createDataFrame(
+        [("u1", "delta delta"), ("u2", "alpha delta")], "doc_id STRING, text STRING"
+    )
+    _merge_batch_into_index(b2, idx, idempotency_key="load-b2")
+    ts_once = _ts_set(spark, idx)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta_once = json.load(f)
+
+    # rerun of a keyed merge (the crashed-manual-merge replay shape):
+    # nothing may drift, and no second delta dir may appear
+    delta_root = _termstats_paths(idx)[1]
+    n_deltas = len(os.listdir(delta_root))
+    _merge_batch_into_index(b2, idx, idempotency_key="load-b2")
+    assert _ts_set(spark, idx) == ts_once
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f) == meta_once
+    assert len(os.listdir(delta_root)) == n_deltas
+    # the keyed delta dirs are named from the key (deterministic), not uuid
+    assert sum(1 for d in os.listdir(delta_root) if d.startswith("delta-manual-")) == 2
+
+    # a DIFFERENT key applies normally
+    b3 = spark.createDataFrame([("u3", "omega")], "doc_id STRING, text STRING")
+    _merge_batch_into_index(b3, idx, idempotency_key="load-b3")
+    assert ("omega", 1) in _ts_set(spark, idx)
+
+
+def test_termstats_delta_names_embed_epoch(spark):
+    """Epoch delta dirs embed the raw epoch id (ADVICE r04: 48-bit
+    truncated digests could collide across epochs and silently skip the
+    later delta) and still honor a legacy 12-hex-named entry so replays
+    across the upgrade don't double-apply."""
+    import hashlib
+    import os
+
+    from distributed_crawler_spark.streaming.indexer import (
+        _merge_batch_into_index,
+        _termstats_paths,
+        _write_termstats_delta,
+    )
+
+    idx = "/tmp/dcs_delta_name_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = spark.createDataFrame([("u0", "alpha beta")], "doc_id STRING, text STRING")
+    _merge_batch_into_index(b1, idx, epoch_id=0, stream_id="nm")
+    b2 = spark.createDataFrame([("u1", "alpha gamma")], "doc_id STRING, text STRING")
+    _merge_batch_into_index(b2, idx, epoch_id=1, stream_id="nm")
+    delta_root = _termstats_paths(idx)[1]
+    names = sorted(os.listdir(delta_root))
+    assert any(n.startswith("delta-0-") for n in names), names
+    assert any(n.startswith("delta-1-") for n in names), names
+
+    # legacy pre-upgrade entry for epoch 2: the writer must recognize it
+    # as that epoch's completed delta and skip writing a new dir
+    key = "nm:2"
+    legacy = os.path.join(
+        delta_root, "delta-" + hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "_SUCCESS"), "w").close()
+    before = sorted(os.listdir(delta_root))
+    from distributed_crawler_spark.operators.search import build_postings_stemmed_pos
+
+    _write_termstats_delta(
+        idx, build_postings_stemmed_pos(b2), None, key, 2
+    )
+    assert sorted(os.listdir(delta_root)) == before
