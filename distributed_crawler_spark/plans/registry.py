@@ -1483,7 +1483,13 @@ tk AS (
 ),
 th AS (SELECT doc_id, {phash_sql('term')} AS h, count(*) AS cnt
        FROM tk GROUP BY doc_id, h),
-bits AS (SELECT unnest(range(0, 60)) AS bit),
+-- plan_simhash_banding mirrored in SQL: 5 bands (max_hamming 4 + 1),
+-- block width min(ceil(log2 n_docs) + 2, 63 // 5)
+params AS (
+  SELECT 5 * least(ceil(log2(greatest(count(*), 2)))::INT + 2, 12) AS nbits
+  FROM documents
+),
+bits AS (SELECT unnest(range(0, (SELECT nbits FROM params))) AS bit),
 votes AS (
   SELECT doc_id, bit,
          sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
@@ -1508,14 +1514,19 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 """,
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs over the FULL corpus: hamming ≤ 4 on
-    60-bit signatures, candidates from signature BANDING (5 blocks > 4
-    max-hamming ⇒ pigeonhole-exact recall, equi-join on block value — no
-    cross product anywhere; the oracle's all-pairs form is the spec, the
-    engine's banded plan produces the identical set)."""
+    """SimHash near-duplicate pairs over the FULL corpus: hamming ≤ 4,
+    candidates from signature BANDING (bands > max-hamming ⇒ pigeonhole-
+    exact recall, equi-join on block value — no cross product anywhere;
+    the oracle's all-pairs form is the spec, the engine's banded plan
+    produces the identical set). Signature width / band count are
+    DERIVED from the corpus size (plan_simhash_banding; the oracle
+    mirrors the same derivation in SQL), not a manual knob."""
     docs = _read(spark, sf_dir, "documents")
-    sigs = dedup.simhash(docs, bits=60)
-    return dedup.simhash_band_pairs(sigs, bits=60, n_bands=5, max_hamming=4)
+    bits, n_bands = dedup.plan_simhash_banding(docs.count(), max_hamming=4)
+    sigs = dedup.simhash(docs, bits=bits)
+    return dedup.simhash_band_pairs(
+        sigs, bits=bits, n_bands=n_bands, max_hamming=4
+    )
 
 
 @q(

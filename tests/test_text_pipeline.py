@@ -454,3 +454,80 @@ def test_simhash_banding_worst_case_recall(spark):
     assert (0, 2) not in got         # hamming 5 — outside the contract
     assert (0, 3) not in got         # candidate via shared bands, hamming-verified out
     assert got[(1, 2)] == 1          # differ only in bit 48
+
+
+def test_simhash_banding_auto_sized_stays_selective(spark):
+    """plan_simhash_banding derives (bits, n_bands) from the corpus size
+    (VERDICT r04 next #3 — width was a manual knob): at two corpus sizes
+    the banded join's CANDIDATE set must stay near the true near-dup
+    output instead of degenerating toward all-pairs, while recall stays
+    pigeonhole-exact (banded result == all-pairs filter)."""
+    import itertools
+    import random
+
+    from distributed_crawler_spark.operators.dedup import (
+        plan_simhash_banding,
+        simhash_band_pairs,
+    )
+
+    # derivation shape: width grows with n until the 63-bit cap
+    assert plan_simhash_banding(50) == (40, 5)       # w = ceil(log2 50)+2 = 8
+    assert plan_simhash_banding(3000) == (60, 5)     # w capped at 63//5 = 12
+    assert plan_simhash_banding(10**10) == (60, 5)   # saturated (named limit)
+    assert plan_simhash_banding(50, max_hamming=2) == (24, 3)
+    assert plan_simhash_banding(10**10, max_hamming=2) == (63, 3)
+
+    rng = random.Random(11)
+    for n in (50, 600):
+        bits, n_bands = plan_simhash_banding(n, max_hamming=4)
+        # synthetic signatures: random base docs plus a few planted
+        # near-dups (hamming <= 4 perturbations)
+        sigs_py = {}
+        for d in range(n):
+            sigs_py[d] = rng.getrandbits(bits)
+        for d in range(0, n, 20):  # plant near-dups
+            s = sigs_py[d]
+            for k in range(rng.randint(1, 4)):
+                s ^= 1 << rng.randrange(bits)
+            sigs_py[n + d] = s
+        rows = [(d, s - (1 << 64) if s >= (1 << 63) else s)
+                for d, s in sigs_py.items()]
+        sigs = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_band_pairs(
+                sigs, bits=bits, n_bands=n_bands, max_hamming=4
+            ).collect()
+        }
+        mask = (1 << bits) - 1
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs_py), 2)
+            if bin((sigs_py[a] ^ sigs_py[b]) & mask).count("1") <= 4
+        }
+        assert got == want, f"n={n}: recall/precision mismatch"
+
+        # selectivity: candidate pairs surfaced by the band join (before
+        # the hamming verify) stay within a small multiple of the true
+        # output — not O(n^2). Python mirror of the banding split.
+        base_w, extra = divmod(bits, n_bands)
+        buckets = {}
+        for d, s in sigs_py.items():
+            off = 0
+            for b in range(n_bands):
+                w = base_w + (1 if b < extra else 0)
+                key = (b, (s >> off) & ((1 << w) - 1))
+                buckets.setdefault(key, set()).add(d)
+                off += w
+        cand = len({
+            (a, b)
+            for members in buckets.values()
+            for a, b in itertools.combinations(sorted(members), 2)
+        })
+        n_total = len(sigs_py)
+        all_pairs = n_total * (n_total - 1) // 2
+        assert cand <= max(20 * max(len(want), 1), n_total), (
+            f"n={n}: {cand} candidates vs {len(want)} true pairs"
+        )
+        assert cand < all_pairs / 5, f"n={n}: candidate set ~ all-pairs"
