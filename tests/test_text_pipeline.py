@@ -136,6 +136,51 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(r["n_bytes"] > 0 for r in rows)
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
+    # image rows were REALLY decoded: header dims match the synthesizer's
+    # and the feature is pixel-derived (channel means bounded by bytes)
+    for r in rows:
+        if r["kind"] == "image":
+            w, h = multimodal.synth_bmp_dims(r["media_id"])
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["feature"][6] == float(w * h)  # n_pixels dim
+            assert all(0.0 <= v <= 255.0 for v in r["feature"][:6])
+
+
+def test_bmp_codec_round_trip_and_resize():
+    """Pure-python BMP codec: encode -> decode is pixel-exact (including
+    row padding and bottom-up storage), rejects non-BMP bytes, and the
+    nearest-neighbor resize samples exactly the pixels the arithmetic
+    says it should."""
+    from distributed_crawler_spark.operators import multimodal
+
+    fn = lambda x, y: ((x * 37 + y) % 256, (x + y * 19) % 256, (x ^ y) % 256)  # noqa: E731
+    for w, h in ((1, 1), (3, 2), (4, 4), (7, 5)):
+        raw = multimodal.make_bmp(w, h, fn)
+        assert len(raw) == 54 + multimodal.bmp_row_size(w) * h
+        d = multimodal.decode_bmp(raw)
+        assert (d["width"], d["height"]) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert d["pixels"][y][x] == fn(x, y), (x, y, w, h)
+
+    assert multimodal.decode_bmp(b"not a bmp at all........................................") is None
+    assert multimodal.decode_bmp(b"BM\x00\x01") is None
+    # truncated pixel data is rejected, not mis-read
+    full = multimodal.make_bmp(4, 4, fn)
+    assert multimodal.decode_bmp(full[:-3]) is None
+
+    # resize parity vs the index arithmetic
+    src = multimodal.decode_bmp(multimodal.make_bmp(7, 5, fn))
+    tw, th = 3, 2
+    want = [
+        [src["pixels"][y * 5 // th][x * 7 // tw] for x in range(tw)]
+        for y in range(th)
+    ]
+    d = multimodal.decode_bmp(multimodal.make_bmp(7, 5, fn))
+    resized = multimodal.make_bmp(
+        tw, th, lambda x, y: d["pixels"][y * 5 // th][x * 7 // tw]
+    )
+    assert multimodal.decode_bmp(resized)["pixels"] == want
 
 
 def test_stateful_session_stream(spark):
@@ -184,7 +229,14 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
 
     resized = multimodal.resize_media(media, 16, 16).collect()
     assert len(resized) == 60
-    assert all(len(r["payload"]) == 256 for r in resized)
+    # image rows come back as REAL 16x16 BMPs (54 header + 48*16 pixel
+    # bytes); non-decodable kinds keep the fake pixel-budget payload
+    for r in resized:
+        if r["kind"] == "image":
+            d = multimodal.decode_bmp(bytes(r["payload"]))
+            assert d is not None and (d["width"], d["height"]) == (16, 16)
+        else:
+            assert len(r["payload"]) == 256
     assert all(r["width"] == 16 and r["height"] == 16 for r in resized)
 
     frames = multimodal.sample_frames(media, frame_size=32, every_k=4)
