@@ -73,17 +73,87 @@ def _resend(args) -> None:
 
 
 def _index(args) -> None:
-    """Build the persistent stemmed index snapshot from a crawl's
-    extracted pages (the indexer-node role, indexer_node.py:181-225)."""
+    """Build a persistent index snapshot from a crawl's extracted pages
+    (the indexer-node role, indexer_node.py:181-225). ``--multifield``
+    persists one snapshot per field (title/body — the MultifieldParser
+    schema) for `search --index DIR --mode query`; ``--analyzer`` and
+    ``--positions`` are the write_index_snapshot knobs. This is the SAME
+    code path the registry's cached benchmark indexes use
+    (write_index_snapshot / write_multifield_index) — the CLI owns the
+    snapshot lifecycle (build / inspect / drop), the tempdir memos are
+    only the bench harness's once-per-corpus cache of it."""
     from .operators import search
     from .session import get_spark
 
     spark = get_spark(cores=args.cores)
-    docs = spark.read.parquet(
+    extracted = spark.read.parquet(
         f"{args.state}/job={args.job_id}/extracted/round=*"
-    ).select(F.col("url").alias("doc_id"), F.col("text"))
-    out = search.write_index_snapshot(docs, args.out)
-    print(json.dumps({"index": out}))
+    )
+    docs = extracted.select(F.col("url").alias("doc_id"), F.col("text"))
+    positions = not args.no_positions
+    if args.multifield:
+        from .operators.query import write_multifield_index
+
+        fields = {
+            "title": extracted.select(
+                F.col("url").alias("doc_id"), F.col("title").alias("text")
+            ),
+            "body": docs,
+        }
+        out = write_multifield_index(
+            fields, args.out, analyzer=args.analyzer
+        )
+        info = {"index": out, "fields": sorted(fields), "analyzer": args.analyzer}
+    else:
+        out = search.write_index_snapshot(
+            docs, args.out, analyzer=args.analyzer, positions=positions
+        )
+        info = {"index": out, "analyzer": args.analyzer, "positions": positions}
+    print(json.dumps(info))
+
+
+def _index_inspect(args) -> None:
+    """Print an index snapshot's metadata (single-field meta.json or the
+    multifield fields.json tree with per-field meta) — the index
+    lifecycle's read side; no Spark session needed."""
+    import os
+
+    root = args.index
+    fields_json = os.path.join(root, "fields.json")
+    meta_json = os.path.join(root, "meta.json")
+    if os.path.exists(fields_json):
+        with open(fields_json) as f:
+            top = json.load(f)
+        fields = {}
+        for name in top["fields"]:
+            with open(os.path.join(root, f"field={name}", "meta.json")) as f:
+                fields[name] = json.load(f)
+        print(json.dumps({"layout": "multifield", "id_col": top["id_col"],
+                          "fields": fields}))
+    elif os.path.exists(meta_json):
+        with open(meta_json) as f:
+            meta = json.load(f)
+        print(json.dumps({"layout": "single", **meta}))
+    else:
+        raise SystemExit(f"{root} is not an index snapshot "
+                         "(no meta.json / fields.json)")
+
+
+def _index_drop(args) -> None:
+    """Delete an index snapshot — refuses anything that doesn't look
+    like one (meta.json / fields.json probe), so a mistyped path can't
+    rm -rf arbitrary state."""
+    import os
+    import shutil
+
+    root = args.index
+    if not (
+        os.path.exists(os.path.join(root, "meta.json"))
+        or os.path.exists(os.path.join(root, "fields.json"))
+    ):
+        raise SystemExit(f"refusing to drop {root}: not an index snapshot")
+    shutil.rmtree(root)
+    print(json.dumps({"dropped": root}))
 
 
 def _search(args) -> None:
@@ -284,11 +354,29 @@ def main(argv: list[str] | None = None) -> None:
     rs.set_defaults(fn=_resend)
 
     ix = sub.add_parser(
-        "index", help="build the persistent stemmed index (indexer_node analog)"
+        "index", help="build a persistent index snapshot (indexer_node analog)"
     )
     ix.add_argument("--state", required=True)
     ix.add_argument("--out", required=True)
+    ix.add_argument("--analyzer", choices=["stemmed", "raw"], default="stemmed",
+                    help="term pipeline: 'stemmed' = the reference's "
+                         "lower/stopword/Porter analyzer; 'raw' = "
+                         "whitespace tokens")
+    ix.add_argument("--no-positions", action="store_true",
+                    help="skip positional postings (disables phrase "
+                         "queries against this snapshot)")
+    ix.add_argument("--multifield", action="store_true",
+                    help="one snapshot per field (title/body) for "
+                         "`search --index DIR --mode query`")
     ix.set_defaults(fn=_index)
+
+    ii = sub.add_parser("index-inspect", help="print index snapshot metadata")
+    ii.add_argument("--index", required=True)
+    ii.set_defaults(fn=_index_inspect)
+
+    idrop = sub.add_parser("index-drop", help="delete an index snapshot")
+    idrop.add_argument("--index", required=True)
+    idrop.set_defaults(fn=_index_drop)
 
     s = sub.add_parser("search", help="search extracted docs (search.py analog)")
     s.add_argument("query")

@@ -56,6 +56,41 @@ def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
     assert len(hits) <= 3
     assert all("score" in h for h in hits)
 
+    # multifield index lifecycle: build -> inspect -> composed query
+    # against it -> drop (VERDICT r04 next #5: snapshots are a CLI-owned
+    # lifecycle, not a bench-harness tempdir memo)
+    mfidx = "/tmp/dcs_cli_test_mfindex"
+    shutil.rmtree(mfidx, ignore_errors=True)
+    out = _run(capsys, [
+        "--cores", "8", "index", "--state", state, "--out", mfidx,
+        "--multifield",
+    ])
+    built = json.loads(out[-1])
+    assert built["fields"] == ["body", "title"]
+    out = _run(capsys, ["index-inspect", "--index", mfidx])
+    meta = json.loads(out[-1])
+    assert meta["layout"] == "multifield" and meta["id_col"] == "doc_id"
+    assert set(meta["fields"]) == {"title", "body"}
+    assert all(f["analyzer"] == "stemmed" and f["positions"]
+               for f in meta["fields"].values())
+    assert all(f["n_docs"] > 0 for f in meta["fields"].values())
+    out = _run(capsys, [
+        "--cores", "8", "search", 'title:page OR "running pages"', "--index",
+        mfidx, "--mode", "query", "--scoring", "bm25f", "--topk", "3",
+    ])
+    hits = [json.loads(l) for l in out]
+    assert hits and all(h["score"] > 0 for h in hits)
+    out = _run(capsys, ["index-drop", "--index", mfidx])
+    assert json.loads(out[-1])["dropped"] == mfidx
+    import os
+    assert not os.path.exists(mfidx)
+    # drop refuses a non-index dir
+    import pytest
+    os.makedirs("/tmp/dcs_cli_not_an_index", exist_ok=True)
+    with pytest.raises(SystemExit):
+        _run(capsys, ["index-drop", "--index", "/tmp/dcs_cli_not_an_index"])
+    assert os.path.exists("/tmp/dcs_cli_not_an_index")
+
     # composed query language + analytics tracking -> suggestions
     log = "/tmp/dcs_cli_test_qlog"
     shutil.rmtree(log, ignore_errors=True)
