@@ -2200,64 +2200,65 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep (tests/test_queries_oracle.py covers ALL entries every run).
 _DRIVER_WINDOW_PRIORITY = [
     "crawl_bfs",
-    # new in round 4 (indexed composed/phrase paths)
+    # new in round 5 (Whoosh SpanNear2 span-set slop semantics)
+    "search_phrase_sloppy",
+    # rotated back in: the 27 queries whose newest driver row is r03
+    # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
+    # and simhash_neardup additionally changed code this round (term-dict
+    # fuzzy expansion; auto-sized banding).
+    "search_fuzzy",
+    "simhash_neardup",
+    "ann_ivf_topk",
+    "approx_url_cardinality",
+    "crawl_html_round0",
+    "crawl_stats",
+    "dedup_exact",
+    "join_enrich",
+    "json_extract",
+    "keywords_top10",
+    "politeness_waves",
+    "pricing_summary",
+    "rollup_pricing",
+    "running_total",
+    "search_analytics",
+    "search_bm25f",
+    "search_highlight",
+    "search_highlight_multi",
+    "search_phrase",
+    "search_term_boost",
+    "search_wildcard",
+    "suggest",
+    "topk_orders",
+    "training_filter",
+    "type_dispatch_pivot",
+    "unigram_logprob",
+    "url_filename",
+    # code paths touched in round 5 (fuzzy/term-dict executor changes,
+    # span-set positional matching, BMP media decode) — re-prove them
     "search_multifield_indexed",
     "search_multifield_bm25f",
     "search_phrase_indexed",
     "search_phrase_stemmed",
-    # rotated back in: the 20 queries whose newest driver row is r02
-    # (rested through the r03 window; VERDICT r03 next #7)
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "ngram_jaccard",
-    "dup_span_stats",
-    "simhash",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "ann_lsh_buckets",
-    "embedding_neardup_lsh",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "fingerprint",
+    "search_multifield",
     "media_features",
     "media_summary",
-    "freshness_boost",
-    "set_ops",
-    "distinct_ids",
-    "time_range_filter",
-    "url_validate",
-    # code paths touched in round 4 (executor refactor; positional index
-    # snapshots feeding _cached_index) — re-prove them with fresh rows
-    "search_multifield",
-    "search_bm25_stemmed",
-    "search_bm25_indexed",
-    "search_tf_stemmed",
-    # representative core of r03-green queries (the rest keep their r03
-    # rows and stay covered by the local sweep)
-    "retry_cohort",
-    "url_features",
-    "normalize_urls",
-    "get_domain",
-    "robots_filter",
-    "host_budget",
+    # representative crawl/stats core (keeps the flagship path's
+    # supporting operators on fresh rows; the rest keep r04 rows and the
+    # local DuckDB sweep covers every entry each pytest run)
     "dedup_anti_join",
-    "url_seen_union",
-    "top_domains",
+    "host_budget",
+    "robots_filter",
     "status_counts",
+    "top_domains",
     "hourly_history",
     "crawl_rate",
     "error_rate",
     "latest_heartbeat",
+    "retry_cohort",
+    "normalize_urls",
+    "get_domain",
+    "url_seen_union",
     "sliding_rate",
-    "search_tf",
-    "search_bm25",
-    "search_substring",
-    # new round-4 training-pipeline ops (take the last three core slots;
-    # search_term_boost/keywords_top10/suggest keep their r03 green rows)
-    "rep_signals",
-    "hash_sample",
-    "quota_sample",
 ]
 
 
