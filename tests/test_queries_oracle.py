@@ -94,12 +94,13 @@ def test_driver_window_priority_names_all_registered():
     window = list(registry.QUERIES)[:50]
     for n in (
         "crawl_bfs",
+        # round-5 additions and changed code paths
+        "search_phrase_sloppy",
+        "search_fuzzy",
+        "simhash_neardup",
         "search_multifield_indexed",
         "search_multifield_bm25f",
         "search_phrase_indexed",
-        "search_phrase_stemmed",
-        "rep_signals",
-        "hash_sample",
-        "quota_sample",
+        "media_features",
     ):
         assert n in window, f"{n} fell out of the driver window"
