@@ -269,3 +269,152 @@ def build_html_corpus(
         os.path.join(out_dir, "robots.parquet")
     )
     return out_dir
+
+
+def replicate_sf_dir(
+    spark: SparkSession, src_dir: str, out_dir: str, k: int = 4
+) -> str:
+    """Deterministic K-fold analytic scale-up of a testdata sf dir (the
+    second bench scale point — an O(corpus)-per-query regression is
+    invisible at a single sf). Replicas are built so per-query OUTPUT
+    semantics scale linearly, never quadratically:
+
+      * documents — doc_id += r*N (contiguous, so the arithmetic crawl
+        model's host/link derivations extend naturally); every token of
+        replica r >= 1 gets an ``_r{r}`` suffix, making replicas
+        LEXICALLY DISJOINT — near-dup/dedup operators find only
+        within-replica pairs (k x base), not k^2 cross-replica pairs of
+        identical texts, and query-term postings stay constant-size while
+        the index grows k x (exactly what the indexed paths must prove).
+      * embeddings — vec_id offset; the vector is ROTATED by r positions
+        (cross-replica cosine ~ random, so neighbor counts scale
+        linearly; identical copies would all be mutual neighbors).
+      * events — event_id/user_id offset, timestamps kept (rate/history
+        windows densify rather than stretch).
+      * orders/customer/lineitem — order and customer keys offset per
+        key domain so FK joins keep base selectivity; nation/region/
+        part/supplier stay single-copy dims (broadcast sides do not grow
+        with the fact tables, matching a real warehouse).
+    """
+    import shutil
+
+    n_docs = _doc_count(spark, src_dir)
+
+    def reps(df, make):
+        out = make(df, 0)
+        for r in range(1, k):
+            out = out.unionByName(make(df, r))
+        return out
+
+    def write(name, df):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    write(
+        "documents",
+        reps(
+            docs,
+            lambda df, r: df.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                (
+                    F.col("text")
+                    if r == 0
+                    else F.regexp_replace("text", r"(\S+)", rf"$1_r{r}")
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            ),
+        ),
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def emb_rep(df, r):
+        rot = r % dim
+        rotated = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+        )
+        return df.select(
+            (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
+            rotated.alias("embedding"),
+            "label",
+        )
+
+    write("embeddings", reps(emb, emb_rep))
+
+    ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    n_ev = ev.count()
+    write(
+        "events",
+        reps(
+            ev,
+            lambda df, r: df.select(
+                (F.col("event_id") + F.lit(r * n_ev)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            ),
+        ),
+    )
+
+    orders = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    write(
+        "orders",
+        reps(
+            orders,
+            lambda df, r: df.select(
+                (F.col("o_orderkey") + F.lit(r * 1_000_000_000)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(r * 10_000_000)).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+        ),
+    )
+    cust = spark.read.parquet(os.path.join(src_dir, "customer.parquet"))
+    write(
+        "customer",
+        reps(
+            cust,
+            lambda df, r: df.select(
+                (F.col("c_custkey") + F.lit(r * 10_000_000)).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            ),
+        ),
+    )
+    li = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    write(
+        "lineitem",
+        reps(
+            li,
+            lambda df, r: df.select(
+                (F.col("l_orderkey") + F.lit(r * 1_000_000_000)).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            ),
+        ),
+    )
+
+    # single-copy dims: broadcast sides stay fixed-size
+    for name in ("region", "nation", "supplier", "part"):
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+        elif os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    return out_dir

@@ -228,6 +228,119 @@ def simhash(
     )
 
 
+def plan_simhash_banding_wide(
+    n_docs: int, max_hamming: int = 4, max_band_width: int = 60
+) -> tuple[int, int]:
+    """(band_width, n_bands) for the WIDE (array-of-longs) simhash —
+    the path past plan_simhash_banding's single-long saturation: one
+    word per band, so band width is capped only by the portable 60-bit
+    hash, not by 63/n_bands. At 10^10 docs, h=4: width 36, 5 bands —
+    headroom to ~2^58 docs."""
+    import math
+
+    n_bands = max_hamming + 1
+    w = min(
+        max(math.ceil(math.log2(max(n_docs, 2))) + 2, 1), max_band_width
+    )
+    return w, n_bands
+
+
+def simhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_width: int = 16,
+    n_bands: int = 5,
+) -> DataFrame:
+    """ARRAY-OF-LONGS SimHash: one word PER BAND, each band voting on
+    ``band_width`` (<= 60) bits of its own seeded token hash
+    (phash('<band>:<token>') — SQL-portable, so the whole operator is
+    oracle-checkable). This is the 10^10-doc shape: total signature bits
+    = n_bands x band_width with no single-long packing cap, while the
+    banded join below keys on (band index, word) directly. Vote rows are
+    count-collapsed to distinct_tokens x total_bits, all native explode +
+    groupBy — no UDFs. Returns (id, sig: array<long>, length n_bands,
+    sig[b] = band b's word)."""
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    per_band = toks.select(id_col, "token", "cnt", band).withColumn(
+        "h",
+        phash(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("token"))),
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(band_width - 1))).alias("bit")
+    votes = (
+        per_band.select(id_col, "band", "h", "cnt", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy(id_col, "band", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    words = (
+        votes.withColumn(
+            "bitval",
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.sum("bitval").cast("long").alias("word"))
+    )
+    return words.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band", "word"))),
+            lambda s: s["word"],
+        ).alias("sig")
+    )
+
+
+def simhash_band_pairs_wide(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs over WIDE signatures: the band index is the
+    array position, so candidates come from an equi-join on
+    (band, word) — same pigeonhole-exact recall as simhash_band_pairs
+    (n_bands = len(sig) > max_hamming by construction of
+    plan_simhash_banding_wide) — and the exact hamming verify is a
+    zip_with/aggregate popcount over the word arrays. No cross product,
+    no UDFs, no signature-width cap."""
+    banded = sigs.select(
+        F.col(id_col), F.col(sig_col), F.posexplode(sig_col).alias("band", "word")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sa"), "band", "word"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sb"), "band", "word"
+    )
+    hamming = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "word"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def plan_simhash_banding(
     n_docs: int, max_hamming: int = 4, bits_cap: int = 63
 ) -> tuple[int, int]:
@@ -241,10 +354,10 @@ def plan_simhash_banding(
     grows. Width is capped by the single-long packed signature
     (bits_cap = 63: bit 63 is the sign). NAMED LIMIT: the cap saturates
     at n_docs ≈ 2^(63//(h+1) - 2) (~10^3 docs at h=4); beyond it
-    selectivity is fixed at 2^12 values per band, so a 10^10-doc corpus
-    wants the multi-word (array<long>) signature extension — the plan
-    shape (band equi-join + exact verify) is unchanged, only the
-    packing widens."""
+    selectivity is fixed at 2^12 values per band — a 10^10-doc corpus
+    uses the WIDE path (plan_simhash_banding_wide / simhash_wide /
+    simhash_band_pairs_wide above: one long per band, width capped only
+    at 60), same band-equi-join + exact-verify plan shape."""
     import math
 
     n_bands = max_hamming + 1

@@ -1541,6 +1541,61 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "simhash_neardup_wide",
+    """
+WITH tk AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+tc AS (SELECT doc_id, term, count(*) AS cnt FROM tk GROUP BY doc_id, term),
+params AS (
+  SELECT least(greatest(ceil(log2(greatest(count(*), 2)))::INT + 2, 1), 60) AS w
+  FROM documents
+),
+bands AS (SELECT unnest(range(0, 5)) AS band),
+th AS (
+  SELECT doc_id, band,
+         (('0x' || substr(md5(band::VARCHAR || ':' || term), 1, 15))::BIGINT) AS h,
+         cnt
+  FROM tc, bands
+),
+bits AS (SELECT unnest(range(0, (SELECT w FROM params))) AS bit),
+votes AS (
+  SELECT doc_id, band, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+  FROM th, bits GROUP BY doc_id, band, bit
+),
+words AS (
+  SELECT doc_id, band,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS word
+  FROM votes GROUP BY doc_id, band
+),
+ham AS (
+  SELECT wa.doc_id AS id_a, wb.doc_id AS id_b,
+         sum(bit_count(xor(wa.word, wb.word)))::INT AS hamming
+  FROM words wa JOIN words wb ON wa.band = wb.band AND wa.doc_id < wb.doc_id
+  GROUP BY wa.doc_id, wb.doc_id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
+""",
+)
+def q_simhash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE (array-of-longs) SimHash near-dup pairs — the 10^10-doc shape
+    past the single-long packing cap (round 5): one 60-bit-capped word
+    PER BAND, each band voting on its own seeded portable hash, so
+    signature width scales with corpus size indefinitely
+    (plan_simhash_banding_wide: width 36 x 5 bands at 10^10 docs).
+    Candidates from a (band, word) equi-join (pigeonhole-exact recall),
+    exact hamming via zip_with popcount. The oracle computes the same
+    derivation in SQL in its all-pairs spec form."""
+    docs = _read(spark, sf_dir, "documents")
+    w, nb = dedup.plan_simhash_banding_wide(docs.count(), max_hamming=4)
+    sigs = dedup.simhash_wide(docs, band_width=w, n_bands=nb)
+    return dedup.simhash_band_pairs_wide(sigs, max_hamming=4)
+
+
+@q(
     "rollup_pricing",
     """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -2200,8 +2255,10 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep (tests/test_queries_oracle.py covers ALL entries every run).
 _DRIVER_WINDOW_PRIORITY = [
     "crawl_bfs",
-    # new in round 5 (Whoosh SpanNear2 span-set slop semantics)
+    # new in round 5 (Whoosh SpanNear2 span-set slop semantics; wide
+    # array-of-longs simhash — takes sliding_rate's core slot)
     "search_phrase_sloppy",
+    "simhash_neardup_wide",
     # rotated back in: the 27 queries whose newest driver row is r03
     # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
     # and simhash_neardup additionally changed code this round (term-dict
@@ -2258,7 +2315,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "normalize_urls",
     "get_domain",
     "url_seen_union",
-    "sliding_rate",
 ]
 
 

@@ -583,3 +583,78 @@ def test_simhash_banding_auto_sized_stays_selective(spark):
             f"n={n}: {cand} candidates vs {len(want)} true pairs"
         )
         assert cand < all_pairs / 5, f"n={n}: candidate set ~ all-pairs"
+
+
+def test_simhash_wide_matches_python_reference(spark):
+    """Wide (array-of-longs) simhash: signatures and near-dup pairs must
+    match an independent Python implementation of the same derivation
+    (seeded md5-based band hashes, count-weighted bit votes, per-band
+    words, all-pairs hamming filter) on docs with planted near-dups —
+    the path a 10^10-doc corpus uses past the single-long packing cap."""
+    import hashlib
+    import itertools
+
+    from distributed_crawler_spark.operators.dedup import (
+        plan_simhash_banding_wide,
+        simhash_band_pairs_wide,
+        simhash_wide,
+    )
+
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for d in range(40):
+        toks = [base_words[(d + i) % 6] for i in range(8)] + [f"u{d}"]
+        rows.append((d, " ".join(toks)))
+        if d % 8 == 0:  # planted exact dup (hamming 0) — guaranteed pair
+            rows.append((1000 + d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    w, nb = plan_simhash_banding_wide(len(rows), max_hamming=4)
+    assert (w, nb) == (8, 5)  # ceil(log2 45)+2 = 8
+    assert plan_simhash_banding_wide(10**10) == (36, 5)  # no saturation
+
+    def phash_py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sig_py(text):
+        counts = {}
+        for t in text.split():
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        sig = []
+        for band in range(nb):
+            word = 0
+            for bit in range(w):
+                v = 0
+                for t, c in counts.items():
+                    h = phash_py(f"{band}:{t}")
+                    v += c if (h >> bit) & 1 else -c
+                if v > 0:
+                    word |= 1 << bit
+            sig.append(word)
+        return sig
+
+    want_sigs = {d: sig_py(t) for d, t in rows}
+    got_sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in simhash_wide(docs, band_width=w, n_bands=nb).collect()
+    }
+    assert got_sigs == want_sigs
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    want_pairs = {
+        (a, b): ham(want_sigs[a], want_sigs[b])
+        for a, b in itertools.combinations(sorted(want_sigs), 2)
+        if ham(want_sigs[a], want_sigs[b]) <= 4
+    }
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs_wide(
+            simhash_wide(docs, band_width=w, n_bands=nb)
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    # the planted duplicates are actually in the output (non-vacuous)
+    assert all(got_pairs.get((d, 1000 + d)) == 0 for d in range(0, 40, 8))
