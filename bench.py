@@ -70,6 +70,24 @@ def _noop_run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_queries(spark, sf_dir: str, names) -> dict[str, float]:
+    """Best-of-2 wall time per registry query at sf_dir (min-of-2 reports
+    steady-state latency under the sandbox VM's host-throughput epochs)."""
+    from distributed_crawler_spark.plans import registry
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _noop_run(fn(spark, sf_dir))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
 def run_headline() -> None:
     from distributed_crawler_spark.plans import registry
     from distributed_crawler_spark.session import get_spark
@@ -91,20 +109,7 @@ def run_headline() -> None:
     registry._cached_index(spark, SF_DIR)
     registry._cached_multifield_raw_index(spark, SF_DIR)
 
-    # best-of-2 per query: the sandbox VM's host throughput drifts in
-    # multi-minute epochs (same query measured 0.5-2x minutes apart) and
-    # a single sample conflates that with the engine; min-of-2 reports
-    # steady-state latency
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            _noop_run(fn(spark, SF_DIR))
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    timings = _time_queries(spark, SF_DIR, HEADLINE)
 
     # warm + best-of-3: same epoch-drift rationale
     frontier_round_job(spark, SF_DIR, amp=max(AMP // 8, 1))
@@ -538,6 +543,121 @@ are never read — plan-asserted in tests/test_skew.py).
     print(json.dumps(out))
 
 
+# expected time-scaling class per headline query at a k-fold corpus:
+# "sublinear" = per-query work is O(query-term postings / top-k probe),
+# NOT O(corpus) — the very property the indexed paths exist for (their
+# index BUILD is offline, like the reference's indexer/search split);
+# everything else is expected ~linear in the input.
+SUBLINEAR_EXPECTED = {
+    "search_multifield_indexed",
+    "search_multifield_bm25f",
+    "search_phrase_indexed",
+    "search_bm25_stemmed",   # persisted-postings path after the offline build
+}
+
+
+def run_sf_scaling() -> None:
+    """Second bench SCALE point (VERDICT r04 next #6): time the headline
+    suite at SF_DIR and at a deterministic k-fold replica of it — an
+    O(corpus)-per-query regression (the class the indexed paths prevent)
+    is invisible at a single sf. Writes BENCH/SCALING_SF.md with a
+    time-ratio column; ratios far above k get flagged."""
+    from distributed_crawler_spark.corpus import replicate_sf_dir
+    from distributed_crawler_spark.plans import registry
+    from distributed_crawler_spark.session import get_spark
+
+    ks = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SFSCALE_K", "4,16").split(",")
+    ]
+    spark = get_spark(cores=CPUS, app_name="bench-sf-scaling")
+    scaled_dirs = {}
+    for k in ks:
+        d = f"/tmp/dcs_scaled_{k}x_" + os.path.basename(SF_DIR.rstrip("/"))
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            replicate_sf_dir(spark, SF_DIR, d, k=k)
+        scaled_dirs[k] = d
+
+    # warm + offline index builds for EVERY dir (the indexer/search
+    # split: snapshot builds are excluded from query timings everywhere)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    _noop_run(registry.QUERIES["crawl_bfs"](spark, "/root/testdata/sf0.001"))
+    for d in (SF_DIR, *scaled_dirs.values()):
+        registry._cached_index(spark, d)
+        registry._cached_multifield_raw_index(spark, d)
+
+    t_lo = _time_queries(spark, SF_DIR, HEADLINE)
+    t_hi = {k: _time_queries(spark, d, HEADLINE) for k, d in scaled_dirs.items()}
+    flagged = []
+    k_max = max(ks)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING_SF.md", "w") as f:
+        f.write(
+            f"""# BENCH — per-query time scaling across corpus sizes
+
+Headline suite timed (best-of-2, local[{CPUS}]) at {SF_DIR} and at
+deterministic {ks}x analytic replicas (corpus.py:replicate_sf_dir —
+replicas lexically/geometrically disjoint so per-query OUTPUT semantics
+scale linearly: no k^2 cross-replica duplicate pairs, rotated embedding
+replicas, single-copy broadcast dims). Index snapshots are built
+OFFLINE for every size (the reference's indexer/search split), so
+indexed-path timings measure QUERY cost: those queries are expected
+SUBLINEAR — per-query work is O(matched postings), not O(corpus) —
+while everything else is expected at-most-linear. A ratio well above k
+on a non-trivial query flags an O(corpus^2)-shaped regression (the
+class the banded/bucketed/indexed plans exist to prevent); ratios far
+BELOW k mean the fixed plan/scheduling overhead (~0.2-0.5 s/query on
+this box) still dominates at these corpus sizes — the per-query
+DATA cost is what grows with sf, and 32 local cores absorb it.
+
+| query | t(sf0.1) s | """
+            + " | ".join(f"t({k}x) s | ratio" for k in ks)
+            + " | expected | flag |\n|---|---|"
+            + "---|---|" * len(ks)
+            + "---|---|\n"
+        )
+        for name in HEADLINE:
+            cells = []
+            flag = ""
+            for k in ks:
+                hi = t_hi[k][name]
+                ratio = round(hi / t_lo[name], 2) if t_lo[name] else None
+                if ratio is not None and ratio > 1.5 * k and hi > 1.0:
+                    flag = "SUPERLINEAR?"
+                cells.append(f"{hi} | {ratio}")
+            if flag:
+                flagged.append(name)
+            expected = "sublinear" if name in SUBLINEAR_EXPECTED else "~linear"
+            f.write(
+                f"| {name} | {t_lo[name]} | "
+                + " | ".join(cells)
+                + f" | {expected} | {flag} |\n"
+            )
+        total_lo = round(sum(t_lo.values()), 3)
+        totals = {k: round(sum(t.values()), 3) for k, t in t_hi.items()}
+        f.write(
+            f"\n**Suite total: {total_lo} s at base -> "
+            + ", ".join(
+                f"{totals[k]} s at {k}x (ratio {round(totals[k] / total_lo, 2)})"
+                for k in ks
+            )
+            + "**\n"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": f"headline suite wall time at {k_max}x corpus vs base",
+                "value": round(totals[k_max] / total_lo, 3),
+                "unit": "ratio",
+                "ks": ks,
+                "total_lo_s": total_lo,
+                "totals": totals,
+                "flagged": flagged,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--frontier-run" in sys.argv:
         frontier_worker(int(sys.argv[sys.argv.index("--frontier-run") + 1]))
@@ -549,5 +669,7 @@ if __name__ == "__main__":
         run_crawl()
     elif "--ivf" in sys.argv:
         run_ivf()
+    elif "--sf-scaling" in sys.argv:
+        run_sf_scaling()
     else:
         run_headline()
