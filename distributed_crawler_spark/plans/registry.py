@@ -2138,6 +2138,36 @@ def q_search_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "search_fuzzy_indexed",
+    f"""
+WITH {_MF_FIELDS_CTE},
+matched AS (
+  SELECT doc_id, tf FROM pt WHERE levenshtein(term, 'spak') <= 1
+  UNION ALL
+  SELECT doc_id, tf FROM pb WHERE levenshtein(term, 'spak') <= 1
+)
+SELECT doc_id, sum(tf)::BIGINT AS score FROM matched
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_search_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy retrieval against the PERSISTED index via TERM-DICTIONARY
+    expansion (round 5 — VERDICT r04 wrong #1's scale path, now
+    hash-verified): 'spak~' expands against each field's termstats table
+    (levenshtein over the tiny term-sorted dictionary, Whoosh's
+    FuzzyTerm algorithm) and the resolved terms reach the postings scan
+    as a pushed In(term, ...) — the plan carries NO levenshtein
+    (tests/test_plans.py::test_fuzzy_plans_carry_no_levenshtein). The
+    oracle states the same result in its spec form (edit distance over
+    all postings terms)."""
+    from ..operators.query import search_composed_indexed
+
+    return search_composed_indexed(
+        spark, _cached_multifield_raw_index(spark, sf_dir), "spak~"
+    )
+
+
 @q("search_phrase_stemmed", None)
 def q_search_phrase_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search against the STEMMED positional index — the query
@@ -2259,6 +2289,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # array-of-longs simhash — takes sliding_rate's core slot)
     "search_phrase_sloppy",
     "simhash_neardup_wide",
+    "search_fuzzy_indexed",
     # rotated back in: the 27 queries whose newest driver row is r03
     # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
     # and simhash_neardup additionally changed code this round (term-dict
@@ -2314,7 +2345,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "retry_cohort",
     "normalize_urls",
     "get_domain",
-    "url_seen_union",
 ]
 
 
