@@ -53,6 +53,9 @@ HEADLINE = [
     "search_multifield_indexed",
     "search_multifield_bm25f",
     "search_phrase_indexed",
+    "search_phrase_sloppy",
+    "search_fuzzy_indexed",
+    "simhash_neardup_wide",
     "search_highlight_multi",
     "search_analytics",
     "retry_cohort",
@@ -552,6 +555,8 @@ SUBLINEAR_EXPECTED = {
     "search_multifield_indexed",
     "search_multifield_bm25f",
     "search_phrase_indexed",
+    "search_phrase_sloppy",
+    "search_fuzzy_indexed",
     "search_bm25_stemmed",   # persisted-postings path after the offline build
 }
 
