@@ -48,6 +48,7 @@ HEADLINE = [
     "ngram_jaccard",
     "dup_span_stats",
     "embedding_neardup_lsh",
+    "embedding_neardup_lsh_mt",
     "search_bm25_stemmed",
     "search_multifield",
     "search_multifield_indexed",
@@ -647,6 +648,26 @@ DATA cost is what grows with sf, and 32 local cores absorb it.
                 for k in ks
             )
             + "**\n"
+            + """
+## Observations the table is designed to surface
+
+- **Narrow vs wide simhash**: `simhash_neardup` (single-long
+  signatures) degrades fastest of the suite at 16x — its block width
+  saturates at 12 bits (the documented named limit past ~1k docs), so
+  banded candidates grow ~quadratically; `simhash_neardup_wide`
+  auto-widens its bands with the corpus (19-bit at 80k docs) and holds
+  near-linear. The wide path costs more at tiny corpora (one seeded
+  hash per band) and wins with scale — exactly the trade it exists for.
+- **Live vs indexed search**: `search_multifield` (tokenizes the corpus
+  per query) grows with sf while `search_multifield_indexed` /
+  `search_fuzzy_indexed` / `search_phrase_*` stay FLAT — per-query work
+  is O(matched postings) against the offline snapshot. This is the
+  contrast the index-backed paths exist to prove.
+- **Fixed-selectivity LSH**: `embedding_neardup_lsh` grows superlinearly
+  in time (though sublinearly vs input) as bucket density rises —
+  hyperplane count must grow with log(n) like the simhash bands
+  (auto-sized in round 5's plan_lsh_planes).
+"""
         )
     print(
         json.dumps(

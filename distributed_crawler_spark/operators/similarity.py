@@ -92,17 +92,41 @@ def knn_join_topk(
     )
 
 
+def plan_srp_lsh(
+    n_vectors: int, target_bucket: int = 16, max_planes: int = 62
+) -> int:
+    """Plane count for sign-random-projection LSH, SIZED FROM THE CORPUS
+    (round 5 — the simhash auto-banding pattern applied to embeddings):
+    2^planes buckets keep the expected random-collision bucket near
+    ``target_bucket`` rows, so the bucket equi-join's candidate set
+    grows ~linearly with n instead of ~quadratically at a fixed plane
+    count. Planes is the SELECTIVITY knob; RECALL is the orthogonal
+    knob ``n_tables`` on lsh_neardup_pairs (union of independently
+    seeded tables: per-table match probability for vectors at angle θ
+    is (1 − θ/π)^planes, so recall = 1 − (1 − p^b)^L — at extreme
+    corpus sizes raise L alongside b)."""
+    import math
+
+    return min(
+        max(math.ceil(math.log2(max(n_vectors, 2) / target_bucket)), 1),
+        max_planes,
+    )
+
+
 def lsh_bucket_ids(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
     dim: int = 64,
+    table: int = 0,
 ) -> DataFrame:
     """Sign-random-projection LSH: bucket = bits of sign(v · h_p) for
     deterministic pseudo-random hyperplanes
     h_p[j] = ((phash('p,j') % 2001) - 1000) / 1000 — reproducible in SQL.
-    Returns (id, bucket).
+    Returns (id, bucket). ``table`` seeds an independent hash table for
+    multi-table recall ('t<table>:p,j' for table >= 1; table 0 keeps the
+    legacy seed so existing buckets/oracles are unchanged).
 
     The plane components are CONSTANTS, so they are computed once on the
     driver (hashlib md5 — bit-identical to functions/hashing.py:phash =
@@ -115,12 +139,13 @@ def lsh_bucket_ids(
     def _phash_py(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+    prefix = "" if table == 0 else f"t{table}:"
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         comps = F.array(
             *[
-                F.lit((_phash_py(f"{p},{j}") % 2001 - 1000) / 1000.0)
+                F.lit((_phash_py(f"{prefix}{p},{j}") % 2001 - 1000) / 1000.0)
                 for j in range(dim)
             ]
         )
@@ -165,17 +190,30 @@ def lsh_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: candidates only within an LSH bucket, then exact
-    cosine re-rank. Equi-join on bucket replaces the cross product."""
-    buckets = lsh_bucket_ids(vectors, id_col, vec_col, planes, dim)
+    cosine re-rank. Equi-join on (table, bucket) replaces the cross
+    product. ``planes`` is the selectivity knob (size from the corpus
+    with plan_srp_lsh); ``n_tables`` is the recall knob — candidates are
+    the UNION over independently seeded tables (the minhash band-OR
+    shape), recovering neighbors a single b-plane table splits apart."""
+    parts = [
+        lsh_bucket_ids(vectors, id_col, vec_col, planes, dim, table=t).withColumn(
+            "t", F.lit(t)
+        )
+        for t in range(n_tables)
+    ]
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
     v = vectors.join(buckets, id_col)
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "bucket")
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine(va, vb), 4).alias("score"))
         .filter(F.col("score") >= threshold)

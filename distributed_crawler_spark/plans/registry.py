@@ -975,6 +975,62 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(emb, threshold=0.35, planes=8, dim=64)
 
 
+@q(
+    "embedding_neardup_lsh_mt",
+    """
+WITH params AS (
+  SELECT least(greatest(ceil(log2(greatest(count(*), 2) / 16.0))::INT, 1), 62) AS b
+  FROM embeddings
+),
+tp AS (
+  SELECT t.t, p.p
+  FROM (SELECT unnest(range(4)) AS t) t,
+       (SELECT unnest(range((SELECT b FROM params))) AS p) p
+),
+proj AS (
+  SELECT e.vec_id, tp.t, tp.p,
+         list_dot_product(e.embedding::DOUBLE[],
+           list_transform(range(0, 64), j ->
+             ((('0x' || substr(md5(CASE WHEN tp.t = 0 THEN tp.p || ',' || j
+                                      ELSE 't' || tp.t || ':' || tp.p || ',' || j END),
+                               1, 15))::BIGINT % 2001 - 1000)) / 1000.0)) AS dot
+  FROM embeddings e, tp
+),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
+                       AND a.vec_id < b2.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+""",
+)
+def q_embedding_neardup_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with AUTO-SIZED, MULTI-TABLE LSH (round 5 —
+    the simhash auto-banding pattern applied to embeddings, prompted by
+    BENCH/SCALING_SF.md showing the fixed-8-plane variant's candidate
+    set densifying with corpus size): plane count b derives from the
+    vector count (plan_srp_lsh: 2^b buckets ≈ n/16-row buckets, the
+    selectivity knob), and candidates union over 4 independently seeded
+    hash tables (the minhash band-OR shape, the recall knob). The oracle
+    mirrors BOTH derivations — the b formula and every seeded
+    hyperplane — in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    b = similarity.plan_srp_lsh(emb.count())
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.35, planes=b, dim=64, n_tables=4
+    )
+
+
 # ---- text analysis ------------------------------------------------------
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS) + "]"
@@ -2290,6 +2346,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_phrase_sloppy",
     "simhash_neardup_wide",
     "search_fuzzy_indexed",
+    "embedding_neardup_lsh_mt",
     # rotated back in: the 27 queries whose newest driver row is r03
     # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
     # and simhash_neardup additionally changed code this round (term-dict
@@ -2344,7 +2401,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "latest_heartbeat",
     "retry_cohort",
     "normalize_urls",
-    "get_domain",
 ]
 
 

@@ -156,6 +156,25 @@ def test_lsh_neardup_pairs_subset_of_exact(spark, sf_dir):
     # every LSH-found pair is exactly re-ranked → must be a true pair
     assert lsh <= exact
 
+    # multi-table union: still a subset of exact (each candidate is
+    # re-ranked), recall monotone in n_tables, and auto-sized planes
+    # from plan_srp_lsh stay within the documented clamp
+    from distributed_crawler_spark.operators.similarity import plan_srp_lsh
+
+    assert plan_srp_lsh(200) == 4  # ceil(log2(200/16)) = 4
+    assert plan_srp_lsh(10**10) == 30
+    assert plan_srp_lsh(2) == 1 and plan_srp_lsh(2**70) == 62
+    mt1 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.8, planes=4, n_tables=1).collect()
+    }
+    mt3 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.8, planes=4, n_tables=3).collect()
+    }
+    assert mt1 == lsh          # table 0 keeps the legacy seeds exactly
+    assert mt1 <= mt3 <= exact # more tables → recall grows, never false pairs
+
 
 def test_ivf_bucketed_index_prunes_partitions(spark, sf_dir):
     """The centroid-partitioned IVF index: probing n_probe lists reads
