@@ -651,22 +651,25 @@ DATA cost is what grows with sf, and 32 local cores absorb it.
             + """
 ## Observations the table is designed to surface
 
-- **Narrow vs wide simhash**: `simhash_neardup` (single-long
-  signatures) degrades fastest of the suite at 16x — its block width
-  saturates at 12 bits (the documented named limit past ~1k docs), so
-  banded candidates grow ~quadratically; `simhash_neardup_wide`
-  auto-widens its bands with the corpus (19-bit at 80k docs) and holds
-  near-linear. The wide path costs more at tiny corpora (one seeded
-  hash per band) and wins with scale — exactly the trade it exists for.
+- **Fixed vs auto-sized LSH selectivity**: `embedding_neardup_lsh`
+  (8 planes forever) densifies as the corpus grows — its 16x ratio is
+  the suite's worst — while `embedding_neardup_lsh_mt` (plane count
+  derived from the vector count via plan_srp_lsh, 4-table union for
+  recall) holds a near-flat ratio. Selectivity knobs must scale with
+  log(n); this pair demonstrates it in wall time.
+- **Narrow vs wide simhash**: at THESE corpus sizes both variants are
+  dominated by the O(tokens x signature-bits) vote build, so their
+  wall-time ratios look similar; the quantity that separates them —
+  banded CANDIDATE pairs, ~n^2/2^12 for the saturated narrow path vs
+  ~n^2/2^19+ for the auto-widened wide path at 80k docs — explodes
+  only past ~10^7 docs and is what
+  tests/test_text_pipeline.py::test_simhash_banding_auto_sized_stays_selective
+  bounds directly.
 - **Live vs indexed search**: `search_multifield` (tokenizes the corpus
   per query) grows with sf while `search_multifield_indexed` /
   `search_fuzzy_indexed` / `search_phrase_*` stay FLAT — per-query work
   is O(matched postings) against the offline snapshot. This is the
   contrast the index-backed paths exist to prove.
-- **Fixed-selectivity LSH**: `embedding_neardup_lsh` grows superlinearly
-  in time (though sublinearly vs input) as bucket density rises —
-  hyperplane count must grow with log(n) like the simhash bands
-  (auto-sized in round 5's plan_lsh_planes).
 """
         )
     print(
