@@ -192,9 +192,12 @@ def simhash(
     bits: int = 16,
 ) -> DataFrame:
     """Per-doc SimHash: tokens vote ±1 on each bit of their hash; the
-    signature packs the winning bits. (id, simhash)."""
+    signature packs the winning bits. (id, simhash). One up-front
+    exchange on the doc id serves all three aggregations (each clusters
+    on a superset of id), so the vote pipeline itself is shuffle-free."""
     toks = (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .filter(F.col("token") != "")
         .withColumn("h", phash(F.col("token")))
         # repeated tokens vote with their count — collapses the bit
@@ -260,9 +263,16 @@ def simhash_wide(
     banded join below keys on (band index, word) directly. Vote rows are
     count-collapsed to distinct_tokens x total_bits, all native explode +
     groupBy — no UDFs. Returns (id, sig: array<long>, length n_bands,
-    sig[b] = band b's word)."""
+    sig[b] = band b's word).
+
+    Shuffle shape: ONE up-front exchange on the doc id — every groupBy
+    in the vote pipeline clusters on a superset of (id), so
+    hash-partitioning the docs once satisfies all four aggregations'
+    distributions and Catalyst plans them exchange-free (4 shuffles →
+    1, plan-asserted)."""
     toks = (
-        docs.select(
+        docs.repartition(F.col(id_col))
+        .select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
         )
         .filter(F.col("token") != "")

@@ -252,3 +252,16 @@ def test_fuzzy_plans_carry_no_levenshtein(spark, tmp_path):
     empty = search_composed_indexed(spark, idx, "zzzzzz~")
     assert "levenshtein" not in _plan(empty).lower()
     assert empty.count() == 0
+
+
+def test_simhash_vote_pipeline_single_exchange(spark, sf_dir):
+    """The simhash vote pipelines (narrow and wide) hash-partition the
+    docs once on the id; every downstream groupBy clusters on a superset
+    of (id), so Catalyst must plan them with exactly ONE exchange —
+    re-shuffling count-collapsed vote rows three more times was pure
+    waste at corpus scale."""
+    from distributed_crawler_spark.operators.dedup import simhash, simhash_wide
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _plan(simhash(docs, bits=60)).count("Exchange") == 1
+    assert _plan(simhash_wide(docs, band_width=11, n_bands=5)).count("Exchange") == 1
