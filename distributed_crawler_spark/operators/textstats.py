@@ -165,9 +165,14 @@ def repetition_signals(
     token-fraction variants of the paper's character fractions (the
     synthetic corpus is uniform-length words, so they rank identically),
     both capped at 1.0 since overlapping occurrences can push the raw
-    ratio over it. All native: posexplode + per-doc lead() windows +
-    two hash aggregates — the doc-partitioned windows shuffle once on
-    the doc id and every later aggregate reuses that partitioning."""
+    ratio over it. All native, ONE PASS: posexplode + per-doc lead()
+    window, then every position emits tagged (kind, gram) entries —
+    kind 1 = the token (for n_tokens), 2 = bigram, 3 = trigram — so the
+    token count, top-bigram count, and duplicated-trigram mass all come
+    from one tagged aggregation. The window's doc-id exchange is the
+    plan's ONLY shuffle (both groupBys cluster on supersets of the id)
+    — the previous three-branch form re-tokenized and re-shuffled the
+    corpus once per signal (round 5, plan-asserted)."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -180,46 +185,52 @@ def repetition_signals(
         F.lead("tok", 1).over(w).alias("t1"),
         F.lead("tok", 2).over(w).alias("t2"),
     )
-    n_tok = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
-    bi = (
-        grams.filter(F.col("t1").isNotNull())
-        .groupBy(id_col, F.concat_ws(" ", "tok", "t1").alias("gram"))
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("top2_cnt"))
+    entries = F.array(
+        F.struct(F.lit(1).alias("kind"), F.col("tok").alias("gram")),
+        F.struct(
+            F.lit(2).alias("kind"),
+            F.when(
+                F.col("t1").isNotNull(), F.concat_ws(" ", "tok", "t1")
+            ).alias("gram"),
+        ),
+        F.struct(
+            F.lit(3).alias("kind"),
+            F.when(
+                F.col("t2").isNotNull(), F.concat_ws(" ", "tok", "t1", "t2")
+            ).alias("gram"),
+        ),
     )
-    tri = (
-        grams.filter(F.col("t2").isNotNull())
-        .groupBy(id_col, F.concat_ws(" ", "tok", "t1", "t2").alias("gram"))
+    counts = (
+        grams.select(F.col(id_col), F.explode(entries).alias("e"))
+        .select(id_col, F.col("e.kind").alias("kind"), F.col("e.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy(id_col, "kind", "gram")
         .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
-            ).alias("dup3_cnt")
-        )
     )
-    return (
-        n_tok.join(bi, id_col, "left")
-        .join(tri, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"),
-                ),
-                4,
-            ).alias("top2_frac"),
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.coalesce(F.col("dup3_cnt"), F.lit(0)) * 3.0 / F.col("n_tokens"),
-                ),
-                4,
-            ).alias("dup3_frac"),
-        )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("kind") == 1, F.col("cnt"))).alias("n_tokens"),
+        F.max(F.when(F.col("kind") == 2, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(
+            F.when((F.col("kind") == 3) & (F.col("cnt") >= 2), F.col("cnt"))
+        ).alias("dup3_cnt"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+            ),
+            4,
+        ).alias("top2_frac"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup3_cnt"), F.lit(0)) * 3.0 / F.col("n_tokens"),
+            ),
+            4,
+        ).alias("dup3_frac"),
     )
 
 

@@ -265,3 +265,15 @@ def test_simhash_vote_pipeline_single_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert _plan(simhash(docs, bits=60)).count("Exchange") == 1
     assert _plan(simhash_wide(docs, band_width=11, n_bands=5)).count("Exchange") == 1
+
+
+def test_rep_signals_single_exchange(spark, sf_dir):
+    """Gopher repetition signals: the doc-id window exchange is the
+    plan's only shuffle — n_tokens / top-bigram / duplicated-trigram all
+    come from ONE tagged-gram aggregation pass (the previous
+    three-branch form re-tokenized and re-shuffled the corpus per
+    signal)."""
+    from distributed_crawler_spark.operators.textstats import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _plan(repetition_signals(docs)).count("Exchange") == 1
