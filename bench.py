@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash_neardup",
     "ngram_jaccard",
     "dup_span_stats",
+    "dedup_remove_spans",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_mt",
     "search_bm25_stemmed",

@@ -491,3 +491,84 @@ def span_dup_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the action behind span_dup_stats'
+    measurement (Lee et al. 2022: training pipelines don't just score
+    duplicated spans, they excise them). Every token covered by any
+    n-token span that occurs in >= 2 DISTINCT docs is dropped, and the
+    doc's text is rebuilt from the surviving tokens (whitespace
+    re-canonicalized — the same tokenizer semantics every other text
+    operator here uses). Returns (id, clean_text, n_tokens, n_removed);
+    clean_text = '' when the whole doc was duplicated spans.
+
+    Shape: the span_dup_stats inverted index (token hashed once,
+    lead() windows, 128-bit span fingerprints — no span strings in the
+    shuffles) -> dup-key join back -> coverage explode -> anti-join ->
+    ordered rebuild. Shuffles on the span key and the doc id only; no
+    pairwise product anywhere."""
+    from pyspark.sql import Window
+
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos0", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    seq = base.select(
+        F.col(id_col),
+        F.col("tok"),
+        F.row_number().over(w).alias("p"),
+        F.xxhash64("tok").alias("h0"),
+    )
+    sp = seq
+    for j in range(1, n):
+        sp = sp.withColumn(f"h{j}", F.lead("h0", j).over(w.orderBy("p")))
+    hs = [f"h{j}" for j in range(n)]
+    spans = sp.filter(F.col(hs[-1]).isNotNull()).select(
+        F.col(id_col),
+        "p",
+        F.xxhash64(*hs).alias("k1"),
+        F.xxhash64(*reversed(hs), F.lit(7)).alias("k2"),
+    )
+    dup_keys = (
+        spans.select(id_col, "k1", "k2")
+        .distinct()
+        .groupBy("k1", "k2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("k1", "k2")
+    )
+    covered = (
+        spans.join(dup_keys, ["k1", "k2"])
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    kept = seq.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(F.col(id_col), F.size(toks_arr).alias("n_tokens"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -861,6 +861,51 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_remove_spans",
+    """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM d
+),
+spans AS (
+  SELECT doc_id, p, array_to_string(list_slice(toks, p, p + 2), ' ') AS gram
+  FROM pos WHERE p + 2 <= len(toks)
+),
+dupk AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM spans)
+  GROUP BY gram HAVING count(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.p + o.o AS p
+  FROM spans s JOIN dupk USING (gram), (SELECT unnest(range(0, 3)) AS o) o
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.toks[t.p] AS tok
+  FROM pos t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+  WHERE c.p IS NULL
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+       len(d.toks)::BIGINT AS n_tokens,
+       (len(d.toks) - count(k.p))::BIGINT AS n_removed
+FROM d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, len(d.toks)
+""",
+)
+def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL over the full corpus (round 5 — the Lee
+    et al. 2022 ACTION that dup_span_stats only measures): every token
+    covered by a 3-gram span occurring in >= 2 distinct docs is excised
+    and the text rebuilt from survivors. Inverted-index shape (token
+    hashed once, span fingerprints, no pairwise product); the oracle
+    re-derives coverage positionally over the gram TEXT."""
+    return dedup.remove_dup_spans(_read(spark, sf_dir, "documents"), n=3)
+
+
+@q(
     "simhash",
     f"""
 WITH tk AS (
@@ -2347,6 +2392,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "simhash_neardup_wide",
     "search_fuzzy_indexed",
     "embedding_neardup_lsh_mt",
+    "dedup_remove_spans",
     # rotated back in: the 27 queries whose newest driver row is r03
     # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
     # and simhash_neardup additionally changed code this round (term-dict
@@ -2400,7 +2446,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "error_rate",
     "latest_heartbeat",
     "retry_cohort",
-    "normalize_urls",
 ]
 
 

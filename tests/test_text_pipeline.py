@@ -658,3 +658,50 @@ def test_simhash_wide_matches_python_reference(spark):
     assert got_pairs == want_pairs
     # the planted duplicates are actually in the output (non-vacuous)
     assert all(got_pairs.get((d, 1000 + d)) == 0 for d in range(0, 40, 8))
+
+
+def test_remove_dup_spans_matches_python_reference(spark):
+    """Span removal on adversarial fixtures — overlapping dup spans,
+    whole-doc removal, sub-n docs, within-doc-only repeats (NOT removed:
+    the criterion is >= 2 distinct docs) — vs an independent Python
+    implementation of the same rule."""
+    from distributed_crawler_spark.operators.dedup import remove_dup_spans
+
+    rows = [
+        (0, "a b c d e"),          # 'a b c' + 'b c d' shared with doc 1
+        (1, "x a b c d y"),        # overlapping coverage in the middle
+        (2, "a b c"),              # entire doc is one dup span -> ''
+        (3, "q w"),                # shorter than n: untouched
+        (4, "m n o m n o m n o"),  # within-doc repeats only: untouched
+        (5, "unique tokens only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    def py_remove(all_rows, n=3):
+        grams = {}
+        for d, t in all_rows:
+            toks = [x for x in t.split(" ") if x]
+            for i in range(len(toks) - n + 1):
+                grams.setdefault(" ".join(toks[i : i + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        out = {}
+        for d, t in all_rows:
+            toks = [x for x in t.split(" ") if x]
+            cov = set()
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i : i + n]) in dup:
+                    cov |= set(range(i, i + n))
+            keep = [tok for i, tok in enumerate(toks) if i not in cov]
+            out[d] = (" ".join(keep), len(toks), len(toks) - len(keep))
+        return out
+
+    want = py_remove(rows)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_dup_spans(docs).collect()
+    }
+    assert got == want
+    assert got[2] == ("", 3, 3)              # fully excised
+    assert got[3] == ("q w", 2, 0)           # sub-n untouched
+    assert got[4][2] == 0                    # within-doc repeats kept
+    assert got[0][0] == "e" and got[1][0] == "x y"  # overlap coverage union
