@@ -129,22 +129,143 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def _record_bytes(
+    record_type: str, url: str, iso_date: str, body: bytes, http_envelope: bool
+) -> bytes:
+    """One serialized WARC record (the framing _parse_warc_bytes reads
+    back); response records get the HTTP envelope Common-Crawl captures
+    carry, conversion (WET) records the bare payload."""
+    if http_envelope:
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + record_type.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + iso_date.encode() + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return headers + b"\r\n" + body + b"\r\n\r\n"
+
+
 def write_warc(rows: list[tuple[str, str, bytes]], path: str) -> str:
     """Serialize (url, iso_date, html) rows into one WARC file (test
     fixture generator and the inverse of read_warc; bodies get the HTTP
     response envelope Common-Crawl response records carry)."""
     with open(path, "wb") as f:
         for url, date, html in rows:
-            body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
-            headers = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
-                b"WARC-Target-URI: " + url.encode() + b"\r\n"
-                b"WARC-Date: " + date.encode() + b"\r\n"
-                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
-            )
-            f.write(headers + b"\r\n" + body + b"\r\n\r\n")
+            f.write(_record_bytes("response", url, date, html, True))
     return path
+
+
+def _export_records(
+    df: DataFrame,
+    out_dir: str,
+    record_type: str,
+    suffix: str,
+    to_bytes,
+    http_envelope: bool,
+    compress: bool,
+) -> DataFrame:
+    """Shared DISTRIBUTED archive sink: each partition streams its rows
+    into one shard file (record-at-a-time — a task never holds its whole
+    shard in memory) and yields a one-row manifest. The manifest
+    DataFrame is LAZY: collecting it is what runs the export (the
+    foreachPartition-style custom-sink shape kept inside the DataFrame
+    API so callers get paths/counts back as data). Shard names carry a
+    uuid so a retried task never clobbers a finished shard — the
+    manifest names the surviving files; at cluster scale this seam is
+    where a real commit protocol (Iceberg/Hadoop committer) slots in.
+    Empty partitions write nothing and emit no manifest row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    sel = df.select(
+        F.col(df.columns[0]).alias("url"),
+        F.date_format(F.col(df.columns[1]), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("d"),
+        F.col(df.columns[2]).alias("body"),
+    )
+
+    def run(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(
+            out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
+        )
+        f = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) and f is None:
+                f = gzip.open(path, "wb") if compress else open(path, "wb")
+            for url, d, body in zip(pdf["url"], pdf["d"], pdf["body"]):
+                f.write(
+                    _record_bytes(record_type, url, d, to_bytes(body), http_envelope)
+                )
+                n += 1
+        if f is not None:
+            f.close()
+            yield pd.DataFrame(
+                [{"path": path, "n_records": n, "n_bytes": os.path.getsize(path)}]
+            )
+
+    return sel.mapInPandas(run, "path STRING, n_records LONG, n_bytes LONG")
+
+
+def export_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC EXPORT — the write half of the Common-Crawl
+    round trip (read_warc ∘ export_warc ≡ identity on (url, ts, html),
+    pytest-verified): (url, warc_ts, html) partitions become
+    ``part-NNNNN-xxxx.warc[.gz]`` response-record shards. Returns the
+    lazy manifest DataFrame (path, n_records, n_bytes); collect it to
+    run the export."""
+    from pyspark.sql import functions as F
+
+    sel = df.select(url_col, ts_col, F.col(html_col).cast("binary"))
+    return _export_records(
+        sel,
+        out_dir,
+        "response",
+        ".warc.gz" if compress else ".warc",
+        lambda b: bytes(b),
+        True,
+        compress,
+    )
+
+
+def export_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WET export (conversion records, bare utf-8 text
+    payloads) — inverse of read_wet, same sink shape as export_warc."""
+    sel = df.select(url_col, ts_col, text_col)
+    return _export_records(
+        sel,
+        out_dir,
+        "conversion",
+        ".warc.wet.gz" if compress else ".warc.wet",
+        lambda t: t.encode("utf-8"),
+        False,
+        compress,
+    )
 
 
 WET_SCHEMA = "url STRING, warc_ts TIMESTAMP, text STRING"
@@ -171,13 +292,5 @@ def write_wet(rows: list[tuple[str, str, str]], path: str) -> str:
     text payload, no HTTP envelope)."""
     with open(path, "wb") as f:
         for url, date, text in rows:
-            body = text.encode("utf-8")
-            headers = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: conversion\r\n"
-                b"WARC-Target-URI: " + url.encode() + b"\r\n"
-                b"WARC-Date: " + date.encode() + b"\r\n"
-                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
-            )
-            f.write(headers + b"\r\n" + body + b"\r\n\r\n")
+            f.write(_record_bytes("conversion", url, date, text.encode("utf-8"), False))
     return path

@@ -206,3 +206,61 @@ def test_randomized_mixed_archive_round_trip(spark, tmp_path):
             t = b.decode("utf-8", "replace")
             want_wet.add((u, t))
     assert got_wet == want_wet
+
+
+def test_export_warc_round_trip(spark, tmp_path):
+    """Distributed WARC export -> read_warc is the identity on
+    (url, warc_ts, html), including over empty partitions, adversarial
+    bodies (bytes that LOOK like WARC/HTTP headers), gzip and plain."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.sources.warc import export_warc, read_warc
+
+    rows = [
+        ("https://a.example.com/p/1", dt.datetime(2024, 1, 1, 12, 0, 0),
+         b"<html>plain</html>"),
+        ("https://b.example.com/p/2", dt.datetime(2024, 2, 2, 3, 4, 5),
+         b"HTTP/1.1 200 OK\r\n\r\nbody that quotes an http exchange"),
+        ("https://c.example.com/p/3", dt.datetime(2024, 3, 3, 0, 0, 0),
+         b"WARC/1.0\r\nContent-Length: 999\r\n\r\nfake nested record"),
+        ("https://d.example.com/p/4", dt.datetime(2024, 4, 4, 4, 4, 4), b""),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts TIMESTAMP, html BINARY")
+    for compress in (True, False):
+        out = str(tmp_path / f"warc_out_{compress}")
+        manifest = export_warc(df.repartition(8), out, compress=compress).collect()
+        assert sum(m["n_records"] for m in manifest) == len(rows)
+        assert all(m["n_bytes"] > 0 for m in manifest)
+        # empty partitions produced no shard
+        assert len(manifest) <= 8
+        back = {
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in read_warc(spark, out + "/*").collect()
+        }
+        assert back == set(rows), f"compress={compress}"
+
+
+def test_export_wet_round_trip(spark, tmp_path):
+    import datetime as dt
+
+    from distributed_crawler_spark.sources.warc import export_wet, read_wet
+
+    rows = [
+        ("https://a.example.com/1", dt.datetime(2024, 5, 5, 5, 5, 5),
+         "plain extracted text"),
+        ("https://b.example.com/2", dt.datetime(2024, 6, 6, 6, 6, 6),
+         "HTTP/1.1 text that begins like an envelope stays intact"),
+        ("https://c.example.com/3", dt.datetime(2024, 7, 7, 7, 7, 7),
+         "unicode: éß中文"),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts TIMESTAMP, text STRING")
+    out = str(tmp_path / "wet_out")
+    manifest = export_wet(df.repartition(2), out).collect()
+    assert sum(m["n_records"] for m in manifest) == len(rows)
+    back = {
+        (r["url"], r["warc_ts"], r["text"])
+        for r in read_wet(spark, out + "/*").collect()
+    }
+    assert back == set(rows)
