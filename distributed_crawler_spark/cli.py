@@ -282,6 +282,42 @@ def _emit_results(spark, args, out) -> None:
         print(json.dumps(row.asDict(), default=str))
 
 
+def _export(args) -> None:
+    """Archive export (Common-Crawl round trip): ``--state`` writes the
+    crawl's extracted docs as WET conversion shards (url, fetch_ts,
+    text); ``--corpus`` writes the page table as WARC response shards
+    (url, html). One shard per partition, manifest printed as JSON."""
+    from .session import get_spark
+    from .sources.warc import export_warc, export_wet
+
+    if bool(args.state) == bool(args.corpus):
+        raise SystemExit("export needs exactly one of --state / --corpus")
+    spark = get_spark(cores=args.cores)
+    if args.state:
+        docs = spark.read.parquet(
+            f"{args.state}/job={args.job_id}/extracted/round=*"
+        ).select("url", F.col("fetch_ts").alias("warc_ts"), "text")
+        manifest = export_wet(docs, args.out, compress=not args.no_compress)
+    else:
+        pages = spark.read.parquet(f"{args.corpus}/pages.parquet").select(
+            "url",
+            F.current_timestamp().alias("warc_ts"),
+            F.col("html").cast("binary").alias("html"),
+        )
+        manifest = export_warc(pages, args.out, compress=not args.no_compress)
+    rows = manifest.collect()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "shards": len(rows),
+                "n_records": sum(r["n_records"] for r in rows),
+                "n_bytes": sum(r["n_bytes"] for r in rows),
+            }
+        )
+    )
+
+
 def _suggest(args) -> None:
     from .operators.analytics import query_log
     from .operators.search import suggest
@@ -407,6 +443,17 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--enrich", action="store_true",
                    help="join results with frontier status/depth")
     s.set_defaults(fn=_search)
+
+    ex = sub.add_parser(
+        "export",
+        help="write WET (--state: extracted text) or WARC (--corpus: "
+             "html pages) archive shards",
+    )
+    ex.add_argument("--state", default=None)
+    ex.add_argument("--corpus", default=None)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--no-compress", action="store_true")
+    ex.set_defaults(fn=_export)
 
     sg = sub.add_parser(
         "suggest",

@@ -108,3 +108,42 @@ def test_cli_crawl_search_stats(spark, corpus_dir, capsys):
     out = _run(capsys, ["--cores", "8", "suggest", "page", "--log", log])
     suggestions = [json.loads(l)["query"] for l in out]
     assert suggestions == ["page AND doc*"]
+
+
+def test_cli_export_archives(spark, corpus_dir, capsys):
+    """CLI archive exports: WET from a crawl's extracted docs, WARC from
+    the corpus pages — both readable back by the matching reader with
+    the same record counts."""
+    import json as _json
+    import shutil as _shutil
+
+    from distributed_crawler_spark.sources.warc import read_warc, read_wet
+
+    state = "/tmp/dcs_cli_export_state"
+    _shutil.rmtree(state, ignore_errors=True)
+    out = _run(capsys, [
+        "--cores", "8", "crawl", "--corpus", corpus_dir, "--state", state,
+        "--max-depth", "1", "--budget", "10",
+    ])
+    summary = _json.loads(out[-1])
+
+    wet_dir = "/tmp/dcs_cli_export_wet"
+    _shutil.rmtree(wet_dir, ignore_errors=True)
+    out = _run(capsys, ["--cores", "8", "export", "--state", state, "--out", wet_dir])
+    m = _json.loads(out[-1])
+    assert m["n_records"] == summary["by_status"]["completed"]
+    assert read_wet(spark, wet_dir + "/*").count() == m["n_records"]
+
+    warc_dir = "/tmp/dcs_cli_export_warc"
+    _shutil.rmtree(warc_dir, ignore_errors=True)
+    out = _run(capsys, [
+        "--cores", "8", "export", "--corpus", corpus_dir, "--out", warc_dir,
+        "--no-compress",
+    ])
+    m = _json.loads(out[-1])
+    assert m["n_records"] == spark.read.parquet(f"{corpus_dir}/pages.parquet").count()
+    assert read_warc(spark, warc_dir + "/*").count() == m["n_records"]
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        _run(capsys, ["export", "--out", "/tmp/x"])
