@@ -264,3 +264,42 @@ def test_export_wet_round_trip(spark, tmp_path):
         for r in read_wet(spark, out + "/*").collect()
     }
     assert back == set(rows)
+
+
+def test_warc_record_round_trip_property():
+    """Property test: ANY (url-ish string, arbitrary bytes body) list
+    survives serialize -> parse byte-exactly, for both record flavors —
+    the framing is Content-Length-based, so bodies containing CRLFCRLF,
+    WARC headers, HTTP envelopes, or NUL bytes must never confuse it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_crawler_spark.sources.warc import (
+        _parse_warc_bytes,
+        _record_bytes,
+    )
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "https://h/" + s)
+    body_st = st.binary(max_size=300)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(url_st, body_st), min_size=1, max_size=8))
+    def check(rows):
+        date = "2024-01-01T00:00:00Z"
+        blob = b"".join(
+            _record_bytes("response", u, date, b, True) for u, b in rows
+        )
+        got = list(_parse_warc_bytes(blob, want_type="response"))
+        assert [(u, date, b) for u, b in rows] == got
+
+        blob_wet = b"".join(
+            _record_bytes("conversion", u, date, b, False) for u, b in rows
+        )
+        got_wet = list(_parse_warc_bytes(blob_wet, want_type="conversion"))
+        assert [(u, date, b) for u, b in rows] == got_wet
+
+    check()
