@@ -72,6 +72,37 @@ def _resend(args) -> None:
     print(json.dumps(summary))
 
 
+def _submit(args) -> None:
+    """Submit URLs into an existing crawl (submit_url.py analog: the
+    reference's crawl_url command to the master's queue). By default the
+    crawl resumes immediately to drain them; --no-run only enqueues
+    (the reference's fire-and-forget submit)."""
+    from .config import CrawlConfig
+    from .operators.scheduler import CrawlScheduler
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    pages = spark.read.parquet(f"{args.corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{args.corpus}/robots.parquet")
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_urls_per_domain=args.budget,
+        job_id=args.job_id,
+    )
+    sched = CrawlScheduler(spark, pages, robots, args.state, cfg)
+    if args.urls_file:
+        urls = spark.read.text(args.urls_file).withColumnRenamed("value", "url")
+    else:
+        urls = spark.createDataFrame([(u,) for u in args.url], "url STRING")
+    n = sched.submit_urls(urls)
+    if n and not args.no_run:
+        summary = sched.run(resume=True)
+    else:
+        summary = sched.summary()
+    summary["submitted"] = n
+    print(json.dumps(summary))
+
+
 def _index(args) -> None:
     """Build a persistent index snapshot from a crawl's extracted pages
     (the indexer-node role, indexer_node.py:181-225). ``--multifield``
@@ -388,6 +419,19 @@ def main(argv: list[str] | None = None) -> None:
     rs.add_argument("--budget", type=int, default=100)
     rs.add_argument("--max-retries", type=int, default=3)
     rs.set_defaults(fn=_resend)
+
+    sm = sub.add_parser(
+        "submit", help="submit URLs into an existing crawl (submit_url.py analog)"
+    )
+    sm.add_argument("url", nargs="*", help="URLs to submit")
+    sm.add_argument("--urls-file", default=None, help="text file, one URL per line")
+    sm.add_argument("--corpus", required=True)
+    sm.add_argument("--state", required=True)
+    sm.add_argument("--max-depth", type=int, default=3)
+    sm.add_argument("--budget", type=int, default=100)
+    sm.add_argument("--no-run", action="store_true",
+                    help="only enqueue; do not resume the crawl")
+    sm.set_defaults(fn=_submit)
 
     ix = sub.add_parser(
         "index", help="build a persistent index snapshot (indexer_node analog)"

@@ -207,7 +207,11 @@ class CrawlScheduler:
         cfg = self.cfg
         if resume:
             committed = self.committed_rounds()
-            if not committed:
+            # a job with no committed round can still be resumable: a
+            # submitted-but-never-run frontier (submit_urls on a fresh
+            # job — the submit_url.py fire-and-forget shape) has a
+            # round-0 pending cohort and no lineage yet
+            if not committed and not _exists(_p(self._root, PENDING, 0)):
                 resume = False
         if not resume:
             if seeds is None:
@@ -220,8 +224,7 @@ class CrawlScheduler:
             pending0.write.mode("overwrite").parquet(_p(self._root, PENDING, 0))
             start_round = 0
         else:
-            last = committed[-1]
-            start_round = last + 1
+            start_round = (committed[-1] + 1) if committed else 0
             pend_path = _p(self._root, PENDING, start_round)
             if not _exists(pend_path) or (
                 self.spark.read.parquet(pend_path).limit(1).count() == 0
@@ -317,6 +320,51 @@ class CrawlScheduler:
             )
         )
         lineage.write.mode("overwrite").parquet(_p(self._root, LINEAGE, rnd))
+
+    def submit_urls(self, urls: DataFrame) -> int:
+        """submit_url.py parity (client/submit_url.py:15-43: a crawl_url
+        command enqueued onto the master's command queue; the master
+        seeds it into the live crawl): inject NEW urls into this job's
+        frontier mid-flight or after completion — normalized and
+        robots/per-submission-budget gated exactly like a seed batch
+        (seed_frontier; the reference likewise enqueues submitted urls
+        unconditionally against the CUMULATIVE budget, which then governs
+        their discovered links), deduped against the job's full URL-seen
+        set — merged into the next unprocessed pending cohort.
+        ``run(resume=True)`` then drains them through the normal round
+        machinery at depth 0. Returns the number actually scheduled."""
+        committed = self.committed_rounds()
+        nxt = committed[-1] + 1 if committed else 0
+        seeded = seed_frontier(self.spark, urls, self.robots, self.cfg)
+        pend_path = _p(self._root, PENDING, nxt)
+        if committed:
+            seen, _ = self._seen_and_counts(nxt)
+            seeded = seeded.join(seen.select("url"), "url", "left_anti")
+        elif _exists(pend_path):
+            # seeded-but-never-run job: only the round-0 cohort exists
+            seeded = seeded.join(
+                self.spark.read.parquet(pend_path).select("url"),
+                "url",
+                "left_anti",
+            )
+        n = seeded.count()
+        if n == 0:
+            return 0
+        if _exists(pend_path):
+            from ..sources.storage import merge_upsert
+
+            merge_upsert(self.spark, pend_path, seeded, key="url")
+        else:
+            seeded.write.mode("overwrite").parquet(pend_path)
+        # the merged cohort invalidates any pre-derived seen/counts
+        # partition for this round (written against the PRE-merge
+        # pending) — drop them so the round re-derives from the merged
+        # cohort when it is processed
+        for tbl in (SEEN, COUNTS):
+            p = _p(self._root, tbl, nxt)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        return n
 
     def resend_failed(self) -> int:
         """Admin 'resend_urls' command (master_node.py:994-1062

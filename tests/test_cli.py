@@ -147,3 +147,39 @@ def test_cli_export_archives(spark, corpus_dir, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         _run(capsys, ["export", "--out", "/tmp/x"])
+
+
+def test_cli_submit(spark, corpus_dir, capsys):
+    """CLI submit (submit_url.py analog): enqueue-only then resume, and
+    the one-shot submit-and-run form."""
+    import json as _json
+    import shutil as _shutil
+
+    state = "/tmp/dcs_cli_submit_state"
+    _shutil.rmtree(state, ignore_errors=True)
+    out = _run(capsys, [
+        "--cores", "8", "crawl", "--corpus", corpus_dir, "--state", state,
+        "--max-depth", "1", "--budget", "10",
+    ])
+    before = _json.loads(out[-1])
+
+    new_url = [
+        r["url"] for r in spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        .select("url").limit(50).collect()
+        if r["url"] not in set()  # take any; dedup happens engine-side
+    ][:5]
+    out = _run(capsys, [
+        "--cores", "8", "submit", *new_url, "--corpus", corpus_dir,
+        "--state", state, "--no-run",
+    ])
+    queued = _json.loads(out[-1])
+    assert queued["submitted"] >= 0
+    # resume drains whatever was enqueued
+    out = _run(capsys, [
+        "--cores", "8", "crawl", "--corpus", corpus_dir, "--state", state,
+        "--resume",
+    ])
+    after = _json.loads(out[-1])
+    # submitted urls start at depth 0, so the resume schedules them PLUS
+    # whatever new links they discover
+    assert after["total_scheduled"] >= before["total_scheduled"] + queued["submitted"]

@@ -427,3 +427,54 @@ def test_frontier_rollup_prunes_superseded_rounds(spark, corpus_dir):
     s.run(resume=True)                        # newest rollup; 0 pruned
     last = s.committed_rounds()[-1]
     assert rounds() == [1, last] and len(rounds()) <= 2
+
+
+def test_submit_urls_into_existing_crawl(spark, corpus_dir):
+    """submit_url.py parity: injecting new URLs into a FINISHED crawl
+    and resuming must converge to the same URL-seen set and per-url
+    status as one crawl whose seed set was the union from the start
+    (generous budget so scheduling order can't change survivors);
+    already-seen and robots-blocked submissions are no-ops; a fresh
+    job accepts submissions as its round-0 seeds."""
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+    cfg = lambda job: CrawlConfig(  # noqa: E731
+        max_depth=2, max_urls_per_domain=1000, job_id=job
+    )
+    extra = pages.select("url").join(seeds, "url", "left_anti").limit(3)
+    assert extra.count() == 3
+
+    state = "/tmp/dcs_submit_state"
+    shutil.rmtree(state, ignore_errors=True)
+    a = CrawlScheduler(spark, pages, robots, state, cfg("job-a"))
+    a.run(seeds=seeds)
+    before = a.summary()
+
+    n = a.submit_urls(extra)
+    assert 1 <= n <= 3  # robots may legitimately reject some
+    after = a.run(resume=True)
+    assert after["total_scheduled"] >= before["total_scheduled"] + n
+
+    # reference crawl seeded with the union from the start
+    b = CrawlScheduler(spark, pages, robots, state, cfg("job-b"))
+    b.run(seeds=seeds.unionByName(extra.select("url")))
+    fa = {
+        (r["url"], r["status"]) for r in a.frontier().select("url", "status").collect()
+    }
+    fb = {
+        (r["url"], r["status"]) for r in b.frontier().select("url", "status").collect()
+    }
+    assert fa == fb
+
+    # idempotent: resubmitting the same urls schedules nothing
+    assert a.submit_urls(extra) == 0
+    # already-crawled seeds are no-ops too
+    assert a.submit_urls(seeds) == 0
+
+    # fresh job: submissions become the round-0 cohort
+    c = CrawlScheduler(spark, pages, robots, state, cfg("job-c"))
+    n0 = c.submit_urls(extra)
+    assert n0 >= 1
+    got = c.run(resume=True)
+    assert got["total_scheduled"] >= n0
