@@ -4,6 +4,8 @@ cli_search, dashboard stats endpoints) as one spark-submit-able CLI:
 
     python -m distributed_crawler_spark.cli crawl --corpus DIR --state DIR \
         [--seeds FILE] [--max-depth 3] [--budget 100] [--resume]
+    python -m distributed_crawler_spark.cli submit URL... --corpus DIR \
+        --state DIR [--no-run]
     python -m distributed_crawler_spark.cli search --state DIR "query terms" \
         [--mode bm25|tf|substring] [--topk 10]
     python -m distributed_crawler_spark.cli stats --state DIR
