@@ -705,3 +705,81 @@ def test_remove_dup_spans_matches_python_reference(spark):
     assert got[3] == ("q w", 2, 0)           # sub-n untouched
     assert got[4][2] == 0                    # within-doc repeats kept
     assert got[0][0] == "e" and got[1][0] == "x y"  # overlap coverage union
+
+
+def test_remove_dup_spans_randomized_parity(spark):
+    """Seeded random docs over a tiny alphabet (dense shared trigrams,
+    heavy overlap chains) vs the Python reference — shapes the fixed
+    fixtures can't cover: long runs of covered positions, docs sharing
+    spans with several partners, spans at doc boundaries."""
+    import random
+
+    from distributed_crawler_spark.operators.dedup import remove_dup_spans
+
+    rng = random.Random(23)
+    rows = [
+        (d, " ".join(rng.choice("abcx") for _ in range(rng.randint(1, 14))))
+        for d in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    def py_remove(all_rows, n=3):
+        grams = {}
+        for d, t in all_rows:
+            toks = t.split()
+            for i in range(len(toks) - n + 1):
+                grams.setdefault(" ".join(toks[i : i + n]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        out = {}
+        for d, t in all_rows:
+            toks = t.split()
+            cov = set()
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i : i + n]) in dup:
+                    cov |= set(range(i, i + n))
+            keep = [tok for i, tok in enumerate(toks) if i not in cov]
+            out[d] = (" ".join(keep), len(toks), len(toks) - len(keep))
+        return out
+
+    want = py_remove(rows)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_dup_spans(docs).collect()
+    }
+    assert got == want
+    # non-vacuous: the dense alphabet must have produced real removals
+    # AND real survivors
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[0] for v in got.values())
+
+
+def test_bmp_codec_randomized_round_trip():
+    """Hypothesis: any (width, height, pixel mapping) round-trips
+    pixel-exactly through the BMP codec — padding arithmetic must hold
+    for every width mod 4 class."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_crawler_spark.operators import multimodal
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        fn = lambda x, y: (  # noqa: E731
+            (seed + 3 * x + 5 * y) % 256,
+            (seed // 7 + x) % 256,
+            (seed // 11 + y) % 256,
+        )
+        raw = multimodal.make_bmp(w, h, fn)
+        assert len(raw) == 54 + multimodal.bmp_row_size(w) * h
+        d = multimodal.decode_bmp(raw)
+        assert (d["width"], d["height"]) == (w, h)
+        assert all(
+            d["pixels"][y][x] == fn(x, y) for y in range(h) for x in range(w)
+        )
+
+    check()
