@@ -323,7 +323,16 @@ def replicate_sf_dir(
                 ).alias("text"),
                 "lang",
                 "source",
-                "n_chars",
+                # the suffix rewrite lengthens the text, so replicas
+                # recompute n_chars to keep the n_chars == length(text)
+                # invariant that holds in the base corpus
+                (
+                    F.col("n_chars")
+                    if r == 0
+                    else F.length(
+                        F.regexp_replace("text", r"(\S+)", rf"$1_r{r}")
+                    ).cast("long")
+                ).alias("n_chars"),
             ),
         ),
     )

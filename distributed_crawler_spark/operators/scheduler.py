@@ -350,20 +350,34 @@ class CrawlScheduler:
         n = seeded.count()
         if n == 0:
             return 0
-        if _exists(pend_path):
-            from ..sources.storage import merge_upsert
-
-            merge_upsert(self.spark, pend_path, seeded, key="url")
-        else:
-            seeded.write.mode("overwrite").parquet(pend_path)
+        # stage the seeded cohort to its own dir and read it back: the
+        # lazy `seeded` plan reads this round's seen partition, which is
+        # deleted below BEFORE the merge — re-executing the plan after
+        # that delete would hit missing files mid-merge
+        stage = os.path.join(self._root, "tmp_submit_stage")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        seeded.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
         # the merged cohort invalidates any pre-derived seen/counts
         # partition for this round (written against the PRE-merge
-        # pending) — drop them so the round re-derives from the merged
-        # cohort when it is processed
+        # pending). Drop them BEFORE merging (ADVICE r05): if the delete
+        # crashes they are simply re-derived from the still-unmerged
+        # pending, whereas deleting after the merge left a crash window
+        # where resume trusts stale pre-merge seen/counts (submitted urls
+        # absent from seen could be re-scheduled via discovered links,
+        # per-host budgets under-count)
         for tbl in (SEEN, COUNTS):
             p = _p(self._root, tbl, nxt)
             if os.path.exists(p):
                 shutil.rmtree(p)
+        if _exists(pend_path):
+            from ..sources.storage import merge_upsert
+
+            merge_upsert(self.spark, pend_path, staged, key="url")
+        else:
+            staged.write.mode("overwrite").parquet(pend_path)
+        shutil.rmtree(stage)
         return n
 
     def resend_failed(self) -> int:

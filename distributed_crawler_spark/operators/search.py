@@ -390,8 +390,8 @@ def expand_fuzzy_terms(
     scanning a dictionary (VERDICT r04 wrong #1)."""
     rows = (
         term_dict.select("term")
-        .filter(F.levenshtein(F.col("term"), F.lit(query_term)) <= max_edits)
         .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(query_term)) <= max_edits)
         .collect()
     )
     return sorted(r["term"] for r in rows)

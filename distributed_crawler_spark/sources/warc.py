@@ -181,10 +181,21 @@ def _export_records(
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    # null-safe over arbitrary caller DataFrames (public API): a null
+    # body/url defaults to empty (typed, so binary stays binary), a null
+    # timestamp to the export time — otherwise to_bytes / iso_date.encode
+    # would raise mid-shard on the executor
+    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    body_type = df.schema[df.columns[2]].dataType
     sel = df.select(
-        F.col(df.columns[0]).alias("url"),
-        F.date_format(F.col(df.columns[1]), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("d"),
-        F.col(df.columns[2]).alias("body"),
+        F.coalesce(F.col(df.columns[0]), F.lit("")).alias("url"),
+        F.coalesce(
+            F.date_format(F.col(df.columns[1]), iso),
+            F.date_format(F.current_timestamp(), iso),
+        ).alias("d"),
+        F.coalesce(
+            F.col(df.columns[2]), F.lit("").cast(body_type)
+        ).alias("body"),
     )
 
     def run(batches):

@@ -328,7 +328,7 @@ def _write_termstats_delta(
     import hashlib
     import uuid
 
-    _, delta_root = _termstats_paths(index_dir)
+    base_dir, delta_root = _termstats_paths(index_dir)
     if epoch_id >= 0:
         # the raw epoch id in the dir name keeps names unique by
         # construction across epochs (ADVICE r04: a truncated-digest
@@ -341,7 +341,14 @@ def _write_termstats_delta(
         # honor an existing legacy entry so a replay across the upgrade
         # doesn't double-apply its epoch
         legacy = "delta-" + digest[:12]
-        if os.path.exists(os.path.join(delta_root, legacy, "_SUCCESS")):
+        # ... whether that legacy delta still sits in the log OR was
+        # already compacted into base (its dir deleted, its name kept in
+        # _folded.json) — either way this epoch's df deltas are applied,
+        # and writing a new-format dir the fold list does not shadow
+        # would double-count them on replay across the naming upgrade
+        if os.path.exists(
+            os.path.join(delta_root, legacy, "_SUCCESS")
+        ) or legacy in _folded_names(base_dir):
             return
     elif idempotency_key is not None:
         name = (
