@@ -652,12 +652,15 @@ DATA cost is what grows with sf, and 32 local cores absorb it.
             + """
 ## Observations the table is designed to surface
 
-- **Fixed vs auto-sized LSH selectivity**: `embedding_neardup_lsh`
-  (8 planes forever) densifies as the corpus grows — its 16x ratio is
-  the suite's worst — while `embedding_neardup_lsh_mt` (plane count
-  derived from the vector count via plan_srp_lsh, 4-table union for
-  recall) holds a near-flat ratio. Selectivity knobs must scale with
-  log(n); this pair demonstrates it in wall time.
+- **Auto-sized LSH selectivity**: both `embedding_neardup_lsh`
+  (single table; auto-sized since round 6 — its fixed-8-plane
+  predecessor densified 10.6x at 16x, the r05 suite's worst ratio)
+  and `embedding_neardup_lsh_mt` (4-table band-OR recall) derive
+  their plane count from the vector count via plan_srp_lsh, so
+  expected bucket occupancy stays ~16 rows and the candidate join
+  grows ~linearly. Selectivity knobs must scale with log(n); the
+  r05 table (BENCH/SCALING_SF.md in git history) demonstrates the
+  fixed-knob failure in wall time.
 - **Narrow vs wide simhash**: at THESE corpus sizes both variants are
   dominated by the O(tokens x signature-bits) vote build, so their
   wall-time ratios look similar; the quantity that separates them —

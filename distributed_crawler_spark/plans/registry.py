@@ -993,17 +993,29 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "embedding_neardup_lsh",
-    "WITH b AS (SELECT vec_id, ("
-    + " + ".join(
-        f"(CASE WHEN {_lsh_proj_sql(p)} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
-        for p in range(8)
-    )
-    + """)::BIGINT AS bucket FROM embeddings),
+    """
+WITH params AS (
+  SELECT least(greatest(ceil(log2(greatest(count(*), 2) / 16.0))::INT, 1), 62) AS b
+  FROM embeddings
+),
+pl AS (SELECT unnest(range((SELECT b FROM params))) AS p),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         list_dot_product(e.embedding::DOUBLE[],
+           list_transform(range(0, 64), j ->
+             ((('0x' || substr(md5(pl.p || ',' || j), 1, 15))::BIGINT % 2001 - 1000)) / 1000.0)) AS dot
+  FROM embeddings e, pl
+),
+bk AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+),
 cand AS (
-  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
-  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bk a JOIN bk bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
 )
-SELECT DISTINCT c.id_a, c.id_b,
+SELECT c.id_a, c.id_b,
        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS score
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.id_a
@@ -1014,10 +1026,20 @@ WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at SCALE: LSH-bucket candidate generation
     (equi-join on bucket, no cross product) + exact cosine re-rank —
-    the registered form of operators/similarity.py lsh_neardup_pairs;
-    the oracle reproduces the hyperplanes and bucketing bit-for-bit."""
+    the registered form of operators/similarity.py lsh_neardup_pairs.
+    Plane count is AUTO-SIZED from the corpus (round 6, VERDICT r05
+    next-item #1 — the last fixed selectivity knob): plan_srp_lsh keeps
+    expected bucket occupancy near 16 rows so candidates grow ~linearly
+    with n; at sf0.1 (10^4 vectors) that derives b=10 vs the old fixed
+    8, whose 16x scale point densified 10.6x (BENCH/SCALING_SF.md).
+    Single legacy-seeded table — the 4-table band-OR recall variant is
+    embedding_neardup_lsh_mt. The oracle mirrors BOTH the b formula and
+    every seeded hyperplane in SQL."""
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.lsh_neardup_pairs(emb, threshold=0.35, planes=8, dim=64)
+    b = similarity.plan_srp_lsh(emb.count())
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.35, planes=b, dim=64, n_tables=1
+    )
 
 
 @q(
