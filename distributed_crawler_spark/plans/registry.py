@@ -1205,25 +1205,43 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "media_features",
     """
+WITH m AS (
+  SELECT doc_id,
+         doc_id % 3 = 0 AS is_image,
+         (doc_id // 3) % 2 = 1 AS is_png,
+         strlen(text) AS text_len,
+         4 + doc_id % 5 AS bw, 3 + doc_id % 4 AS bh,
+         4 + doc_id % 6 AS pw, 3 + doc_id % 5 AS ph
+  FROM documents
+), s AS (
+  SELECT *, ph * (1 + 3 * pw) AS pn FROM m
+)
 SELECT doc_id AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CASE WHEN doc_id % 3 = 0
-            THEN 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4) * (3 + doc_id % 4)
-            ELSE strlen(text) END::BIGINT AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+       CASE WHEN is_image AND is_png
+            THEN 63 + pn + 5 * greatest((pn + 65534) // 65535, 1)
+            WHEN is_image
+            THEN 54 + ((3 * bw + 3) // 4 * 4) * bh
+            ELSE text_len END::BIGINT AS n_bytes,
+       CASE WHEN is_image AND is_png THEN pw
+            WHEN is_image THEN bw
             ELSE 32 * (1 + doc_id % 16) END::BIGINT AS width,
-       CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+       CASE WHEN is_image AND is_png THEN ph
+            WHEN is_image THEN bh
             ELSE 32 * (1 + (doc_id // 16) % 16) END::BIGINT AS height
-FROM documents
+FROM s
 """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media decode (mapInPandas). Image rows carry REAL
-    uncompressed-BMP bytes and are decoded for real — width/height come
-    from parsing the BMP header, n_bytes is the true encoded size (54 +
-    padded-row x height), which the oracle re-derives arithmetically from
-    the synthesizer's deterministic dimensions. Audio/video rows hit the
-    labeled fallback stub (no decoders in the container)."""
+    encoded bytes — alternating uncompressed BMP and stored-block PNG —
+    and are decoded for real: width/height come from parsing the actual
+    headers, n_bytes is the true encoded size, which the oracle
+    re-derives arithmetically from the synthesizer's deterministic
+    dimensions (BMP: 54 + padded-row x height; PNG: signature + chunk
+    framing + filter-byte scanlines in stored zlib blocks =
+    png_encoded_size). Audio/video rows hit the labeled fallback stub
+    (no decoders in the container)."""
     from ..operators import multimodal
 
     media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
@@ -1240,14 +1258,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "media_summary",
     """
-WITH f AS (
-  SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CASE WHEN doc_id % 3 = 0
-              THEN 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4) * (3 + doc_id % 4)
-              ELSE strlen(text) END AS n_bytes,
-         CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
-              ELSE 32 * (1 + doc_id % 16) END AS width
+WITH m AS (
+  SELECT doc_id,
+         doc_id % 3 = 0 AS is_image,
+         (doc_id // 3) % 2 = 1 AS is_png,
+         strlen(text) AS text_len,
+         4 + doc_id % 5 AS bw, 3 + doc_id % 4 AS bh,
+         4 + doc_id % 6 AS pw,
+         (3 + doc_id % 5) * (1 + 3 * (4 + doc_id % 6)) AS pn
   FROM documents
+), f AS (
+  SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN is_image AND is_png
+              THEN 63 + pn + 5 * greatest((pn + 65534) // 65535, 1)
+              WHEN is_image
+              THEN 54 + ((3 * bw + 3) // 4 * 4) * bh
+              ELSE text_len END AS n_bytes,
+         CASE WHEN is_image AND is_png THEN pw
+              WHEN is_image THEN bw
+              ELSE 32 * (1 + doc_id % 16) END AS width
+  FROM m
 )
 SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS total_bytes,
        round(avg(width), 4) AS avg_width

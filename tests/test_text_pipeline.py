@@ -137,13 +137,22 @@ def test_multimodal_plumbing(spark, sf_dir):
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
     # image rows were REALLY decoded: header dims match the synthesizer's
-    # and the feature is pixel-derived (channel means bounded by bytes)
+    # (per the format it actually emitted for that row — BMP and PNG
+    # alternate) and the feature is pixel-derived (channel means bounded
+    # by bytes)
+    fmts = set()
     for r in rows:
         if r["kind"] == "image":
-            w, h = multimodal.synth_bmp_dims(r["media_id"])
+            if multimodal.synth_is_png(r["media_id"]):
+                w, h = multimodal.synth_png_dims(r["media_id"])
+                fmts.add("png")
+            else:
+                w, h = multimodal.synth_bmp_dims(r["media_id"])
+                fmts.add("bmp")
             assert (r["width"], r["height"]) == (w, h)
             assert r["feature"][6] == float(w * h)  # n_pixels dim
             assert all(0.0 <= v <= 255.0 for v in r["feature"][:6])
+    assert fmts == {"bmp", "png"}  # both real formats exercised
 
 
 def test_bmp_codec_round_trip_and_resize():
@@ -181,6 +190,50 @@ def test_bmp_codec_round_trip_and_resize():
         tw, th, lambda x, y: d["pixels"][y * 5 // th][x * 7 // tw]
     )
     assert multimodal.decode_bmp(resized)["pixels"] == want
+
+
+def test_png_codec_round_trip():
+    """Pure-python PNG codec: encode -> decode is pixel-exact for the
+    deterministic stored-block default (byte size == png_encoded_size),
+    for genuinely zlib-compressed output, and for every row filter type
+    0-4 plus a mixed per-row schedule — i.e. the decoder does real
+    unfiltering, not just filter-0 passthrough. Non-PNG and truncated
+    inputs are rejected, and the two codecs don't cross-accept."""
+    from distributed_crawler_spark.operators import multimodal
+
+    fn = lambda x, y: ((x * 37 + y) % 256, (x + y * 19) % 256, (x ^ y) % 256)  # noqa: E731
+    for w, h in ((1, 1), (3, 2), (4, 4), (7, 5)):
+        raw = multimodal.make_png(w, h, fn)
+        assert len(raw) == multimodal.png_encoded_size(w, h)
+        d = multimodal.decode_png(raw)
+        assert (d["width"], d["height"]) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert d["pixels"][y][x] == fn(x, y), (x, y, w, h)
+
+    for f in range(5):
+        d = multimodal.decode_png(
+            multimodal.make_png(9, 7, fn, compress_level=9, row_filter=f)
+        )
+        assert d is not None, f
+        assert all(
+            d["pixels"][y][x] == fn(x, y) for y in range(7) for x in range(9)
+        ), f
+    d = multimodal.decode_png(
+        multimodal.make_png(9, 7, fn, compress_level=6, row_filter=lambda y: y % 5)
+    )
+    assert all(d["pixels"][y][x] == fn(x, y) for y in range(7) for x in range(9))
+
+    assert multimodal.decode_png(b"not a png at all") is None
+    assert multimodal.decode_png(multimodal.make_png(4, 4, fn)[:30]) is None
+    assert multimodal.decode_png(multimodal.make_bmp(4, 4, fn)) is None
+    assert multimodal.decode_bmp(multimodal.make_png(4, 4, fn)) is None
+    d, fmt = multimodal.decode_image(multimodal.make_png(4, 4, fn))
+    assert fmt == "png"
+    d, fmt = multimodal.decode_image(multimodal.make_bmp(4, 4, fn))
+    assert fmt == "bmp"
+    d, fmt = multimodal.decode_image(b"neither format")
+    assert d is None and fmt is None
 
 
 def test_stateful_session_stream(spark):
@@ -229,12 +282,15 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
 
     resized = multimodal.resize_media(media, 16, 16).collect()
     assert len(resized) == 60
-    # image rows come back as REAL 16x16 BMPs (54 header + 48*16 pixel
-    # bytes); non-decodable kinds keep the fake pixel-budget payload
+    # image rows come back as REAL 16x16 files in their ORIGINAL format
+    # (BMP rows as BMP, PNG rows as PNG); non-decodable kinds keep the
+    # fake pixel-budget payload
     for r in resized:
         if r["kind"] == "image":
-            d = multimodal.decode_bmp(bytes(r["payload"]))
+            d, fmt = multimodal.decode_image(bytes(r["payload"]))
             assert d is not None and (d["width"], d["height"]) == (16, 16)
+            want = "png" if multimodal.synth_is_png(r["media_id"]) else "bmp"
+            assert fmt == want
         else:
             assert len(r["payload"]) == 256
     assert all(r["width"] == 16 and r["height"] == 16 for r in resized)
