@@ -221,6 +221,47 @@ def lsh_neardup_pairs(
     )
 
 
+def ivf_assign_fixed(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment against FIXED literal centroids (no k-means):
+    broadcast the tiny centroid table, cosine every vector against every
+    centroid, then argmax with a deterministic (similarity DESC, cid
+    ASC) tie-break via a single partially-aggregatable max(struct) — one
+    map-side-combined shuffle on the vector id, no window. This is the
+    SCALE shape whenever the coarse quantizer is already trained
+    (offline k-means, downloaded codebook): assignment is embarrassingly
+    parallel and — unlike the iterative k-means in ivf_index — exactly
+    mirrorable in SQL, which is what gives ann_ivf_topk_fixed its
+    DuckDB hash oracle."""
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            cosine(vec, F.col("cv")).alias("sim"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col(id_col), (-F.col("b.ncid")).cast("int").alias("centroid")
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -1580,6 +1580,64 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ann_ivf_topk_fixed",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+c AS (SELECT (vec_id - 1)::INT AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.v) DESC, cid
+  LIMIT 4
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN q ON TRUE
+WHERE a.centroid IN (SELECT cid FROM probe)
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_ann_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FIXED codebook (round 6, VERDICT r05 next #6):
+    the 16 centroids are literal vectors (here: embeddings 1..16, the
+    'offline-trained quantizer' case), assignment is the broadcast
+    argmax of ivf_assign_fixed, the probe ranks centroids against the
+    vec_id=0 query driver-side and scans only the top-4 inverted lists,
+    exact cosine re-rank inside them. Unlike the k-means ann_ivf_topk
+    (iterative, rows-only check) every stage here — assignment tie-break
+    included — is mirrored exactly by the DuckDB oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    crows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)
+        ).collect()
+    }
+    centroids = [[float(x) for x in crows[i]] for i in range(1, 17)]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    others = emb.filter(F.col("vec_id") != 0)
+    assigned = similarity.ivf_assign_fixed(others, centroids)
+    return similarity.ivf_search(others, assigned, centroids, qvec, n_probe=4, k=10)
+
+
+@q(
     "json_extract",
     """
 SELECT event_type,
@@ -2438,66 +2496,66 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep (tests/test_queries_oracle.py covers ALL entries every run).
 _DRIVER_WINDOW_PRIORITY = [
     "crawl_bfs",
-    # new in round 5 (Whoosh SpanNear2 span-set slop semantics; wide
-    # array-of-longs simhash — takes sliding_rate's core slot)
-    "search_phrase_sloppy",
-    "simhash_neardup_wide",
-    "search_fuzzy_indexed",
-    "embedding_neardup_lsh_mt",
-    "dedup_remove_spans",
-    # rotated back in: the 27 queries whose newest driver row is r03
-    # (rested through the r04 window; VERDICT r04 next #7). search_fuzzy
-    # and simhash_neardup additionally changed code this round (term-dict
-    # fuzzy expansion; auto-sized banding).
-    "search_fuzzy",
-    "simhash_neardup",
-    "ann_ivf_topk",
-    "approx_url_cardinality",
-    "crawl_html_round0",
-    "crawl_stats",
-    "dedup_exact",
-    "join_enrich",
-    "json_extract",
-    "keywords_top10",
-    "politeness_waves",
-    "pricing_summary",
-    "rollup_pricing",
-    "running_total",
-    "search_analytics",
-    "search_bm25f",
-    "search_highlight",
-    "search_highlight_multi",
-    "search_phrase",
-    "search_term_boost",
-    "search_wildcard",
-    "suggest",
-    "topk_orders",
-    "training_filter",
-    "type_dispatch_pivot",
-    "unigram_logprob",
-    "url_filename",
-    # code paths touched in round 5 (fuzzy/term-dict executor changes,
-    # span-set positional matching, BMP media decode) — re-prove them
-    "search_multifield_indexed",
-    "search_multifield_bm25f",
-    "search_phrase_indexed",
-    "search_phrase_stemmed",
-    "search_multifield",
+    # changed or new in round 6: auto-sized single-table LSH (VERDICT
+    # r05 next #1), real PNG decode behind the media queries (#2), the
+    # fixed-codebook IVF path with its first full SQL oracle (#6)
+    "embedding_neardup_lsh",
+    "ann_ivf_topk_fixed",
     "media_features",
     "media_summary",
-    # representative crawl/stats core (keeps the flagship path's
-    # supporting operators on fresh rows; the rest keep r04 rows and the
-    # local DuckDB sweep covers every entry each pytest run)
+    # rotated back in: every query whose newest driver row is r04
+    # (rested through the r05 window; VERDICT r05 next #7). The three
+    # stemmed/indexed-search entries are the registered-without-oracle
+    # rows-only checks.
+    "url_features",
+    "normalize_urls",
+    "get_domain",
+    "url_seen_union",
+    "sliding_rate",
+    "search_tf",
+    "search_tf_stemmed",
+    "search_bm25_indexed",
+    "search_bm25_stemmed",
+    "search_bm25",
+    "search_substring",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "dup_span_stats",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_buckets",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "freshness_boost",
+    "set_ops",
+    "distinct_ids",
+    "time_range_filter",
+    "url_validate",
+    "rep_signals",
+    "hash_sample",
+    "quota_sample",
+    # code paths touched in round 6 (fuzzy term-dict distinct ordering;
+    # submit/merge crash ordering sits under crawl_bfs) plus the
+    # representative crawl/stats core — the rest carry r05 rows and the
+    # local DuckDB sweep covers every entry each pytest run
+    "search_fuzzy",
     "dedup_anti_join",
     "host_budget",
     "robots_filter",
     "status_counts",
-    "top_domains",
-    "hourly_history",
-    "crawl_rate",
-    "error_rate",
+    "crawl_html_round0",
+    "crawl_stats",
+    "pricing_summary",
+    "join_enrich",
     "latest_heartbeat",
     "retry_cohort",
+    "politeness_waves",
+    "type_dispatch_pivot",
+    "json_extract",
 ]
 
 

@@ -146,6 +146,7 @@ _CARTESIAN_OK = {
     "search_bm25f",         # 1-row avgdl/n crossJoins per field
     "unigram_logprob",      # 1-row total crossJoin
     "ann_ivf_topk",
+    "ann_ivf_topk_fixed",   # 16-row broadcast codebook crossJoin
 }
 
 
