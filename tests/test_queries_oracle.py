@@ -94,13 +94,17 @@ def test_driver_window_priority_names_all_registered():
     window = list(registry.QUERIES)[:50]
     for n in (
         "crawl_bfs",
-        # round-5 additions and changed code paths
-        "search_phrase_sloppy",
-        "search_fuzzy",
-        "simhash_neardup",
-        "search_multifield_indexed",
-        "search_multifield_bm25f",
-        "search_phrase_indexed",
+        # round-6 additions and changed code paths
+        "embedding_neardup_lsh",
+        "ann_ivf_topk_fixed",
         "media_features",
+        "media_summary",
+        "search_fuzzy",
+        # r04-stale rotations that must regain a fresh row this round
+        "normalize_urls",
+        "minhash_lsh_pairs",
+        "dup_span_stats",
+        "rep_signals",
+        "hash_sample",
     ):
         assert n in window, f"{n} fell out of the driver window"
