@@ -63,6 +63,7 @@ HEADLINE = [
     "retry_cohort",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk_fixed",
     "token_count",
     "lang_id",
     "quality_score",
@@ -93,11 +94,28 @@ def _time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     return timings
 
 
+def _calibrate() -> float:
+    """Fixed-work single-core calibration: a seeded 10^7-step LCG loop
+    whose wall time depends only on this host's CURRENT single-thread
+    throughput — not on Spark, the corpus, or the code under test.
+    Recorded before and after the suite (min reported as calib_s) so a
+    uniform cross-round drift in BENCH_r*.json is attributable to a
+    slow host epoch on sight instead of re-litigated per round: compare
+    suite times as value/calib_s, not raw seconds."""
+    t0 = time.monotonic()
+    x = 0x9E3779B97F4A7C15
+    for _ in range(10_000_000):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+    assert x  # keep the result observable
+    return round(time.monotonic() - t0, 3)
+
+
 def run_headline() -> None:
     from distributed_crawler_spark.plans import registry
     from distributed_crawler_spark.session import get_spark
     from distributed_crawler_spark.bench_jobs import frontier_round_job
 
+    calib_before = _calibrate()
     spark = get_spark(cores=CPUS, app_name="bench")
     # warm the JVM/Arrow paths once so per-query timings measure the
     # queries, not session bring-up — including one tiny-SF pass of the
@@ -123,6 +141,7 @@ def run_headline() -> None:
         key=lambda r: r["seconds"],
     )
     total = round(sum(timings.values()), 3)
+    calib_after = _calibrate()
     print(
         json.dumps(
             {
@@ -134,6 +153,13 @@ def run_headline() -> None:
                 "cpus": CPUS,
                 "frontier": frontier,
                 "frontier_urls_per_sec": frontier["urls_per_sec"],
+                # single-core fixed-work reference (see _calibrate):
+                # divide suite/query seconds by calib_s before comparing
+                # across rounds — a uniform ratio shift with a matching
+                # calib_s shift is the host, not the code
+                "calib_s": min(calib_before, calib_after),
+                "calib_s_before": calib_before,
+                "calib_s_after": calib_after,
             }
         )
     )
