@@ -688,8 +688,10 @@ DATA cost is what grows with sf, and 32 local cores absorb it.
   r05 table (BENCH/SCALING_SF.md in git history) demonstrates the
   fixed-knob failure in wall time.
 - **Narrow vs wide simhash**: at THESE corpus sizes both variants are
-  dominated by the O(tokens x signature-bits) vote build, so their
-  wall-time ratios look similar; the quantity that separates them —
+  dominated by the O(tokens x signature-bits) vote build (since round
+  6 a single wide aggregate, no bit-row explosion — 1.7-1.9x faster,
+  BENCH/SIMHASH_AB.md), so their wall-time ratios look similar; the
+  quantity that separates them —
   banded CANDIDATE pairs, ~n^2/2^12 for the saturated narrow path vs
   ~n^2/2^19+ for the auto-widened wide path at 80k docs — explodes
   only past ~10^7 docs and is what

@@ -260,16 +260,21 @@ def simhash_wide(
     (phash('<band>:<token>') — SQL-portable, so the whole operator is
     oracle-checkable). This is the 10^10-doc shape: total signature bits
     = n_bands x band_width with no single-long packing cap, while the
-    banded join below keys on (band index, word) directly. Vote rows are
-    count-collapsed to distinct_tokens x total_bits, all native explode +
-    groupBy — no UDFs. Returns (id, sig: array<long>, length n_bands,
-    sig[b] = band b's word).
+    banded join below keys on (band index, word) directly. Returns
+    (id, sig: array<long>, length n_bands, sig[b] = band b's word).
+
+    Vote build (round 6, VERDICT r05 next #3): ONE aggregate per
+    (id, band) with band_width conditional sums — no bit-row
+    amplification. The 16x A/B that this was the follow-up to measured
+    the wide-aggregate form 1.7-1.9x FASTER than the bit-explode at
+    both sf0.1 (2.95 vs 4.9 s) and 16x (6.09 vs 11.59 s), reversing
+    the r03 narrow-path measurement (BENCH/SIMHASH_AB.md); identical
+    outputs, oracle unchanged.
 
     Shuffle shape: ONE up-front exchange on the doc id — every groupBy
     in the vote pipeline clusters on a superset of (id), so
-    hash-partitioning the docs once satisfies all four aggregations'
-    distributions and Catalyst plans them exchange-free (4 shuffles →
-    1, plan-asserted)."""
+    hash-partitioning the docs once satisfies every aggregation's
+    distribution and Catalyst plans them exchange-free (plan-asserted)."""
     toks = (
         docs.repartition(F.col(id_col))
         .select(
@@ -284,28 +289,22 @@ def simhash_wide(
         "h",
         phash(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("token"))),
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(band_width - 1))).alias("bit")
-    votes = (
-        per_band.select(id_col, "band", "h", "cnt", bit)
-        .withColumn(
-            "vote",
+    votes = [
+        F.sum(
             F.when(
-                F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt")),
-        )
-        .groupBy(id_col, "band", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    words = (
-        votes.withColumn(
-            "bitval",
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(id_col, "band")
-        .agg(F.sum("bitval").cast("long").alias("word"))
+                F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(band_width)
+    ]
+    per = per_band.groupBy(id_col, "band").agg(*votes)
+    word = F.lit(0).cast("long")
+    for b in range(band_width):
+        word = word + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    words = per.select(
+        F.col(id_col), F.col("band"), word.cast("long").alias("word")
     )
     return words.groupBy(id_col).agg(
         F.transform(
