@@ -1953,14 +1953,65 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("search_bm25f", None)
+@q(
+    "search_bm25f",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS ttl,
+         text
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, x.term FROM t,
+         LATERAL (SELECT unnest(string_split(ttl, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+btoks AS (
+  SELECT doc_id, x.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) x
+  WHERE x.term <> ''
+),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+pb AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY doc_id, term),
+dt AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+db AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+at AS (SELECT avg(dl) AS avgdl FROM dt),
+ab AS (SELECT avg(dl) AS avgdl FROM db),
+nn AS (SELECT count(*) AS n FROM documents),
+wt AS (
+  SELECT p.doc_id, p.term,
+         2.0 * p.tf / (0.4 + 0.6 * dt.dl / at.avgdl) AS wtf
+  FROM pt p JOIN dt ON p.doc_id = dt.doc_id, at
+  WHERE p.term IN ({_QTERMS_SQL})
+  UNION ALL
+  SELECT p.doc_id, p.term,
+         1.0 * p.tf / (0.25 + 0.75 * db.dl / ab.avgdl) AS wtf
+  FROM pb p JOIN db ON p.doc_id = db.doc_id, ab
+  WHERE p.term IN ({_QTERMS_SQL})
+),
+wtf AS (SELECT doc_id, term, sum(wtf) AS wtf FROM wt GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM wtf GROUP BY term),
+sc AS (
+  SELECT w.doc_id,
+         sum(ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+             * w.wtf / (1.2 + w.wtf)) AS score
+  FROM wtf w JOIN dfq d ON w.term = d.term, nn
+  GROUP BY w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM sc
+ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""",
+)
 def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F multifield ranking (Whoosh's actual default scorer,
     indexer_node.py:246-251): title field (first 10 words, boost 2.0,
-    b=0.6) + body (boost 1.0, b=0.75). Per-field normalization makes a
-    faithful single SQL oracle impractical → rows-only driver check;
-    exact parity vs an independent Python computation is pytest-verified
-    (tests/test_text_pipeline.py::test_bm25f_matches_python_reference)."""
+    b=0.6) + body (boost 1.0, b=0.75). Full SQL oracle since round 6
+    (the r02-era 'per-field normalization is impractical in SQL' note
+    was obsoleted by the r04 search_multifield_bm25f oracle — the same
+    per-field df/dl/avgdl CTE technique expresses the boosted
+    pseudo-frequency fold exactly); independent Python-reference parity
+    in tests/test_text_pipeline.py::test_bm25f_matches_python_reference."""
     docs = _read(spark, sf_dir, "documents")
     title = docs.select(
         "doc_id", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text")
@@ -2538,10 +2589,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "rep_signals",
     "hash_sample",
     "quota_sample",
+    # first-ever hash oracle this round (was rows-only since r02) — must
+    # get its first hash-green driver row
+    "search_bm25f",
     # code paths touched in round 6 (fuzzy term-dict distinct ordering;
-    # submit/merge crash ordering sits under crawl_bfs) plus the
-    # representative crawl/stats core — the rest carry r05 rows and the
-    # local DuckDB sweep covers every entry each pytest run
+    # submit/merge crash ordering sits under crawl_bfs; wide-aggregate
+    # simhash vote build) plus the representative crawl/stats core — the
+    # rest carry r05 rows and the local DuckDB sweep covers every entry
+    # each pytest run
+    "simhash_neardup_wide",
     "search_fuzzy",
     "dedup_anti_join",
     "host_budget",
@@ -2554,8 +2610,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "latest_heartbeat",
     "retry_cohort",
     "politeness_waves",
-    "type_dispatch_pivot",
-    "json_extract",
 ]
 
 

@@ -99,6 +99,8 @@ def test_driver_window_priority_names_all_registered():
         "ann_ivf_topk_fixed",
         "media_features",
         "media_summary",
+        "search_bm25f",
+        "simhash_neardup_wide",
         "search_fuzzy",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
