@@ -224,6 +224,36 @@ def test_png_codec_round_trip():
     )
     assert all(d["pixels"][y][x] == fn(x, y) for y in range(7) for x in range(9))
 
+    # RGBA (color type 6): hand-assembled since the encoder only writes
+    # type 2 — alpha must be dropped, filters still apply over bpp=4
+    import struct as _st
+    import zlib as _zl
+
+    w4, h4 = 3, 2
+    rows = []
+    prev = None
+    for y in range(h4):
+        raw = bytearray()
+        for x in range(w4):
+            b, g, r = fn(x, y)
+            raw += bytes((r & 255, g & 255, b & 255, (x * 7 + y) % 256))
+        raw = bytes(raw)
+        f = (y % 5)
+        rows.append(bytes((f,)) + multimodal._png_filter_row(f, raw, prev, bpp=4))
+        prev = raw
+    ihdr = _st.pack(">IIBBBBB", w4, h4, 8, 6, 0, 0, 0)
+    rgba = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zl.compress(b"".join(rows), 9))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    d = multimodal.decode_png(rgba)
+    assert (d["width"], d["height"]) == (w4, h4)
+    assert all(
+        d["pixels"][y][x] == fn(x, y) for y in range(h4) for x in range(w4)
+    )
+
     assert multimodal.decode_png(b"not a png at all") is None
     assert multimodal.decode_png(multimodal.make_png(4, 4, fn)[:30]) is None
     assert multimodal.decode_png(multimodal.make_bmp(4, 4, fn)) is None
