@@ -2,18 +2,24 @@
 with typed metadata.
 
 The Spark-side structure is real and tested — schemas, Arrow batch shape,
-``mapInPandas`` partition flow, partitioning. The IMAGE decode path is
-REAL for two formats: uncompressed 24-bit BMP (round 5, VERDICT r04
-next #4) and 8-bit RGB/RGBA PNG (round 6, VERDICT r05 next #2 — full
-chunk walk, zlib inflate, filter-type 0-4 row unfiltering, pure
-stdlib). The corpus synthesizer emits valid encoded bytes for image
-rows (alternating BMP/PNG), decode extracts true header dimensions and
-pixel-derived features, and resize does actual nearest-neighbor
-resampling back to a valid file of the same format. Formats this
-container genuinely cannot decode (JPEG/audio/video — no PIL/ffmpeg)
-fall back to the clearly-marked deterministic ``_fake_decode`` stub, so
-the pipeline stays verifiable end-to-end and a real deployment only
-swaps the fallback for PIL/soundfile/pyav.
+``mapInPandas`` partition flow, partitioning. Since round 6 EVERY
+synthesized media row decodes a REAL container format, all pure stdlib:
+
+* images — uncompressed 24-bit BMP (round 5) and 8-bit RGB/RGBA PNG
+  (full chunk walk, zlib inflate, filter-type 0-4 row unfiltering);
+* audio — RIFF/WAVE 16-bit PCM (chunk walk, fmt/data parse, real
+  sample extraction; features are PCM stats: RMS, zero crossings...);
+* video — RIFF/AVI with uncompressed bottom-up DIB frames (the
+  Video-for-Windows raw format; nested-LIST RIFF walk, dims from the
+  strf BITMAPINFOHEADER, true per-frame demux for frame sampling).
+
+Decode extracts true header metadata and payload-derived features,
+resize does real nearest-neighbor resampling (per-frame for AVI, sample
+resampling for WAV) re-encoded in the source format. Formats this
+container genuinely cannot decode (JPEG/MP3/MP4 — no PIL/ffmpeg) fall
+back to the clearly-marked deterministic ``_fake_decode`` stub, so
+arbitrary user data stays handled and a real deployment only swaps the
+fallback for PIL/soundfile/pyav.
 """
 
 from __future__ import annotations
@@ -318,6 +324,245 @@ def decode_image(payload: bytes):
     return None, None
 
 
+# ---- pure-stdlib WAV codec (RIFF/WAVE, 16-bit PCM) ------------------------
+
+WAV_HEADER_SIZE = 44  # RIFF(12) + fmt chunk(24) + data chunk header(8)
+
+
+def wav_encoded_size(n_samples: int, channels: int = 1) -> int:
+    """Exact byte size of a make_wav file: 44-byte canonical header +
+    2 bytes per sample per channel."""
+    return WAV_HEADER_SIZE + 2 * n_samples * channels
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode REAL 16-bit PCM mono WAV (canonical 44-byte RIFF/WAVE
+    layout, pure stdlib). ``samples`` are ints clamped to int16."""
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,          # PCM fmt chunk size
+        1,           # audio format: PCM
+        1,           # channels
+        sample_rate,
+        sample_rate * 2,  # byte rate
+        2,           # block align
+        16,          # bits per sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Parse a RIFF/WAVE 16-bit PCM file into {sample_rate, channels,
+    samples} (ints; interleaved if multichannel): real chunk walk —
+    fmt/data located by tag, unknown chunks skipped. Returns None for
+    anything that isn't 16-bit PCM WAVE."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if tag == b"fmt ":
+            if ln < 16:
+                return None
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "samples": samples,
+    }
+
+
+def _wav_feature(d: dict) -> list[float]:
+    """8-dim feature from decoded PCM: mean/min/max, RMS, zero
+    crossings, sample count, rate, duration ms — derived from REAL
+    decoded samples."""
+    import math
+
+    s = d["samples"] or [0]
+    n = len(s)
+    mean = sum(s) / n
+    rms = math.sqrt(sum(x * x for x in s) / n)
+    zc = sum(
+        1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0)
+    )
+    return [
+        float(mean),
+        float(min(s)),
+        float(max(s)),
+        float(rms),
+        float(zc),
+        float(n),
+        float(d["sample_rate"]),
+        float(1000.0 * n / (d["sample_rate"] * d["channels"])),
+    ]
+
+
+# ---- pure-stdlib AVI codec (RIFF/AVI, uncompressed bottom-up DIB) ---------
+
+
+def avi_frame_size(width: int, height: int) -> int:
+    """Bytes per uncompressed DIB frame (same padded-row layout BMP
+    uses)."""
+    return bmp_row_size(width) * height
+
+
+def avi_encoded_size(width: int, height: int, n_frames: int) -> int:
+    """Exact byte size of a make_avi file: RIFF hdr 12 + LIST hdrl
+    (12 + avih 8+56 + LIST strl (12 + strh 8+56 + strf 8+40)) + LIST
+    movi (12 + n x (8 + frame)) + idx1 (8 + 16n)."""
+    f = avi_frame_size(width, height)
+    return (
+        12
+        + (12 + 64 + (12 + 64 + 48))
+        + (12 + n_frames * (8 + f))
+        + (8 + 16 * n_frames)
+    )
+
+
+def make_avi(width: int, height: int, frame_fns: list) -> bytes:
+    """Encode a REAL uncompressed AVI (RIFF 'AVI ', video stream 'DIB '
+    i.e. bottom-up BGR frames — the same raw format Video-for-Windows
+    writes; pure stdlib). ``frame_fns`` is one pixel_fn(x, y) -> (b, g,
+    r) per frame, (0, 0) the visual top-left."""
+    row_size = bmp_row_size(width)
+    frames = []
+    for fn in frame_fns:
+        rows = []
+        for y in range(height - 1, -1, -1):  # DIB frames store bottom-up
+            row = bytearray()
+            for x in range(width):
+                b, g, r = fn(x, y)
+                row += bytes((b & 255, g & 255, r & 255))
+            row += b"\x00" * (row_size - 3 * width)
+            rows.append(bytes(row))
+        frames.append(b"".join(rows))
+    fsize = row_size * height
+    n = len(frames)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+    avih = struct.pack(
+        "<14I",
+        66666,            # microseconds per frame (15 fps)
+        fsize * 15,       # max bytes per second
+        0, 0x10,          # padding, flags (AVIF_HASINDEX)
+        n, 0, 1, fsize,   # total frames, initial frames, streams, buffer
+        width, height,
+        0, 0, 0, 0,       # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,
+        1, 15,            # scale / rate = 15 fps
+        0, n, fsize, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of the 'movi' tag
+    for f in frames:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f)
+    idx1 = chunk(b"idx1", bytes(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict | None:
+    """Parse an uncompressed-DIB AVI into {width, height, n_frames,
+    frames} — frames as row-major top-down (b, g, r) pixel grids (the
+    decode_bmp convention): real RIFF walk (nested LISTs), dims from the
+    strf BITMAPINFOHEADER, frame payloads from the movi '00db'/'00dc'
+    chunks. Returns None for anything that isn't one."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    width = height = None
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> bool:
+        nonlocal width, height
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + ln > end:
+                return False
+            if tag == b"LIST":
+                if not walk(body_start + 4, body_start + ln):
+                    return False
+            elif tag == b"strf" and ln >= 40:
+                _sz, w, h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+                if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                    return False
+                width, height = w, h
+            elif tag in (b"00db", b"00dc"):
+                raw_frames.append(payload[body_start : body_start + ln])
+            pos = body_start + ln + (ln & 1)
+        return True
+
+    if not walk(12, len(payload)) or width is None or not raw_frames:
+        return None
+    row_size = bmp_row_size(width)
+    if any(len(f) != row_size * height for f in raw_frames):
+        return None
+    frames = []
+    for raw in raw_frames:
+        px = []
+        for yy in range(height):
+            base = (height - 1 - yy) * row_size  # stored bottom-up
+            px.append(
+                [
+                    tuple(raw[base + 3 * x : base + 3 * x + 3])
+                    for x in range(width)
+                ]
+            )
+        frames.append(px)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+        "raw_frames": raw_frames,
+    }
+
+
 def _bmp_feature(pixels: list) -> list[float]:
     """8-dim feature from decoded pixels: per-channel means (b, g, r),
     global min/max/mean, pixel count, luma-ish mix — cheap, deterministic,
@@ -384,6 +629,41 @@ def synth_png(media_id: int) -> bytes:
     )
 
 
+def synth_wav_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) for one synthetic audio row (n_samples
+    mirrored in the SQL oracles via 44 + 2 x n_samples)."""
+    return 256 + (media_id % 7) * 64, 8000
+
+
+def synth_wav(media_id: int) -> bytes:
+    """Deterministic REAL 16-bit PCM WAV bytes for one audio row."""
+    n, rate = synth_wav_params(media_id)
+    return make_wav(
+        [((media_id * 31 + i * 17) % 2003) - 1001 for i in range(n)],
+        sample_rate=rate,
+    )
+
+
+def synth_avi_dims(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for one synthetic video row (mirrored
+    in the SQL oracles via avi_encoded_size)."""
+    return 4 + media_id % 4, 3 + media_id % 3, 2 + media_id % 3
+
+
+def synth_avi(media_id: int) -> bytes:
+    """Deterministic REAL uncompressed-DIB AVI bytes for one video row."""
+    w, h, nf = synth_avi_dims(media_id)
+
+    def frame_fn(f: int):
+        return lambda x, y: (
+            (media_id + f * 3 + 5 * x + 7 * y) % 256,
+            (media_id * 3 + f + 2 * x + y) % 256,
+            (media_id * 7 + f * 11 + x + 3 * y) % 256,
+        )
+
+    return make_avi(w, h, [frame_fn(f) for f in range(nf)])
+
+
 def synth_bmp(media_id: int) -> bytes:
     """Deterministic REAL BMP bytes for one synthetic image row."""
     w, h = synth_bmp_dims(media_id)
@@ -399,12 +679,12 @@ def synth_bmp(media_id: int) -> bytes:
 
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Build an opaque-binary media table from the documents table:
-    image rows carry REAL encoded bytes — alternating uncompressed BMP
-    (synth_bmp) and PNG (synth_png), so the decode path exercises two
-    actual formats — audio/video rows carry utf-8 text bytes
-    (deterministic stand-ins for formats the container can't decode);
-    kind round-robins image/audio/video."""
+    """Build an opaque-binary media table from the documents table —
+    EVERY row carries REAL encoded bytes in an actual container format
+    (round 6): image rows alternate uncompressed BMP (synth_bmp) and
+    PNG (synth_png), audio rows are 16-bit PCM WAV (synth_wav), video
+    rows are uncompressed-DIB AVI (synth_avi); kind round-robins
+    image/audio/video."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col(id_col) % 3 + 1).cast("int"),
@@ -418,14 +698,19 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            def synth(mid: int, kind: str, payload):
+                if kind == "image":
+                    return (
+                        synth_png(mid) if synth_is_png(mid) else synth_bmp(mid)
+                    )
+                if kind == "audio":
+                    return synth_wav(mid)
+                if kind == "video":
+                    return synth_avi(mid)
+                return payload
+
             pdf["payload"] = [
-                (
-                    synth_png(int(mid))
-                    if synth_is_png(int(mid))
-                    else synth_bmp(int(mid))
-                )
-                if kind == "image"
-                else payload
+                synth(int(mid), kind, payload)
                 for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]
                 )
@@ -437,9 +722,10 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(payload: bytes, media_id: int) -> dict:
     """STUB for formats this container can't decode (no PIL/soundfile/
-    pyav): deterministic fake metadata + an 8-dim feature derived from
-    the bytes. A real deployment replaces this fallback only — the BMP
-    path above is already a real decode."""
+    pyav — e.g. JPEG, MP3, MP4): deterministic fake metadata + an 8-dim
+    feature derived from the bytes. A real deployment replaces this
+    fallback only — BMP/PNG/WAV/AVI above are already real decodes, and
+    no synthesized row hits this path anymore."""
     n = len(payload)
     width = 32 * (1 + media_id % 16)
     height = 32 * (1 + (media_id // 16) % 16)
@@ -448,8 +734,10 @@ def _fake_decode(payload: bytes, media_id: int) -> dict:
 
 
 def _decode_one(payload: bytes, media_id: int) -> dict:
-    """REAL decode for BMP and PNG payloads (true header dims,
-    pixel-derived feature); _fake_decode fallback for everything else."""
+    """REAL decode for BMP/PNG (true header dims, pixel-derived
+    feature), WAV (width = sample count, height = channels, PCM-derived
+    feature), and AVI (true stream dims, first-frame pixel feature);
+    _fake_decode fallback for everything else."""
     d, _fmt = decode_image(payload)
     if d is not None:
         return {
@@ -457,6 +745,22 @@ def _decode_one(payload: bytes, media_id: int) -> dict:
             "width": d["width"],
             "height": d["height"],
             "feature": _bmp_feature(d["pixels"]),
+        }
+    w = decode_wav(payload)
+    if w is not None:
+        return {
+            "n_bytes": len(payload),
+            "width": len(w["samples"]) // w["channels"],
+            "height": w["channels"],
+            "feature": _wav_feature(w),
+        }
+    v = decode_avi(payload)
+    if v is not None:
+        return {
+            "n_bytes": len(payload),
+            "width": v["width"],
+            "height": v["height"],
+            "feature": _bmp_feature(v["frames"][0]),
         }
     return _fake_decode(payload, media_id)
 
@@ -514,12 +818,14 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """Resize: BMP and PNG payloads get a REAL nearest-neighbor resample
-    and come back as a valid file of the SAME format at the target
-    dimensions; formats the container can't decode keep the
+    """Resize: every REALLY-decoded format gets a REAL nearest-neighbor
+    resample re-encoded as a valid file of the SAME format — BMP/PNG to
+    the target pixel dimensions, each AVI frame likewise, WAV resampled
+    to target_w x target_h samples (the pixel budget, the audio analog
+    of a thumbnail). Formats the container can't decode keep the
     deterministic fake transform (payload truncated/tiled to the pixel
     budget). Same mapInPandas dataflow either way — a real deployment
-    swaps only the fallback for PIL.Image.resize."""
+    swaps only the fallback for PIL.Image.resize / soxr / pyav."""
 
     def run(batches):
         for pdf in batches:
@@ -527,6 +833,8 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 d, fmt = decode_image(raw)
+                wv = decode_wav(raw) if d is None else None
+                av = decode_avi(raw) if d is None and wv is None else None
                 if d is not None:
                     px, sw, sh = d["pixels"], d["width"], d["height"]
                     enc = make_png if fmt == "png" else make_bmp
@@ -534,6 +842,26 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                         target_w,
                         target_h,
                         lambda x, y: px[y * sh // target_h][x * sw // target_w],
+                    )
+                elif wv is not None:
+                    s = wv["samples"]
+                    budget = target_w * target_h
+                    resized = make_wav(
+                        [s[i * len(s) // budget] for i in range(budget)],
+                        sample_rate=wv["sample_rate"],
+                    )
+                elif av is not None:
+                    sw, sh = av["width"], av["height"]
+
+                    def frame_fn(px):
+                        return lambda x, y: px[y * sh // target_h][
+                            x * sw // target_w
+                        ]
+
+                    resized = make_avi(
+                        target_w,
+                        target_h,
+                        [frame_fn(px) for px in av["frames"]],
                     )
                 else:
                     budget = target_w * target_h
@@ -563,10 +891,12 @@ FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, frame_size: int = 32, every_k: int = 4) -> DataFrame:
-    """STUB frame sampling for video payloads: the payload is treated as a
-    concatenation of fixed-size frames; every k-th frame is emitted as a
-    row (one-to-many mapInPandas — the UDTF shape a real pyav frame
-    sampler would use)."""
+    """Frame sampling for video payloads (one-to-many mapInPandas — the
+    UDTF shape): AVI payloads are REALLY demuxed — every k-th '00db'
+    DIB frame is emitted with its true byte length and the md5 of its
+    actual frame buffer. Non-AVI payloads keep the labeled stub
+    (fixed-size chunking), which a real deployment replaces with pyav;
+    ``frame_size`` only applies to that fallback."""
     import hashlib
 
     def run(batches):
@@ -576,6 +906,19 @@ def sample_frames(media: DataFrame, frame_size: int = 32, every_k: int = 4) -> D
                 if kind != "video" or payload is None:
                     continue
                 raw = bytes(payload)
+                av = decode_avi(raw)
+                if av is not None:
+                    for i in range(0, av["n_frames"], every_k):
+                        frame = av["raw_frames"][i]
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_idx": i,
+                                "frame_bytes": len(frame),
+                                "frame_md5": hashlib.md5(frame).hexdigest(),
+                            }
+                        )
+                    continue
                 n_frames = max(len(raw) // frame_size, 1)
                 for i in range(0, n_frames, every_k):
                     chunk = raw[i * frame_size : (i + 1) * frame_size]

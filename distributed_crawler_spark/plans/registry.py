@@ -1208,13 +1208,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT doc_id,
          doc_id % 3 = 0 AS is_image,
+         doc_id % 3 = 1 AS is_audio,
          (doc_id // 3) % 2 = 1 AS is_png,
-         strlen(text) AS text_len,
          4 + doc_id % 5 AS bw, 3 + doc_id % 4 AS bh,
-         4 + doc_id % 6 AS pw, 3 + doc_id % 5 AS ph
+         4 + doc_id % 6 AS pw, 3 + doc_id % 5 AS ph,
+         256 + (doc_id % 7) * 64 AS wn,
+         4 + doc_id % 4 AS vw, 3 + doc_id % 3 AS vh, 2 + doc_id % 3 AS vf
   FROM documents
 ), s AS (
-  SELECT *, ph * (1 + 3 * pw) AS pn FROM m
+  SELECT *, ph * (1 + 3 * pw) AS pn,
+         ((3 * vw + 3) // 4 * 4) * vh AS vfsize
+  FROM m
 )
 SELECT doc_id AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1222,26 +1226,30 @@ SELECT doc_id AS media_id,
             THEN 63 + pn + 5 * greatest((pn + 65534) // 65535, 1)
             WHEN is_image
             THEN 54 + ((3 * bw + 3) // 4 * 4) * bh
-            ELSE text_len END::BIGINT AS n_bytes,
+            WHEN is_audio THEN 44 + 2 * wn
+            ELSE 232 + vf * (24 + vfsize) END::BIGINT AS n_bytes,
        CASE WHEN is_image AND is_png THEN pw
             WHEN is_image THEN bw
-            ELSE 32 * (1 + doc_id % 16) END::BIGINT AS width,
+            WHEN is_audio THEN wn
+            ELSE vw END::BIGINT AS width,
        CASE WHEN is_image AND is_png THEN ph
             WHEN is_image THEN bh
-            ELSE 32 * (1 + (doc_id // 16) % 16) END::BIGINT AS height
+            WHEN is_audio THEN 1
+            ELSE vh END::BIGINT AS height
 FROM s
 """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary media decode (mapInPandas). Image rows carry REAL
-    encoded bytes — alternating uncompressed BMP and stored-block PNG —
-    and are decoded for real: width/height come from parsing the actual
-    headers, n_bytes is the true encoded size, which the oracle
-    re-derives arithmetically from the synthesizer's deterministic
-    dimensions (BMP: 54 + padded-row x height; PNG: signature + chunk
-    framing + filter-byte scanlines in stored zlib blocks =
-    png_encoded_size). Audio/video rows hit the labeled fallback stub
-    (no decoders in the container)."""
+    """Opaque-binary media decode (mapInPandas). EVERY row carries REAL
+    encoded bytes in an actual container format and is decoded for
+    real: images alternate uncompressed BMP and stored-block PNG
+    (width/height from parsing the actual headers), audio is 16-bit PCM
+    WAV (width = decoded sample count, height = channels), video is
+    uncompressed-DIB AVI (dims from the strf BITMAPINFOHEADER). The
+    oracle re-derives every true encoded size arithmetically from the
+    synthesizer's deterministic parameters (BMP: 54 + padded-row x
+    height; PNG: png_encoded_size; WAV: 44 + 2 x samples; AVI: 232 +
+    frames x (24 + padded-frame) = avi_encoded_size)."""
     from ..operators import multimodal
 
     media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
@@ -1261,11 +1269,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT doc_id,
          doc_id % 3 = 0 AS is_image,
+         doc_id % 3 = 1 AS is_audio,
          (doc_id // 3) % 2 = 1 AS is_png,
-         strlen(text) AS text_len,
          4 + doc_id % 5 AS bw, 3 + doc_id % 4 AS bh,
          4 + doc_id % 6 AS pw,
-         (3 + doc_id % 5) * (1 + 3 * (4 + doc_id % 6)) AS pn
+         (3 + doc_id % 5) * (1 + 3 * (4 + doc_id % 6)) AS pn,
+         256 + (doc_id % 7) * 64 AS wn,
+         4 + doc_id % 4 AS vw, 3 + doc_id % 3 AS vh, 2 + doc_id % 3 AS vf
   FROM documents
 ), f AS (
   SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1273,10 +1283,12 @@ WITH m AS (
               THEN 63 + pn + 5 * greatest((pn + 65534) // 65535, 1)
               WHEN is_image
               THEN 54 + ((3 * bw + 3) // 4 * 4) * bh
-              ELSE text_len END AS n_bytes,
+              WHEN is_audio THEN 44 + 2 * wn
+              ELSE 232 + vf * (24 + ((3 * vw + 3) // 4 * 4) * vh) END AS n_bytes,
          CASE WHEN is_image AND is_png THEN pw
               WHEN is_image THEN bw
-              ELSE 32 * (1 + doc_id % 16) END AS width
+              WHEN is_audio THEN wn
+              ELSE vw END AS width
   FROM m
 )
 SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS total_bytes,

@@ -152,7 +152,21 @@ def test_multimodal_plumbing(spark, sf_dir):
             assert (r["width"], r["height"]) == (w, h)
             assert r["feature"][6] == float(w * h)  # n_pixels dim
             assert all(0.0 <= v <= 255.0 for v in r["feature"][:6])
-    assert fmts == {"bmp", "png"}  # both real formats exercised
+        elif r["kind"] == "audio":
+            # audio rows are REAL 16-bit PCM WAV: width = decoded sample
+            # count, height = channels, n_bytes = true encoded size
+            n, rate = multimodal.synth_wav_params(r["media_id"])
+            assert (r["width"], r["height"]) == (n, 1)
+            assert r["n_bytes"] == multimodal.wav_encoded_size(n)
+            assert r["feature"][5] == float(n)  # sample-count dim
+            assert r["feature"][6] == float(rate)  # rate dim
+        else:
+            # video rows are REAL uncompressed-DIB AVI: dims from the
+            # strf header, n_bytes = true RIFF container size
+            w, h, nf = multimodal.synth_avi_dims(r["media_id"])
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_bytes"] == multimodal.avi_encoded_size(w, h, nf)
+    assert fmts == {"bmp", "png"}  # both real image formats exercised
 
 
 def test_bmp_codec_round_trip_and_resize():
@@ -266,6 +280,67 @@ def test_png_codec_round_trip():
     assert d is None and fmt is None
 
 
+def test_wav_codec_round_trip():
+    """Pure-python RIFF/WAVE codec: encode -> decode is sample-exact,
+    sizes match the arithmetic the oracles use, the chunk walk skips
+    unknown chunks, and non-PCM/non-WAV bytes are rejected."""
+    from distributed_crawler_spark.operators import multimodal
+    import struct
+
+    samples = [((i * 37) % 999) - 499 for i in range(300)]
+    raw = multimodal.make_wav(samples, sample_rate=8000)
+    assert len(raw) == multimodal.wav_encoded_size(300)
+    d = multimodal.decode_wav(raw)
+    assert d == {"sample_rate": 8000, "channels": 1, "samples": samples}
+
+    # clamping to int16
+    d = multimodal.decode_wav(multimodal.make_wav([99999, -99999]))
+    assert d["samples"] == [32767, -32768]
+
+    # unknown chunk between fmt and data is skipped (real chunk walk)
+    fmt_end = 12 + 8 + 16
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde\x00"  # word-aligned
+    patched = raw[:fmt_end] + junk + raw[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert multimodal.decode_wav(patched)["samples"] == samples
+
+    assert multimodal.decode_wav(b"not a wav") is None
+    assert multimodal.decode_wav(raw[:20]) is None  # truncated data chunk
+    # 8-bit PCM rejected (bits != 16)
+    bad = bytearray(raw)
+    bad[34] = 8
+    assert multimodal.decode_wav(bytes(bad)) is None
+
+
+def test_avi_codec_round_trip():
+    """Pure-python RIFF/AVI codec (uncompressed bottom-up DIB frames):
+    encode -> decode is pixel-exact per frame, sizes match
+    avi_encoded_size, and non-AVI / compressed streams are rejected."""
+    from distributed_crawler_spark.operators import multimodal
+
+    def frame_fn(f):
+        return lambda x, y: ((f + 5 * x) % 256, (f * 2 + y) % 256, (x + 3 * y) % 256)
+
+    raw = multimodal.make_avi(5, 4, [frame_fn(0), frame_fn(1), frame_fn(2)])
+    assert len(raw) == multimodal.avi_encoded_size(5, 4, 3)
+    d = multimodal.decode_avi(raw)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, 3)
+    for f in range(3):
+        fn = frame_fn(f)
+        assert all(
+            d["frames"][f][y][x] == fn(x, y) for y in range(4) for x in range(5)
+        )
+        assert len(d["raw_frames"][f]) == multimodal.avi_frame_size(5, 4)
+
+    assert multimodal.decode_avi(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert multimodal.decode_avi(raw[:40]) is None
+    assert multimodal.decode_avi(multimodal.make_bmp(4, 4, frame_fn(0))) is None
+    # WAV and AVI don't cross-decode
+    wav = multimodal.make_wav([1, 2, 3])
+    assert multimodal.decode_avi(wav) is None
+    assert multimodal.decode_wav(raw) is None
+
+
 def test_stateful_session_stream(spark):
     import datetime as dt
 
@@ -312,17 +387,25 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
 
     resized = multimodal.resize_media(media, 16, 16).collect()
     assert len(resized) == 60
-    # image rows come back as REAL 16x16 files in their ORIGINAL format
-    # (BMP rows as BMP, PNG rows as PNG); non-decodable kinds keep the
-    # fake pixel-budget payload
+    # every row comes back as a REAL re-encoded file in its ORIGINAL
+    # format: images as 16x16 BMP/PNG, audio as a 256-sample WAV (the
+    # pixel budget), video as a 16x16 AVI with the same frame count
     for r in resized:
+        raw = bytes(r["payload"])
         if r["kind"] == "image":
-            d, fmt = multimodal.decode_image(bytes(r["payload"]))
+            d, fmt = multimodal.decode_image(raw)
             assert d is not None and (d["width"], d["height"]) == (16, 16)
             want = "png" if multimodal.synth_is_png(r["media_id"]) else "bmp"
             assert fmt == want
+        elif r["kind"] == "audio":
+            w = multimodal.decode_wav(raw)
+            assert w is not None and len(w["samples"]) == 256
+            assert w["sample_rate"] == 8000  # rate preserved
         else:
-            assert len(r["payload"]) == 256
+            v = multimodal.decode_avi(raw)
+            assert v is not None and (v["width"], v["height"]) == (16, 16)
+            _, _, nf = multimodal.synth_avi_dims(r["media_id"])
+            assert v["n_frames"] == nf  # every frame resized, none dropped
     assert all(r["width"] == 16 and r["height"] == 16 for r in resized)
 
     frames = multimodal.sample_frames(media, frame_size=32, every_k=4)
@@ -335,6 +418,23 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(idx == sorted(idx) and all(i % 4 == 0 for i in idx) for idx in by_media.values())
+
+    # AVI payloads are REALLY demuxed: at every_k=2 each video row emits
+    # exactly ceil(n_frames/2) frames, each the true DIB frame buffer
+    import hashlib
+
+    dense = multimodal.sample_frames(media, every_k=2).collect()
+    by_media = {}
+    for r in dense:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rws in by_media.items():
+        w, h, nf = multimodal.synth_avi_dims(mid)
+        assert sorted(r["frame_idx"] for r in rws) == list(range(0, nf, 2))
+        av = multimodal.decode_avi(multimodal.synth_avi(mid))
+        for r in rws:
+            assert r["frame_bytes"] == multimodal.avi_frame_size(w, h)
+            want = hashlib.md5(av["raw_frames"][r["frame_idx"]]).hexdigest()
+            assert r["frame_md5"] == want
 
 
 def test_search_cache_ttl_and_eviction():
