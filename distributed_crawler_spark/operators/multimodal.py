@@ -7,6 +7,10 @@ synthesized media row decodes a REAL container format, all pure stdlib:
 
 * images — uncompressed 24-bit BMP (round 5) and 8-bit RGB/RGBA PNG
   (full chunk walk, zlib inflate, filter-type 0-4 row unfiltering);
+  baseline JFIF JPEG additionally decodes/re-encodes for arbitrary
+  user payloads (operators/jpeg.py: Annex-K tables, canonical Huffman,
+  separable IDCT, restart markers) but is NOT synthesized — lossy
+  Huffman sizes aren't oracle-derivable arithmetically;
 * audio — RIFF/WAVE 16-bit PCM (chunk walk, fmt/data parse, real
   sample extraction; features are PCM stats: RMS, zero crossings...);
 * video — RIFF/AVI with uncompressed bottom-up DIB frames (the
@@ -16,7 +20,8 @@ synthesized media row decodes a REAL container format, all pure stdlib:
 Decode extracts true header metadata and payload-derived features,
 resize does real nearest-neighbor resampling (per-frame for AVI, sample
 resampling for WAV) re-encoded in the source format. Formats this
-container genuinely cannot decode (JPEG/MP3/MP4 — no PIL/ffmpeg) fall
+container genuinely cannot decode (progressive/subsampled JPEG,
+MP3/MP4 — no PIL/ffmpeg) fall
 back to the clearly-marked deterministic ``_fake_decode`` stub, so
 arbitrary user data stays handled and a real deployment only swaps the
 fallback for PIL/soundfile/pyav.
@@ -314,13 +319,18 @@ def decode_png(payload: bytes) -> dict | None:
 
 def decode_image(payload: bytes):
     """(decoded dict, format) for any format this module really decodes
-    — BMP then PNG — or (None, None)."""
+    — BMP, PNG, then baseline JPEG — or (None, None)."""
     d = decode_bmp(payload)
     if d is not None:
         return d, "bmp"
     d = decode_png(payload)
     if d is not None:
         return d, "png"
+    from .jpeg import decode_jpeg
+
+    d = decode_jpeg(payload)
+    if d is not None:
+        return d, "jpeg"
     return None, None
 
 
@@ -722,7 +732,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(payload: bytes, media_id: int) -> dict:
     """STUB for formats this container can't decode (no PIL/soundfile/
-    pyav — e.g. JPEG, MP3, MP4): deterministic fake metadata + an 8-dim
+    pyav — e.g. progressive/subsampled JPEG, MP3, MP4): deterministic fake metadata + an 8-dim
     feature derived from the bytes. A real deployment replaces this
     fallback only — BMP/PNG/WAV/AVI above are already real decodes, and
     no synthesized row hits this path anymore."""
@@ -734,8 +744,8 @@ def _fake_decode(payload: bytes, media_id: int) -> dict:
 
 
 def _decode_one(payload: bytes, media_id: int) -> dict:
-    """REAL decode for BMP/PNG (true header dims, pixel-derived
-    feature), WAV (width = sample count, height = channels, PCM-derived
+    """REAL decode for BMP/PNG/baseline-JPEG (true header dims,
+    pixel-derived feature), WAV (width = sample count, height = channels, PCM-derived
     feature), and AVI (true stream dims, first-frame pixel feature);
     _fake_decode fallback for everything else."""
     d, _fmt = decode_image(payload)
@@ -819,7 +829,8 @@ RESIZED_SCHEMA = StructType(
 
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Resize: every REALLY-decoded format gets a REAL nearest-neighbor
-    resample re-encoded as a valid file of the SAME format — BMP/PNG to
+    resample re-encoded as a valid file of the SAME format — BMP/PNG/
+    baseline-JPEG to
     the target pixel dimensions, each AVI frame likewise, WAV resampled
     to target_w x target_h samples (the pixel budget, the audio analog
     of a thumbnail). Formats the container can't decode keep the
@@ -837,7 +848,16 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 av = decode_avi(raw) if d is None and wv is None else None
                 if d is not None:
                     px, sw, sh = d["pixels"], d["width"], d["height"]
-                    enc = make_png if fmt == "png" else make_bmp
+                    if fmt == "png":
+                        enc = make_png
+                    elif fmt == "jpeg":
+                        from .jpeg import make_jpeg
+
+                        def enc(w, h, fn):
+                            return make_jpeg(w, h, fn, quality=90)
+
+                    else:
+                        enc = make_bmp
                     resized = enc(
                         target_w,
                         target_h,

@@ -341,6 +341,75 @@ def test_avi_codec_round_trip():
     assert multimodal.decode_wav(raw) is None
 
 
+def test_jpeg_codec_round_trip():
+    """Pure-python baseline JFIF JPEG codec (operators/jpeg.py):
+    flat-color blocks survive exactly, smooth gradients within
+    quantization error, restart-marker streams (DRI + RSTn, byte-aligned
+    DC-predictor resets) decode identically to unsegmented ones,
+    grayscale works, and garbage / truncation / progressive SOF2 /
+    other formats are rejected. JPEG is lossy so — unlike BMP/PNG —
+    sizes are Huffman-content-dependent and the synthetic media table
+    never uses it; decode_image still dispatches it for user payloads."""
+    from distributed_crawler_spark.operators import multimodal
+    from distributed_crawler_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    flat = lambda x, y: (40, 90, 200)  # noqa: E731
+    grad = lambda x, y: (x * 3 % 256, y * 5 % 256, (x + y) % 256)  # noqa: E731
+
+    # flat color: DC-only blocks, bit-exact after YCbCr round trip
+    d = decode_jpeg(make_jpeg(24, 16, flat, quality=90))
+    assert (d["width"], d["height"]) == (24, 16)
+    assert all(px == flat(0, 0) for row in d["pixels"] for px in row)
+
+    # smooth gradient: within quantization error at q90, incl. non-8
+    # multiple dims (edge-replicated partial MCUs)
+    for w, h, ri in ((40, 24, 0), (16, 8, 1), (40, 24, 2), (17, 9, 3)):
+        raw = make_jpeg(w, h, grad, quality=90, restart_interval=ri)
+        if ri:
+            assert b"\xff\xdd" in raw  # DRI segment present
+            assert any(bytes((0xFF, 0xD0 + i)) in raw for i in range(8))
+        d = decode_jpeg(raw)
+        assert (d["width"], d["height"]) == (w, h), (w, h, ri)
+        err = max(
+            abs(d["pixels"][y][x][c] - grad(x, y)[c])
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert err <= 4, (w, h, ri, err)
+
+    # restart segmentation must not change the decoded image
+    a = decode_jpeg(make_jpeg(40, 24, grad, quality=90))
+    b = decode_jpeg(make_jpeg(40, 24, grad, quality=90, restart_interval=2))
+    assert a["pixels"] == b["pixels"]
+
+    # lower quality -> smaller file (quant tables really scale)
+    assert len(make_jpeg(40, 24, grad, quality=30)) < len(
+        make_jpeg(40, 24, grad, quality=90)
+    )
+
+    # grayscale single-component scan
+    d = decode_jpeg(make_jpeg(9, 6, lambda x, y: (x * 11 + y * 7) % 256, gray=True))
+    assert (d["width"], d["height"]) == (9, 6)
+    assert all(px[0] == px[1] == px[2] for row in d["pixels"] for px in row)
+
+    # rejection: garbage, truncation, progressive (SOF2), cross-format
+    raw = make_jpeg(16, 8, grad)
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(raw[:40]) is None
+    prog = bytearray(raw)
+    prog[raw.find(b"\xff\xc0") + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    assert decode_jpeg(multimodal.make_bmp(4, 4, grad)) is None
+    assert decode_jpeg(multimodal.make_png(4, 4, grad)) is None
+    assert multimodal.decode_bmp(raw) is None
+    assert multimodal.decode_png(raw) is None
+
+    # decode_image dispatch picks it up for user payloads
+    d, fmt = multimodal.decode_image(raw)
+    assert fmt == "jpeg" and (d["width"], d["height"]) == (16, 8)
+
+
 def test_stateful_session_stream(spark):
     import datetime as dt
 
@@ -435,6 +504,18 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
             assert r["frame_bytes"] == multimodal.avi_frame_size(w, h)
             want = hashlib.md5(av["raw_frames"][r["frame_idx"]]).hexdigest()
             assert r["frame_md5"] == want
+
+    # a user-supplied JPEG payload resizes through the same path and
+    # comes back re-encoded as a decodable 16x16 JPEG
+    from distributed_crawler_spark.operators.jpeg import make_jpeg
+
+    jpg = make_jpeg(40, 24, lambda x, y: (x * 3 % 256, y * 5 % 256, (x + y) % 256))
+    user = spark.createDataFrame(
+        [(999, "image", bytearray(jpg))], schema="media_id long, kind string, payload binary"
+    )
+    (row,) = multimodal.resize_media(user, 16, 16).collect()
+    d, fmt = multimodal.decode_image(bytes(row["payload"]))
+    assert fmt == "jpeg" and (d["width"], d["height"]) == (16, 16)
 
 
 def test_search_cache_ttl_and_eviction():
