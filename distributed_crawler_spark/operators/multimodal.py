@@ -827,6 +827,80 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_format", StringType()),
+        StructField("dst_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("src_bytes", LongType()),
+        StructField("dst_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+_TRANSCODE_ENC = {
+    "bmp": make_bmp,
+    "png": make_png,  # stored-block default: size == png_encoded_size
+}
+
+
+def transcode_images(media: DataFrame, target: str | None = None) -> DataFrame:
+    """Lossless image transcode (mapInPandas): decode each payload with
+    the real codecs and re-encode the SAME pixel grid in another real
+    format — ``target`` names it ('bmp'/'png'), or None flips each row
+    to the OTHER format (bmp<->png; a jpeg source goes to png). Rows
+    whose payload doesn't decode as an image are dropped (use
+    decode_features to observe them). Because both encoders are
+    deterministic and uncompressed/stored-block, the output byte size
+    is an arithmetic function of the decoded dimensions — which is what
+    lets the media_transcode SQL oracle re-derive src AND dst sizes
+    without touching any bytes."""
+    if target is not None and target not in _TRANSCODE_ENC:
+        raise ValueError(f"unsupported transcode target: {target!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                d, fmt = decode_image(raw)
+                if d is None:
+                    continue
+                dst = target or ("png" if fmt != "png" else "bmp")
+                px, w, h = d["pixels"], d["width"], d["height"]
+                out = _TRANSCODE_ENC[dst](w, h, lambda x, y: px[y][x])
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "src_format": fmt,
+                        "dst_format": dst,
+                        "width": w,
+                        "height": h,
+                        "src_bytes": len(raw),
+                        "dst_bytes": len(out),
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "src_format",
+                    "dst_format",
+                    "width",
+                    "height",
+                    "src_bytes",
+                    "dst_bytes",
+                    "payload",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=TRANSCODE_SCHEMA)
+
+
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Resize: every REALLY-decoded format gets a REAL nearest-neighbor
     resample re-encoded as a valid file of the SAME format — BMP/PNG/

@@ -1302,6 +1302,67 @@ def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(_read(spark, sf_dir, "documents"))
     return multimodal.media_summary(multimodal.decode_features(media))
 
+
+@q(
+    "media_transcode",
+    """
+WITH img AS (
+  SELECT doc_id,
+         (doc_id // 3) % 2 = 1 AS is_png,
+         4 + doc_id % 5 AS bw, 3 + doc_id % 4 AS bh,
+         4 + doc_id % 6 AS pw, 3 + doc_id % 5 AS ph
+  FROM documents
+  WHERE doc_id % 3 = 0
+), d AS (
+  SELECT doc_id,
+         is_png,
+         CASE WHEN is_png THEN pw ELSE bw END AS w,
+         CASE WHEN is_png THEN ph ELSE bh END AS h
+  FROM img
+), sz AS (
+  SELECT doc_id, is_png, w, h,
+         54 + ((3 * w + 3) // 4 * 4) * h AS bmp_sz,
+         63 + h * (1 + 3 * w)
+            + 5 * greatest((h * (1 + 3 * w) + 65534) // 65535, 1) AS png_sz
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CASE WHEN is_png THEN 'png' ELSE 'bmp' END AS src_format,
+       CASE WHEN is_png THEN 'bmp' ELSE 'png' END AS dst_format,
+       w::BIGINT AS width,
+       h::BIGINT AS height,
+       (CASE WHEN is_png THEN png_sz ELSE bmp_sz END)::BIGINT AS src_bytes,
+       (CASE WHEN is_png THEN bmp_sz ELSE png_sz END)::BIGINT AS dst_bytes
+FROM sz
+""",
+)
+def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless distributed transcode through the REAL codecs: every
+    synthetic image row (BMP or stored-block PNG) is decoded
+    (mapInPandas, Arrow-batched) and its pixel grid re-encoded in the
+    OTHER format. Both encoders are deterministic and
+    uncompressed/stored-block, so the oracle re-derives the source AND
+    destination byte sizes purely arithmetically from the synthesizer's
+    dimension formulas — src/dst format, dims, and both sizes all
+    hash-checked without DuckDB ever seeing a byte of the payloads
+    (reference scope: src/crawler/worker.py stores fetched media bytes
+    opaquely; this engine round-trips them through real containers)."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(
+        _read(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image")
+    out = multimodal.transcode_images(media)
+    return out.select(
+        "media_id",
+        "src_format",
+        "dst_format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "src_bytes",
+        "dst_bytes",
+    )
+
 # =========================================================================
 # Remaining §2 coverage: freshness boost, set ops, dispatch, validation,
 # time-range predicates, approximate telemetry, HTML-path round
@@ -2566,6 +2627,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_topk_fixed",
     "media_features",
     "media_summary",
+    "media_transcode",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries are the registered-without-oracle

@@ -99,6 +99,7 @@ def test_driver_window_priority_names_all_registered():
         "ann_ivf_topk_fixed",
         "media_features",
         "media_summary",
+        "media_transcode",
         "search_bm25f",
         "simhash_neardup_wide",
         "search_fuzzy",

@@ -517,6 +517,27 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     d, fmt = multimodal.decode_image(bytes(row["payload"]))
     assert fmt == "jpeg" and (d["width"], d["height"]) == (16, 16)
 
+    # transcode: image rows flip format losslessly (same pixel grid),
+    # non-image rows are dropped, a JPEG source lands on PNG
+    imgs = media.filter(F.col("kind") == "image")
+    trans = {r["media_id"]: r for r in multimodal.transcode_images(media).collect()}
+    assert set(trans) == {r["media_id"] for r in imgs.collect()}
+    for mid, r in trans.items():
+        want_src = "png" if multimodal.synth_is_png(mid) else "bmp"
+        assert (r["src_format"], r["dst_format"]) == (
+            want_src,
+            "bmp" if want_src == "png" else "png",
+        )
+        src = multimodal.synth_png(mid) if want_src == "png" else multimodal.synth_bmp(mid)
+        orig, _ = multimodal.decode_image(src)
+        out, out_fmt = multimodal.decode_image(bytes(r["payload"]))
+        assert out_fmt == r["dst_format"]
+        assert out["pixels"] == orig["pixels"], mid  # lossless
+        assert r["dst_bytes"] == len(bytes(r["payload"]))
+    (jrow,) = multimodal.transcode_images(user).collect()
+    assert (jrow["src_format"], jrow["dst_format"]) == ("jpeg", "png")
+    assert multimodal.decode_png(bytes(jrow["payload"])) is not None
+
 
 def test_search_cache_ttl_and_eviction():
     from distributed_crawler_spark.operators.search import SearchCache
