@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import (
+    HOST_MOD,
+    LINK_COEFFS,
+    MEGA_LT,
+    MEGA_MOD,
     model_links_df,
     model_pages_df,
     model_robots_df,
@@ -109,6 +113,70 @@ sched0 AS (
                       WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
   ) c WHERE c.rn <= {budget}
 )"""
+
+
+def html_round0_sql(budget: int = 100) -> str:
+    """crawl_html_round0's next_pending as DuckDB SQL — an INDEPENDENT
+    re-derivation from the corpus GENERATOR's formulas, not from the
+    HTML. html_pages_df embeds exactly three scheme-valid links per page
+    (corpus.py): absolute to target t1 = (2d+1) % n, a RELATIVE path to
+    t2 = (3d+7) % n that resolves against the PARENT page's host
+    (dangling when host(t2) != host(d) — which is why candidates here
+    derive host/path from the URL string, never by joining pages), and
+    t3 = (5d+13) % n carrying a #fragment the parser must strip;
+    javascript:/mailto: links must be dropped. If the Arrow parse UDF
+    missed a link, mis-resolved the relative, kept the fragment, or the
+    scheduler mis-gated dedup/robots/budget, this hash check fails —
+    the 'HTML parsing is not SQL-expressible' limitation only means the
+    oracle cannot parse ARBITRARY html, not that the round's output is
+    unpredictable."""
+    model = model_sql_ctes().strip().rstrip(",")
+    a1, b1 = LINK_COEFFS[0]
+    a2, b2 = LINK_COEFFS[1]
+    a3, b3 = LINK_COEFFS[2]
+
+    def url_of(t: str) -> str:
+        return (
+            f"'https://h' || (CASE WHEN {t} % {MEGA_MOD} < {MEGA_LT} THEN 0 "
+            f"ELSE {t} % {HOST_MOD} END) || '.example.com/p/' || ({t})"
+        )
+
+    return f"""WITH {model},
+sched0 AS (
+  SELECT c.url, c.host, c.host_id, c.doc_id FROM (
+    SELECT p.url, p.host, p.host_id, p.doc_id,
+           row_number() OVER (PARTITION BY p.host ORDER BY p.url) AS rn
+    FROM seeds s JOIN pages p USING (url)
+    WHERE NOT EXISTS (SELECT 1 FROM robots r
+                      WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
+  ) c WHERE c.rn <= {budget}
+),
+hlinks AS (
+  SELECT l.dst AS url
+  FROM sched0 s, nn,
+  LATERAL (SELECT unnest([
+    {url_of(f'({a1}*s.doc_id+{b1}) % nn.n')},
+    'https://h' || s.host_id || '.example.com/p/' || (({a2}*s.doc_id+{b2}) % nn.n),
+    {url_of(f'({a3}*s.doc_id+{b3}) % nn.n')}
+  ]) AS dst) l
+),
+cand AS (
+  SELECT c.url,
+         regexp_extract(c.url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_replace(c.url, '^[a-z]+://[^/]*', '') AS path
+  FROM (SELECT DISTINCT url FROM hlinks) c
+  WHERE NOT EXISTS (SELECT 1 FROM sched0 x WHERE x.url = c.url)
+),
+fresh AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+  FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM robots r
+                    WHERE r.host = cand.host AND starts_with(cand.path, r.path_prefix))
+)
+SELECT url, host, 1 AS depth, 0 AS retry_count
+FROM fresh WHERE rn <= {budget}
+"""
 
 
 def bfs_sql(max_depth: int = 2, budget: int = 100) -> str:

@@ -22,7 +22,13 @@ from ..functions.hashing import phash, phash_sql
 from ..functions.urls import get_domain, normalize_url
 from ..operators import dedup, search, similarity, stats, textstats
 from ..operators.politeness import host_budget_filter, robots_filter
-from .model_crawl import bfs_sql, model_bfs, model_retry, retry_sql
+from .model_crawl import (
+    bfs_sql,
+    html_round0_sql,
+    model_bfs,
+    model_retry,
+    retry_sql,
+)
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -1536,13 +1542,18 @@ def q_approx_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("crawl_html_round0", None)
+@q("crawl_html_round0", html_round0_sql(budget=100))
 def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 0 of the real HTML-corpus crawl (fetch join → Arrow parse
     UDF → link discovery → dedup → robots → budget): the full
-    operators/frontier.py path driven end-to-end. HTML parsing is not
-    SQL-expressible → rows-only driver check; byte-parity and
-    order-parity are pytest-verified (tests/test_crawl_parity.py)."""
+    operators/frontier.py path driven end-to-end. The oracle cannot
+    parse HTML, but it doesn't need to: the corpus GENERATOR's link
+    formulas are arithmetic, so html_round0_sql re-derives the expected
+    next_pending independently (absolute t1, parent-host-resolved
+    relative t2 incl. dangling urls, fragment-stripped t3, js/mailto
+    dropped) — a full hash check over the parse→extract→normalize→
+    dedup→robots→budget pipeline. Byte-parity and order-parity remain
+    pytest-verified (tests/test_crawl_parity.py)."""
     import tempfile
 
     from ..config import CrawlConfig
