@@ -372,3 +372,133 @@ def ivf_search_pruned(
     probe = ranked[:n_probe]
     lists = spark.read.parquet(index_dir).filter(F.col("centroid").isin(probe))
     return brute_force_topk(lists, query_vec, id_col, vec_col, k)
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Deterministic Lloyd's k-means — the ORACLE-PORTABLE coarse
+    quantizer beside the MLlib path (ivf_index). "K-means is iterative
+    (not SQL-expressible)" held from r02-r05 only because MLlib's
+    k-means|| init and unbounded convergence aren't mirrorable; a fixed
+    Lloyd unrolling is (plans side: ivf_kmeans_sql — one CTE block per
+    iteration). Three choices make both engines agree bit-for-bit:
+
+      * init = the k vectors with the smallest seeded portable hash of
+        their id (hash-order cid numbering) — no RNG;
+      * a FIXED iteration count (no data-dependent convergence test);
+      * each new centroid component is round(avg, 6) — the only
+        aggregation whose float summation order differs across engines
+        /partitionings, so the rounding is part of the ALGORITHM, not
+        the comparison (spark-graft perf memo: driver-side literal
+        centroids per round keep assignment a broadcast cross-join).
+
+    Scale: per iteration one broadcast assignment pass (map-side
+    combined argmax, see ivf_assign_fixed) + one (k x dim)-group mean;
+    the k x dim means collect to the driver (tiny) and feed the next
+    round as literals — the classic distributed-Lloyd shape."""
+    from ..functions.hashing import phash
+
+    init = (
+        vectors.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            phash(
+                F.concat(F.lit(f"km{seed}:"), F.col(id_col).cast("string"))
+            ).alias("hk"),
+        )
+        .orderBy("hk", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = ivf_assign_fixed(vectors, cents, id_col, vec_col)
+        means = (
+            vectors.join(assigned, id_col)
+            .select("centroid", F.posexplode(vec).alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid"], {})[r["pos"]] = r["v"]
+        cents = [
+            [by_cid[c][p] for p in range(len(cents[c]))]
+            if c in by_cid
+            else cents[c]
+            for c in range(k)
+        ]
+    return ivf_assign_fixed(vectors, cents, id_col, vec_col), cents
+
+
+def ivf_kmeans_sql(
+    k: int = 8, iters: int = 5, seed: int = 42, n_probe: int = 4, topk: int = 10
+) -> str:
+    """DuckDB mirror of kmeans_lloyd + ivf_search over the embeddings
+    view (query = vec_id 0, corpus = the rest): the fixed Lloyd
+    unrolling as one CTE block per iteration, then probe + re-rank."""
+    from ..functions.hashing import phash_sql
+
+    ph = phash_sql(f"'km{seed}:' || vec_id")
+    parts = [
+        f"""
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+       FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE vec_id = 0),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::INT AS cid, ve AS cv
+  FROM (SELECT vec_id, ve, {ph} AS hk FROM ev ORDER BY hk, vec_id LIMIT {k}))
+"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.ve, c.cv) DESC, c.cid
+           ) AS rn
+    FROM ev e, c{i - 1} c) WHERE rn = 1),
+x{i} AS (SELECT a.cid, unnest(generate_series(1, len(e.ve))) AS dpos, e.ve
+         FROM ev e JOIN a{i} a USING (vec_id)),
+m{i} AS (SELECT cid, dpos, round(avg(ve[dpos]), 6) AS v
+         FROM x{i} GROUP BY cid, dpos),
+g{i} AS (SELECT cid, list(v ORDER BY dpos) AS cv FROM m{i} GROUP BY cid),
+c{i} AS (SELECT c.cid, coalesce(g.cv, c.cv) AS cv
+         FROM c{i - 1} c LEFT JOIN g{i} g USING (cid))
+"""
+        )
+    parts.append(
+        f"""
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.ve, c.cv) DESC, c.cid
+           ) AS rn
+    FROM ev e, c{iters} c) WHERE rn = 1),
+probe AS (SELECT cid FROM c{iters}, q
+          ORDER BY list_cosine_similarity(cv, q.v) DESC, cid LIMIT {n_probe})
+"""
+    )
+    body = ",".join(p.strip() for p in parts)
+    return f"""
+WITH {body}
+SELECT e.vec_id, round(list_cosine_similarity(e.ve, q.v), 4) AS score
+FROM ev e JOIN af USING (vec_id) JOIN q ON TRUE
+WHERE af.cid IN (SELECT cid FROM probe)
+ORDER BY score DESC, e.vec_id
+LIMIT {topk}
+"""

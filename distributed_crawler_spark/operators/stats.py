@@ -83,3 +83,96 @@ def latest_per_key(df: DataFrame, key_col: str, ts_col: str, value_cols: list[st
     max_by on the timestamp, deterministic."""
     aggs = [F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols]
     return df.groupBy(key_col).agg(F.max(ts_col).alias(ts_col), *aggs)
+
+
+def hll_cardinality(
+    df: DataFrame, col: str, p: int = 10, id_alias: str = "hll_estimate"
+) -> DataFrame:
+    """HyperLogLog cardinality with EXPLICIT registers (Flajolet et al.
+    2007) — the oracle-portable twin of approx_count_distinct for the
+    URL-seen telemetry (SURVEY §2.5; dashboard.py:740's count presented
+    as a sketch at frontier scale). Spark's builtin HLL++ sketch is an
+    opaque binary whose estimate no other engine reproduces; this one is
+    pure relational algebra over the portable 60-bit md5 hash
+    (functions/hashing.py), so DuckDB re-derives the IDENTICAL estimate
+    and the driver hash-compares it (plans/porter_sql.py round-6 theme:
+    "not SQL-expressible" claims usually aren't true).
+
+    Determinism at 100 TB: the register aggregation is an exact integer
+    max/sum (2^(R-rho) as BIGINT — no double summation, so partial-
+    aggregate order can't wiggle the estimate); the only float ops are
+    one division and one ln on the final 1-row scalars. Shuffle is one
+    hash-agg over at most 2^p register rows after map-side combine."""
+    m = 1 << p
+    w_bits = 60 - p
+    r = w_bits + 1
+    alpha_num = (0.7213 / (1 + 1.079 / m)) * m * m * float(1 << r)
+    from ..functions.hashing import phash
+
+    h = phash(F.col(col))
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftrightunsigned(h, p)
+    rho = F.lit(r) - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    regs = (
+        df.select(idx.alias("ridx"), rho.cast("int").alias("rho"))
+        .groupBy("ridx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    aggd = regs.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(r) - F.col("mj")).cast("long")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_regs"),
+    )
+    nrows = df.agg(F.count("*").alias("n_rows"))
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << r)
+    v = (F.lit(m) - F.col("n_regs")).cast("long")
+    e_raw = F.lit(alpha_num) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return (
+        aggd.crossJoin(F.broadcast(nrows))
+        .select(
+            F.round(est, 4).alias(id_alias),
+            F.col("n_regs").cast("long").alias("n_registers_set"),
+            v.alias("n_zero_registers"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def hll_cardinality_sql(src_rel: str, expr: str, p: int = 10) -> str:
+    """DuckDB mirror of hll_cardinality over ``{src_rel}.{expr}`` —
+    byte-for-byte the same register math (same constants embedded from
+    the same Python floats)."""
+    from ..functions.hashing import phash_sql
+
+    m = 1 << p
+    w_bits = 60 - p
+    r = w_bits + 1
+    alpha_num = (0.7213 / (1 + 1.079 / m)) * m * m * float(1 << r)
+    return f"""
+hraw AS (SELECT {phash_sql(expr)} AS h FROM {src_rel}),
+hregs AS (
+  SELECT h & {m - 1} AS ridx,
+         ({r} - CASE WHEN (h >> {p}) = 0 THEN 0
+                     ELSE length(bin(h >> {p})) END) AS rho
+  FROM hraw),
+hmax AS (SELECT ridx, max(rho) AS mj FROM hregs GROUP BY ridx),
+hagg AS (SELECT sum((1::BIGINT << ({r} - mj)))::BIGINT AS s_present,
+                count(*) AS n_regs FROM hmax),
+hn AS (SELECT count(*) AS n_rows FROM hraw),
+hest AS (
+  SELECT (s_present + ({m} - n_regs) * (1::BIGINT << {r})) AS s_total,
+         ({m} - n_regs)::BIGINT AS v, n_regs, n_rows
+  FROM hagg, hn)
+SELECT round(CASE WHEN ({alpha_num!r} / s_total::DOUBLE) <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v::DOUBLE)
+                  ELSE {alpha_num!r} / s_total::DOUBLE END, 4) AS hll_estimate,
+       n_regs::BIGINT AS n_registers_set,
+       v AS n_zero_registers,
+       n_rows::BIGINT AS n_rows
+FROM hest
+"""

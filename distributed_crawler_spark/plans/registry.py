@@ -22,6 +22,7 @@ from ..functions.hashing import phash, phash_sql
 from ..functions.urls import get_domain, normalize_url
 from ..operators import dedup, search, similarity, stats, textstats
 from ..operators.politeness import host_budget_filter, robots_filter
+from . import porter_sql
 from .model_crawl import (
     bfs_sql,
     html_round0_sql,
@@ -424,13 +425,16 @@ def q_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.tf_scores(postings, _QTERMS)
 
 
-@q("search_tf_stemmed", None)
+@q("search_tf_stemmed", porter_sql.tf_stemmed_sql("running sparks windows joins"))
 def q_search_tf_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF scoring over STEMMED postings — the reference indexes
     NLTK-processed text (indexer_node.py:75-94,216), so a query for
-    'running' matches a doc containing 'run'. Porter isn't
-    SQL-expressible → rows-only driver check; engine ≡ independent
-    Python reference in tests/test_text_pipeline.py (bm25f pattern)."""
+    'running' matches a doc containing 'run'. Rows-only from r02-r05 on
+    a "Porter isn't SQL-expressible" claim; round 6 disproved it —
+    plans/porter_sql.py generates the full Porter 1980 pipeline as SQL
+    CTEs (bounded rewriting for the y-classification, pattern-prefix
+    slicing for per-rule measures), so this is a full hash oracle; the
+    query literal is stemmed by the SAME SQL chain, not by Python."""
     from ..functions.text import process_text_py
 
     docs = _read(spark, sf_dir, "documents")
@@ -461,13 +465,19 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
-@q("search_bm25_indexed", None)
+@q(
+    "search_bm25_indexed",
+    porter_sql.bm25_stemmed_sql("running sparks windows joins"),
+)
 def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 against the PERSISTED index snapshot (write_index_snapshot,
     built once per sf_dir into a tempdir cache — crawl_html_round0
     pattern): the index-once/query-many architecture of the reference's
     indexer/search split. Rankings ≡ the build-per-query stemmed path
-    (tests/test_text_pipeline.py); rows-only driver check."""
+    (tests/test_text_pipeline.py). Full hash oracle since round 6: the
+    SQL-generated Porter chain (plans/porter_sql.py) rebuilds the
+    stemmed postings, doc lengths, and the snapshot's n_docs/avgdl
+    constants (docs with >= 1 analyzed token) entirely in DuckDB."""
     from ..functions.text import process_text_py
     from ..operators.search import bm25_from_index
 
@@ -476,7 +486,7 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("search_bm25_stemmed", None)
+@q("search_bm25_stemmed", porter_sql.bm25_stemmed_sql("crawled pages ordering"))
 def q_search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over stemmed postings (the Whoosh-index parity path; query
     preprocessed by the same analyzer). Since round 3 this queries the
@@ -484,9 +494,10 @@ def q_search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python — instead of re-running the Porter pass per query (the r02
     scale blemish); rankings are identical to the build-per-query form
     search.bm25_scores(stemmed=True), pytest-verified
-    (tests/test_text_pipeline.py). Rows-only driver check; different
-    query terms from search_bm25_indexed so the two driver rows exercise
-    distinct postings slices."""
+    (tests/test_text_pipeline.py). Full hash oracle since round 6 (the
+    SQL Porter chain, plans/porter_sql.py); different query terms from
+    search_bm25_indexed so the two driver rows exercise distinct
+    postings slices."""
     from ..functions.text import process_text_py
     from ..operators.search import bm25_from_index
 
@@ -1542,6 +1553,22 @@ def q_approx_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "url_cardinality_hll",
+    f"WITH {_MODEL},{stats.hll_cardinality_sql('links', 'dst_url')}",
+)
+def q_url_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen cardinality via an EXPLICIT-REGISTER HyperLogLog
+    (operators/stats.py:hll_cardinality) — same telemetry as
+    approx_url_cardinality but with every register/rho/estimate step in
+    the relational plan over the portable 60-bit hash, so the DuckDB
+    oracle re-derives the IDENTICAL estimate (full hash check; the
+    builtin HLL++ sketch can only ever be rows-only). Register sums are
+    exact BIGINTs — partial-aggregation order cannot move the result."""
+    links = model_links_df(spark, sf_dir)
+    return stats.hll_cardinality(links, "dst_url", p=10)
+
+
 @q("crawl_html_round0", html_round0_sql(budget=100))
 def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 0 of the real HTML-corpus crawl (fetch join → Arrow parse
@@ -1660,6 +1687,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     others = emb.filter(F.col("vec_id") != 0)
     assigned, centroids = similarity.ivf_index(others, n_centroids=8, seed=42)
+    return similarity.ivf_search(others, assigned, centroids, qvec, n_probe=4, k=10)
+
+
+@q(
+    "ann_ivf_topk_kmeans",
+    similarity.ivf_kmeans_sql(k=8, iters=5, seed=42, n_probe=4, topk=10),
+)
+def q_ann_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is TRAINED IN THE QUERY — the
+    deterministic Lloyd's k-means (similarity.kmeans_lloyd: seeded
+    hash-order init, fixed 5 iterations, round(mean, 6) centroids) whose
+    unrolled iterations the DuckDB oracle replays exactly
+    (similarity.ivf_kmeans_sql). Closes the last "iterative → not
+    SQL-expressible" rows-only claim: the MLlib twin (ann_ivf_topk)
+    stays registered for the k-means|| native path, but clustering
+    itself is now hash-checked end-to-end."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = similarity.kmeans_lloyd(others, k=8, iters=5, seed=42)
     return similarity.ivf_search(others, assigned, centroids, qvec, n_probe=4, k=10)
 
 
@@ -2514,14 +2561,16 @@ def q_search_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("search_phrase_stemmed", None)
+@q("search_phrase_stemmed", porter_sql.phrase_stemmed_sql("key order"))
 def q_search_phrase_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search against the STEMMED positional index — the query
     words run through the reference's analyzer (lower → stopword drop →
     Porter) and match by adjacency in the renumbered analyzed stream,
     exactly what Whoosh's PhrasePlugin does over a StemmingAnalyzer
-    field. Porter isn't SQL-expressible → rows-only driver check; the
-    adjacency math ≡ an independent Python reference is pytest-verified
+    field. Full hash oracle since round 6: the SQL Porter chain
+    (plans/porter_sql.py) rebuilds the renumbered positional stream and
+    counts distinct adjacency ends in DuckDB; the adjacency math ≡ an
+    independent Python reference stays pytest-verified
     (tests/test_query_compose.py::test_phrase_from_index_matches_python)."""
     from ..operators.search import phrase_from_index
 
@@ -2639,10 +2688,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_features",
     "media_summary",
     "media_transcode",
+    # late round 6: first-ever hash oracles via the SQL Porter chain
+    # (porter_sql.py), the explicit-register HLL, and the unrolled
+    # deterministic Lloyd's k-means — each must get its first hash-green
+    # driver row (search_tf_stemmed / search_bm25_indexed /
+    # search_bm25_stemmed / search_phrase_stemmed sit in the rotation
+    # block below)
+    "url_cardinality_hll",
+    "ann_ivf_topk_kmeans",
+    "search_phrase_stemmed",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
-    # stemmed/indexed-search entries are the registered-without-oracle
-    # rows-only checks.
+    # stemmed/indexed-search entries carried rows-only checks from
+    # r02-r05 and are full hash oracles since late round 6.
     "url_features",
     "normalize_urls",
     "get_domain",

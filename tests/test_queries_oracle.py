@@ -103,6 +103,14 @@ def test_driver_window_priority_names_all_registered():
         "search_bm25f",
         "simhash_neardup_wide",
         "search_fuzzy",
+        # late-round-6 first-ever hash oracles (SQL Porter / explicit
+        # HLL / unrolled Lloyd's k-means)
+        "url_cardinality_hll",
+        "ann_ivf_topk_kmeans",
+        "search_tf_stemmed",
+        "search_bm25_indexed",
+        "search_bm25_stemmed",
+        "search_phrase_stemmed",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
