@@ -15,13 +15,18 @@ synthesized media row decodes a REAL container format, all pure stdlib:
   sample extraction; features are PCM stats: RMS, zero crossings...);
 * video — RIFF/AVI with uncompressed bottom-up DIB frames (the
   Video-for-Windows raw format; nested-LIST RIFF walk, dims from the
-  strf BITMAPINFOHEADER, true per-frame demux for frame sampling).
+  strf BITMAPINFOHEADER, true per-frame demux for frame sampling), and
+  MJPEG-in-MP4 (operators/mp4.py: full ISO BMFF box walk, general
+  stsc/stco/stsz sample-range reconstruction, per-sample JFIF decode)
+  for arbitrary user payloads — like JPEG it stays out of the
+  synthesized table because its sample sizes are Huffman-content-
+  dependent, i.e. not oracle-derivable arithmetically.
 
 Decode extracts true header metadata and payload-derived features,
-resize does real nearest-neighbor resampling (per-frame for AVI, sample
-resampling for WAV) re-encoded in the source format. Formats this
-container genuinely cannot decode (progressive/subsampled JPEG,
-MP3/MP4 — no PIL/ffmpeg) fall
+resize does real nearest-neighbor resampling (per-frame for AVI/MP4,
+sample resampling for WAV) re-encoded in the source format. Formats
+this container genuinely cannot decode (progressive/subsampled JPEG,
+MP3 — no PIL/ffmpeg) fall
 back to the clearly-marked deterministic ``_fake_decode`` stub, so
 arbitrary user data stays handled and a real deployment only swaps the
 fallback for PIL/soundfile/pyav.
@@ -732,10 +737,11 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(payload: bytes, media_id: int) -> dict:
     """STUB for formats this container can't decode (no PIL/soundfile/
-    pyav — e.g. progressive/subsampled JPEG, MP3, MP4): deterministic fake metadata + an 8-dim
-    feature derived from the bytes. A real deployment replaces this
-    fallback only — BMP/PNG/WAV/AVI above are already real decodes, and
-    no synthesized row hits this path anymore."""
+    pyav — e.g. progressive/subsampled JPEG, MP3): deterministic fake
+    metadata + an 8-dim feature derived from the bytes. A real
+    deployment replaces this fallback only — BMP/PNG/WAV/AVI here plus
+    baseline JPEG (operators/jpeg.py) and MJPEG MP4 (operators/mp4.py)
+    are real decodes, and no synthesized row hits this path anymore."""
     n = len(payload)
     width = 32 * (1 + media_id % 16)
     height = 32 * (1 + (media_id // 16) % 16)
@@ -746,8 +752,8 @@ def _fake_decode(payload: bytes, media_id: int) -> dict:
 def _decode_one(payload: bytes, media_id: int) -> dict:
     """REAL decode for BMP/PNG/baseline-JPEG (true header dims,
     pixel-derived feature), WAV (width = sample count, height = channels, PCM-derived
-    feature), and AVI (true stream dims, first-frame pixel feature);
-    _fake_decode fallback for everything else."""
+    feature), AVI, and MJPEG MP4 (true stream dims, first-frame pixel
+    feature); _fake_decode fallback for everything else."""
     d, _fmt = decode_image(payload)
     if d is not None:
         return {
@@ -771,6 +777,16 @@ def _decode_one(payload: bytes, media_id: int) -> dict:
             "width": v["width"],
             "height": v["height"],
             "feature": _bmp_feature(v["frames"][0]),
+        }
+    from .mp4 import decode_mp4
+
+    m = decode_mp4(payload)
+    if m is not None:
+        return {
+            "n_bytes": len(payload),
+            "width": m["width"],
+            "height": m["height"],
+            "feature": _bmp_feature(m["frames"][0]),
         }
     return _fake_decode(payload, media_id)
 
@@ -917,9 +933,16 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
+                from .mp4 import decode_mp4, make_mp4
+
                 d, fmt = decode_image(raw)
                 wv = decode_wav(raw) if d is None else None
                 av = decode_avi(raw) if d is None and wv is None else None
+                mp = (
+                    decode_mp4(raw)
+                    if d is None and wv is None and av is None
+                    else None
+                )
                 if d is not None:
                     px, sw, sh = d["pixels"], d["width"], d["height"]
                     if fmt == "png":
@@ -957,6 +980,20 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                         target_h,
                         [frame_fn(px) for px in av["frames"]],
                     )
+                elif mp is not None:
+                    sw, sh = mp["width"], mp["height"]
+
+                    def mp4_frame_fn(px):
+                        return lambda x, y: px[y * sh // target_h][
+                            x * sw // target_w
+                        ]
+
+                    resized = make_mp4(
+                        target_w,
+                        target_h,
+                        [mp4_frame_fn(px) for px in mp["frames"]],
+                        fps=mp["timescale"] or 10,
+                    )
                 else:
                     budget = target_w * target_h
                     resized = (raw * (budget // max(len(raw), 1) + 1))[:budget]
@@ -988,9 +1025,11 @@ def sample_frames(media: DataFrame, frame_size: int = 32, every_k: int = 4) -> D
     """Frame sampling for video payloads (one-to-many mapInPandas — the
     UDTF shape): AVI payloads are REALLY demuxed — every k-th '00db'
     DIB frame is emitted with its true byte length and the md5 of its
-    actual frame buffer. Non-AVI payloads keep the labeled stub
-    (fixed-size chunking), which a real deployment replaces with pyav;
-    ``frame_size`` only applies to that fallback."""
+    actual frame buffer — and MP4 payloads likewise via the ISO BMFF
+    sample-table walk (every k-th sample's exact JFIF bytes). Other
+    payloads keep the labeled stub (fixed-size chunking), which a real
+    deployment replaces with pyav; ``frame_size`` only applies to that
+    fallback."""
     import hashlib
 
     def run(batches):
@@ -1010,6 +1049,23 @@ def sample_frames(media: DataFrame, frame_size: int = 32, every_k: int = 4) -> D
                                 "frame_idx": i,
                                 "frame_bytes": len(frame),
                                 "frame_md5": hashlib.md5(frame).hexdigest(),
+                            }
+                        )
+                    continue
+                from .mp4 import decode_mp4
+
+                mp = decode_mp4(raw)
+                if mp is not None:
+                    # real ISO-BMFF demux: every k-th sample's exact
+                    # JFIF bytes out of the stsz/stco/stsc walk
+                    for i in range(0, mp["n_frames"], every_k):
+                        sample = mp["raw_samples"][i]
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_idx": i,
+                                "frame_bytes": len(sample),
+                                "frame_md5": hashlib.md5(sample).hexdigest(),
                             }
                         )
                     continue
