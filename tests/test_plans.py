@@ -278,3 +278,35 @@ def test_rep_signals_single_exchange(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert _plan(repetition_signals(docs)).count("Exchange") == 1
+
+
+def test_hll_single_exchange_no_python(spark):
+    """The explicit-register HLL must be ONE map-side-combined hash agg
+    over at most 2^p register rows — no window, no Python, and the only
+    exchanges are the register agg + the two 1-row final aggs."""
+    from distributed_crawler_spark.operators.stats import hll_cardinality
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("u")
+    )
+    plan = _plan(hll_cardinality(df, "u"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    # register agg partials combine map-side before the exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_ivf_assignment_broadcasts_codebook(spark, sf_dir):
+    """Assignment is a broadcast cross-join + map-side-combined argmax:
+    the vectors side must NOT shuffle on anything but the final id agg,
+    and the flat cosine must stay JVM-side (no HOF interpreter rows in
+    the aggregate path is not assertable from text, but no Python is)."""
+    from distributed_crawler_spark.operators.similarity import ivf_assign_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(8)]
+    plan = _plan(ivf_assign_fixed(emb, cents))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
