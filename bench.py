@@ -280,6 +280,7 @@ def run_scaling() -> None:
 
     lo, hi = SCALE_CORES
     ratio = hi / lo
+    calib_before, calib_mt_before = _calibrate(), _calibrate_mt()
     reps = []
     for _ in range(SCALE_REPS):
         r_lo = _frontier_subprocess(lo)
@@ -298,6 +299,7 @@ def run_scaling() -> None:
     results = {lo: chosen["lo"], hi: chosen["hi"]}
     t8, t32 = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
     efficiency = chosen["efficiency"]
+    calib_after, calib_mt_after = _calibrate(), _calibrate_mt()
     summary = {
         "metric": f"frontier throughput scaling efficiency local[{lo}] -> local[{hi}]",
         "value": efficiency,
@@ -307,6 +309,16 @@ def run_scaling() -> None:
         "sf": SF_DIR,
         "amp": SCALE_AMP,
         "reps": [r["efficiency"] for r in reps],
+        # same fixed-work host references as the headline JSON (see
+        # _calibrate/_calibrate_mt): a cross-round shift in absolute
+        # pages/sec that tracks calib_mt_s is the host, not the code.
+        # Per-pair efficiency is already epoch-robust by construction.
+        "calib_s": min(calib_before, calib_after),
+        "calib_mt_s": min(calib_mt_before, calib_mt_after),
+        "calib_s_before": calib_before,
+        "calib_s_after": calib_after,
+        "calib_mt_s_before": calib_mt_before,
+        "calib_mt_s_after": calib_mt_after,
         "detail": results,
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -342,6 +354,12 @@ equally, so per-pair efficiency cancels the drift a single pair or
 best-of-N per side cannot)
 
 Reference bar: >=0.70 (test_scalability.py:209); north_rule bar: >=0.80.
+
+Host calibration at run time (fixed-work LCG loops, see bench.py
+_calibrate/_calibrate_mt): calib_s {summary['calib_s']} single-core,
+calib_mt_s {summary['calib_mt_s']} all-cores — compare absolute
+pages/sec across rounds via these; per-pair efficiency is epoch-robust
+by construction.
 
 A secondary JVM-only scheduling job (no parse; pure normalize/dedup/
 window over generated candidates) is in

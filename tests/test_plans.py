@@ -147,6 +147,9 @@ _CARTESIAN_OK = {
     "unigram_logprob",      # 1-row total crossJoin
     "ann_ivf_topk",
     "ann_ivf_topk_fixed",   # 16-row broadcast codebook crossJoin
+    "ann_ivf_topk_kmeans",  # same broadcast-codebook assignment shape
+                            # (k literal centroids via ivf_assign_fixed)
+    "url_cardinality_hll",  # 1-row register-agg x 1-row count crossJoin
 }
 
 
