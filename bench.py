@@ -205,7 +205,14 @@ def run_headline() -> None:
 BENCH_CORPUS = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS", "/tmp/dcs_bench_corpus_" + os.path.basename(SF_DIR.rstrip("/"))
 )
-SCALE_AMP = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "4"))
+# amp=8 (40k pages): the job carries ~2-3 s of parallelism-INDEPENDENT
+# driver cost (Catalyst planning for the two actions, job/stage
+# scheduling, broadcast build) — at amp=4 that is ~24% of the 4-core
+# wall and mis-reports scheduler constant-cost as poor scaling
+# (measured adjacently: amp=4 eff 0.818, amp=8 eff 0.939, identical
+# lo-side pages/sec at both). Real crawl rounds at cluster scale run
+# minutes, so the amortized number is the faithful one.
+SCALE_AMP = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "8"))
 # N and 4N parallelism levels. Default 1->4: measured hardware ceilings
 # on this box (pure multiprocessing of the identical parse work, no
 # Spark) are 1->4: 0.93, 2->8: 0.76, 4->16: 0.71, 8->32: 0.70 — turbo
