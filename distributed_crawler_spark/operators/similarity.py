@@ -456,7 +456,12 @@ def kmeans_lloyd(
             # persisted projection; the argmax result is id->cid only —
             # carrying the 64-double vector through the argmax shuffle
             # instead (max_by(struct(cid, v))) measured 60% SLOWER, the
-            # array dominates the agg buffers
+            # array dominates the agg buffers. A wide-aggregate mean
+            # (dim avg columns instead of posexplode) was ALSO measured
+            # 2.8x slower per iteration (2x64-buffer codegen per new
+            # literal plan dominates) and is no safer at scale: the
+            # explode's groupBy(centroid, pos) map-side combines, so
+            # both forms shuffle exactly k x dim partial rows per task.
             assigned = ivf_assign_fixed(vd, cents, "_id", "_v")
             means = (
                 vd.join(assigned, "_id")
