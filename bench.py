@@ -71,6 +71,8 @@ HEADLINE = [
     "quality_score",
     "fingerprint",
     "media_features",
+    "decontaminate_ngrams",
+    "semantic_dedup",
 ]
 
 

@@ -571,3 +571,44 @@ def remove_dup_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word n-gram with the eval/benchmark set (the
+    GPT-3 appendix-C / PaLM-style contamination gate run before any
+    training-data release).
+
+    Returns (id, n_contaminated, example_gram): one row per CONTAMINATED
+    training doc with its count of distinct overlapping n-grams and the
+    lexicographically-first overlapping gram (deterministic evidence
+    row).
+
+    Scale shape: benchmarks are tiny relative to the corpus (10^4-10^6
+    distinct grams vs 10^10 docs), so the eval gram set is explicitly
+    ``F.broadcast``; the training side is one scan with the in-JVM
+    shingle transform (shingle_array — tokens never leave the JVM), a
+    per-doc distinct, and a map-side-combined per-doc aggregate. The
+    corpus never shuffles on gram; only the (doc, matched-gram) hits
+    reach the final per-doc aggregation."""
+    ev_grams = (
+        eval_docs.select(F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    tr_grams = shingles(train, id_col, text_col, n).withColumnRenamed(
+        "shingle", "gram"
+    )
+    return (
+        tr_grams.join(F.broadcast(ev_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.min("gram").alias("example_gram"),
+        )
+    )

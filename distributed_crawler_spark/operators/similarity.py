@@ -547,3 +547,85 @@ WHERE af.cid IN (SELECT cid FROM probe)
 ORDER BY score DESC, e.vec_id
 LIMIT {topk}
 """
+
+
+def semantic_dedup_removed(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — the REMOVAL decision, not just the pair list:
+    assign every embedding to its nearest centroid of a fixed codebook
+    (the paper's offline k-means step, here ivf_assign_fixed so the
+    assignment argmax is SQL-mirrorable), find near-duplicate pairs
+    WITHIN a cluster, and remove every vector that has a LOWER-id
+    neighbor at cosine >= threshold in its cluster (the paper keeps one
+    exemplar per duplicate group; lowest id is the deterministic
+    exemplar rule, matching dedup.exact_duplicates' min-keeper).
+
+    Scale shape: the paper's within-cluster pairwise pass is O(sum
+    |cluster|^2) — with a FIXED codebook that densifies exactly like
+    the fixed-plane LSH this repo already demoted (n^2/k growth). So
+    candidates here require BOTH the cluster AND an auto-sized SRP-LSH
+    bucket to agree (equi-join on (centroid, bucket); planes from
+    plan_srp_lsh, so expected bucket occupancy stays ~16 rows and the
+    candidate set grows ~linearly with n). The exact cosine verifies
+    every candidate; the cluster key adds SemDeDup's semantic locality
+    on top of the bucket's selectivity.
+
+    Returns (vec_id, centroid, keeper, score): one row per REMOVED
+    vector with its lowest-id qualifying neighbor and the cosine to
+    that keeper.
+    """
+    if planes is None:
+        planes = plan_srp_lsh(vectors.count())
+    assigned = ivf_assign_fixed(vectors, centroids, id_col, vec_col)
+    buckets = lsh_bucket_ids(vectors, id_col, vec_col, planes, dim)
+    keyed = vectors.select(id_col, vec_col).join(assigned, id_col).join(
+        buckets, id_col
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "centroid",
+        "bucket",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "centroid",
+        "bucket",
+    )
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    pairs = (
+        a.join(b, ["centroid", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid",
+            "id_a",
+            "id_b",
+            F.round(cosine(va, vb), 4).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+    # removal rule: id_b is removed; its keeper is the LOWEST id_a among
+    # qualifying neighbors (and the score reported is the cosine to that
+    # keeper). min(struct(id_a, score)) picks exactly that pair in one
+    # map-side-combined aggregate — (id_a, id_b) is unique post-distinct.
+    return (
+        pairs.groupBy("id_b", "centroid")
+        .agg(F.min(F.struct(F.col("id_a"), F.col("score"))).alias("k"))
+        .select(
+            F.col("id_b").alias(id_col),
+            "centroid",
+            F.col("k.id_a").alias("keeper"),
+            F.col("k.score").alias("score"),
+        )
+    )

@@ -2672,6 +2672,117 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_quota_sample(docs, 20)
 
 
+@q(
+    "decontaminate_ngrams",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+  FROM toks
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 23 <> 0)
+SELECT tr.doc_id,
+       count(*) AS n_contaminated,
+       min(tr.gram) AS example_gram
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+""",
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/eval n-gram overlap gate
+    every LLM training pipeline runs before a data release (GPT-3
+    appendix C / PaLM-style 5-gram contamination check): flag every
+    training document sharing at least one word 5-gram with the held-out
+    eval set (here the deterministic doc_id % 23 == 0 slice plays the
+    benchmark; word 4-grams — the check family GPT-3 ran at 13-grams
+    and PaLM at 8 subword tokens, sized to this corpus's span lengths). Scale shape: the eval side is tiny by construction
+    (benchmarks are ~10^4-10^6 grams against a 10^10-doc corpus), so its
+    distinct gram set BROADCASTS and the training side is one scan +
+    in-JVM shingle transform + map-side-combined per-doc aggregate — no
+    shuffle of the corpus beyond the final per-doc counts. Reuses the
+    dedup shingle generator (tokens never leave the JVM)."""
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    tr = docs.filter(F.col("doc_id") % 23 != 0)
+    return dedup.ngram_decontaminate(tr, ev, n=4)
+
+
+@q(
+    "semantic_dedup",
+    """
+WITH params AS (
+  SELECT least(greatest(ceil(log2(greatest(count(*), 2) / 16.0))::INT, 1), 62) AS b
+  FROM embeddings
+),
+pl AS (SELECT unnest(range((SELECT b FROM params))) AS p),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         list_dot_product(e.embedding::DOUBLE[],
+           list_transform(range(0, 64), j ->
+             ((('0x' || substr(md5(pl.p || ',' || j), 1, 15))::BIGINT % 2001 - 1000)) / 1000.0)) AS dot
+  FROM embeddings e, pl
+),
+bk AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+),
+c AS (SELECT (vec_id - 1)::INT AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+),
+kd AS (SELECT a.vec_id, a.centroid, bk.bucket FROM assign a JOIN bk USING (vec_id)),
+pairs AS (
+  SELECT a.centroid, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS score
+  FROM kd a
+  JOIN kd b ON a.centroid = b.centroid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+),
+keep AS (SELECT id_b, min(id_a) AS keeper FROM pairs GROUP BY id_b)
+SELECT p.id_b AS vec_id, p.centroid, p.id_a AS keeper, p.score
+FROM pairs p JOIN keep k2 ON p.id_b = k2.id_b AND p.id_a = k2.keeper
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) — the removal
+    DECISION per vector: nearest-centroid cluster assignment against a
+    fixed 16-vector codebook (embeddings 1..16, the offline-quantizer
+    case of ann_ivf_topk_fixed), candidates restricted to pairs agreeing
+    on BOTH cluster and an auto-sized SRP-LSH bucket (the paper's raw
+    within-cluster pairwise pass is O(sum |cluster|^2) — a fixed-k
+    densification exactly like the fixed-plane LSH this repo demoted in
+    round 6), exact cosine verify, then remove every vector with a
+    lower-id neighbor >= threshold (lowest-id exemplar rule, matching
+    exact_duplicates' min-keeper). Every stage — argmax tie-break, the
+    plane-count formula, the keeper rule — is mirrored by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    crows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)
+        ).collect()
+    }
+    centroids = [[float(x) for x in crows[i]] for i in range(1, 17)]
+    return similarity.semantic_dedup_removed(emb, centroids, threshold=0.35)
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -2702,6 +2813,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "url_cardinality_hll",
     "ann_ivf_topk_kmeans",
     "search_phrase_stemmed",
+    # late round 6: the two new LLM-pipeline ops (benchmark
+    # decontamination; SemDeDup-style removal) — first driver rows
+    "decontaminate_ngrams",
+    "semantic_dedup",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from

@@ -150,6 +150,8 @@ _CARTESIAN_OK = {
     "ann_ivf_topk_kmeans",  # same broadcast-codebook assignment shape
                             # (k literal centroids via ivf_assign_fixed)
     "url_cardinality_hll",  # 1-row register-agg x 1-row count crossJoin
+    "semantic_dedup",       # broadcast-codebook assignment (16 literal
+                            # centroids via ivf_assign_fixed)
 }
 
 

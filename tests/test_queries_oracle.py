@@ -111,6 +111,9 @@ def test_driver_window_priority_names_all_registered():
         "search_bm25_indexed",
         "search_bm25_stemmed",
         "search_phrase_stemmed",
+        # late-round-6 LLM-pipeline additions
+        "decontaminate_ngrams",
+        "semantic_dedup",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
