@@ -1071,3 +1071,98 @@ def test_bmp_codec_randomized_round_trip():
         )
 
     check()
+
+
+def test_ngram_decontaminate_python_parity(spark):
+    """dedup.ngram_decontaminate vs a row-at-a-time Python reference on a
+    hand-built corpus with known 3-gram overlaps, short docs (< n tokens,
+    the sequence-descends guard), multi-space runs, and a clean doc."""
+    from distributed_crawler_spark.operators.dedup import ngram_decontaminate
+
+    train_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated text with no overlap whatsoever here"),
+        (3, "quick  brown fox is   quick brown fox again"),  # multi-space
+        (4, "too short"),                                    # < n tokens
+        (5, "the quick brown fox jumps elsewhere"),
+    ]
+    eval_rows = [
+        (100, "watch the quick brown fox jumps now"),
+        (101, "tiny"),
+    ]
+    n = 3
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_contaminated"], r["example_gram"])
+        for r in ngram_decontaminate(tr, ev, n=n).collect()
+    }
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ev_grams = set().union(*(grams(t) for _, t in eval_rows))
+    want = {}
+    for did, text in train_rows:
+        hit = grams(text) & ev_grams
+        if hit:
+            want[did] = (len(hit), min(hit))
+    assert got == want
+    assert 4 not in got and 2 not in got  # short + clean docs untouched
+
+
+def test_semantic_dedup_removal_rule(spark):
+    """semantic_dedup_removed's keeper rule vs a Python reference: with
+    planes=0 every vector lands in one bucket, so candidates are exactly
+    within-cluster pairs and the reference is enumerable. Each removed
+    vector must report its LOWEST-id qualifying neighbor and the cosine
+    to THAT keeper (not its best-scoring neighbor)."""
+    import math
+
+    from distributed_crawler_spark.operators.similarity import (
+        ivf_assign_fixed,
+        semantic_dedup_removed,
+    )
+
+    dim = 4
+    # two well-separated centroids
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    vecs = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [1.0, 0.06, 0.0, 0.0]),   # near-dup of 0 (keeper 0)
+        (2, [1.0, 0.30, 0.0, 0.0]),   # same cluster, lower cosine to 0/1
+        (3, [0.0, 1.0, 0.05, 0.0]),
+        (4, [0.0, 1.0, 0.06, 0.0]),   # near-dup of 3 (keeper 3)
+        (5, [0.3, 0.0, 1.0, 0.0]),    # cluster 0 but far from everything
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    thr = 0.999
+    got = {
+        r["vec_id"]: (r["centroid"], r["keeper"], r["score"])
+        for r in semantic_dedup_removed(
+            df, cents, threshold=thr, planes=0, dim=dim
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assign = {
+        r["vec_id"]: r["centroid"]
+        for r in ivf_assign_fixed(df, cents).collect()
+    }
+    want = {}
+    for vid, v in vecs:
+        lower = [
+            (uid, round(cos(u, v), 4))
+            for uid, u in vecs
+            if uid < vid and assign[uid] == assign[vid]
+            and round(cos(u, v), 4) >= thr
+        ]
+        if lower:
+            keeper = min(lower)[0]
+            want[vid] = (assign[vid], keeper, dict(lower)[keeper])
+    assert got == want
+    assert set(got) == {1, 4}  # exactly the two near-dups removed
