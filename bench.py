@@ -73,6 +73,8 @@ HEADLINE = [
     "media_features",
     "decontaminate_ngrams",
     "semantic_dedup",
+    "dedup_clusters",
+    "dedup_keep_one",
 ]
 
 

@@ -26,28 +26,39 @@ from pyspark.sql import functions as F
 from ..functions.hashing import phash
 
 
-def shingle_array(text_col, n: int = 3):
-    """Column of word n-gram shingles (with in-doc duplicates) — the
-    shared span generator; tokens never leave the JVM."""
-    # drop empty tokens (multi-space runs) to match the oracle tokset CTEs
-    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+def token_array(text_col):
+    """Whitespace tokens with empty runs dropped — matches the oracle
+    tokset CTEs.  Callers should bind this ONCE in a projection before
+    shingling: Catalyst inlines (not CSE-shares) expressions referenced
+    inside higher-order-function lambdas, so an unprojected token array
+    re-splits the text per transform element (measured 10x on sf0.1)."""
+    return F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+
+
+def shingles_from_tokens(toks_col, n: int = 3):
+    """Word n-gram shingle array (with in-doc duplicates) from an
+    ALREADY-PROJECTED token-array column; tokens never leave the JVM."""
     # sequence(1, k) DESCENDS when k < 1 — guard the short-doc case
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        F.size(toks_col) >= n, F.sequence(F.lit(1), F.size(toks_col) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks_col, i, n), " "))
+
+
+def shingle_array(text_col, n: int = 3):
+    """Shingle array straight from a text column.  Convenience form:
+    the token split is inlined into each lambda element, so prefer
+    projecting token_array() first on hot paths (see shingles())."""
+    return shingles_from_tokens(token_array(text_col), n)
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    sh = shingle_array(F.col(text_col), n)
+    """Distinct word n-gram shingles per doc: (id, shingle).  Two-step
+    select so the token split evaluates once per doc, not once per
+    shingle element."""
+    toks = docs.select(F.col(id_col), token_array(F.col(text_col)).alias("_toks"))
     return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -598,7 +609,8 @@ def ngram_decontaminate(
     corpus never shuffles on gram; only the (doc, matched-gram) hits
     reach the final per-doc aggregation."""
     ev_grams = (
-        eval_docs.select(F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
+        eval_docs.select(token_array(F.col(text_col)).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
     tr_grams = shingles(train, id_col, text_col, n).withColumnRenamed(

@@ -1,0 +1,176 @@
+"""Distributed connected components — duplicate-cluster formation.
+
+The reference deduplicates URLs by exact set membership only
+(master_node.py:69-70,336-391); a training-data pipeline additionally
+needs CONTENT near-dup clustering: MinHash-LSH / n-gram-Jaccard emit
+*pairs*, and the standard curation step (RefinedWeb, SlimPajama, Dolma)
+closes them transitively into duplicate clusters and keeps one document
+per cluster.  Transitive closure over 10^10+ nodes is a graph problem,
+so this module implements the alternating **large-star / small-star**
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC 2014) as pure DataFrame compositions:
+
+  * every round is two (groupBy-min + self-join) passes that shuffle
+    only (node, node) id pairs — no adjacency lists are materialized,
+    no vertex ever holds its whole component;
+  * the edge set provably shrinks toward a forest of depth-1 stars in
+    O(log n) rounds (the paper's Thm 3.2), so the driver loop runs ~10
+    iterations at 10^10 nodes, each a fixed-shape shuffle;
+  * convergence is detected with an order-independent aggregate
+    signature (count + two salted bit_xor hash folds), ONE map-side
+    combined aggregate per round — never a driver-side edge collect.
+
+Unlike the fixed-iteration Lloyd loop (similarity.kmeans_lloyd), the
+data-dependent stopping rule here cannot diverge from the DuckDB
+oracle: the fixpoint of large/small-star IS the true component
+assignment, which the oracle computes independently via a recursive
+CTE — intermediate states never surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import phash
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as canonical (big, small) pairs: self-loops
+    dropped, duplicates merged."""
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).cast("long").alias("big"),
+        F.least(F.col(src), F.col(dst)).cast("long").alias("small"),
+    )
+    return e.filter(F.col("big") != F.col("small")).distinct()
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. §3): for every node u, connect
+    every strictly LARGER neighbor to min(N(u) ∪ {u}).  Emitted edges
+    are (v, m) with m < v, so the output is already canonical."""
+    both = edges.select(
+        F.col("big").alias("u"), F.col("small").alias("v")
+    ).unionAll(edges.select(F.col("small").alias("u"), F.col("big").alias("v")))
+    mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("big"), F.col("m").alias("small"))
+        .distinct()
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: key each edge by its LARGER endpoint u; with
+    m = min of u's smaller-neighbors, connect u and every other smaller
+    neighbor to m."""
+    mins = edges.groupBy("big").agg(F.min("small").alias("m"))
+    neigh = edges.join(mins, "big").select(
+        F.col("small").alias("big"), F.col("m").alias("small")
+    )
+    star = mins.select(F.col("big"), F.col("m").alias("small"))
+    return (
+        neigh.filter(F.col("big") != F.col("small"))
+        .unionAll(star)
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame):
+    """Order-independent edge-set signature: one aggregate action, no
+    collect of edges.  bit_xor folds are overflow-free (unlike sum,
+    which throws under ANSI mode) and the two salts make a collision
+    that ALSO preserves the edge count astronomically unlikely."""
+    key = F.concat_ws(",", F.col("big"), F.col("small"))
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(phash(key)).alias("x1"),
+        F.bit_xor(phash(F.concat(F.lit("s2:"), key))).alias("x2"),
+    ).collect()[0]
+    return (row["n"], row["x1"], row["x2"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    component = the smallest node id reachable from it.  Alternates
+    large-star / small-star until the edge-set signature is stable;
+    `max_iters` is a safety bound far above the O(log n) expectation
+    (20 rounds covers n ~ 2^20 adversarial paths; dedup graphs are
+    near-star-shaped and converge in 2-4)."""
+    # one narrow projection of the input, persisted so an expensive
+    # upstream pair pipeline (LSH banding, Jaccard verification) is
+    # evaluated exactly once — nodes, the canonical edge set, and the
+    # first signature all read from it
+    base = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).persist()
+    nodes = (
+        base.select(F.col("a").alias("node"))
+        .unionAll(base.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = _canonical(base, "a", "b").persist()
+    sig = _signature(cur)
+    base.unpersist()
+    for _ in range(max_iters):
+        # localCheckpoint truncates the per-round lineage (each round
+        # is 2 joins + 2 aggs on top of the last; 20 rounds of stacked
+        # plans would otherwise blow up Catalyst re-analysis); lazy so
+        # the signature scan below is the job that materializes it —
+        # one action per round, not two.
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
+        nsig = _signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    # fixpoint: a forest of depth-1 stars (child=big → root=small);
+    # roots map to themselves.
+    comp = cur.select(
+        F.col("big").alias("node"), F.col("small").alias("component")
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate clusters from a near-dup PAIR frame (id_a, id_b):
+    (doc_id, cluster_id, cluster_size) for every clustered doc, where
+    cluster_id is the component's smallest doc id (the keeper)."""
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def keep_one_per_cluster(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The curation action: drop every clustered document except its
+    cluster's smallest id.  Singleton docs (no near-dup partner) pass
+    through.  One left-anti join against the (small) drop list — the
+    corpus itself is never reshuffled."""
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

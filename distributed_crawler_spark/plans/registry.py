@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..corpus import model_links_df, model_pages_df, model_robots_df, model_seeds_df, model_sql_ctes
 from ..functions.hashing import phash, phash_sql
 from ..functions.urls import get_domain, normalize_url
-from ..operators import dedup, search, similarity, stats, textstats
+from ..operators import dedup, graph, search, similarity, stats, textstats
 from ..operators.politeness import host_budget_filter, robots_filter
 from . import porter_sql
 from .model_crawl import (
@@ -855,6 +855,74 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (no cross product)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.8)
+
+
+_CLUSTER_CC_CTES = f"""
+{_SHINGLES_CTE.strip().rstrip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) base
+  UNION
+  SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+"""
+
+
+@q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_CLUSTER_CC_CTES.strip().rstrip()},
+szs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, szs.cluster_size
+FROM cc JOIN szs USING (cluster_id)
+ORDER BY cc.doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: exact 3-gram-Jaccard near-dup pairs
+    (threshold 0.5, inverted-index candidates) closed transitively with
+    alternating large-star/small-star connected components (Kiveris et
+    al. 2014) — (doc, cluster keeper, cluster size) per clustered doc.
+    The oracle computes the same components independently via a DuckDB
+    recursive CTE, so the iterative fixpoint itself is what's checked
+    (the sf0.01 graph contains >2-node chains — transitivity is
+    exercised, not just pair mirroring)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    return graph.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@q(
+    "dedup_keep_one",
+    f"""
+WITH RECURSIVE {_CLUSTER_CC_CTES.strip().rstrip()}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation action on top of dedup_clusters: keep each cluster's
+    smallest doc id plus all singletons — one left-anti join against the
+    (tiny) drop list; the corpus never reshuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    return (
+        graph.keep_one_per_cluster(docs, pairs)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 @q(
@@ -2817,6 +2885,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # decontamination; SemDeDup-style removal) — first driver rows
     "decontaminate_ngrams",
     "semantic_dedup",
+    # late round 6: duplicate-cluster formation (large-star/small-star
+    # connected components, recursive-CTE oracle) and its keep-one
+    # curation action — first driver rows
+    "dedup_clusters",
+    "dedup_keep_one",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from

@@ -1,0 +1,86 @@
+"""Connected-components (large-star/small-star) parity vs a pure-Python
+union-find reference, edge-case shapes, and the iteration bound."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from distributed_crawler_spark.operators import graph
+
+
+def _uf_components(pairs):
+    """Min-label union-find reference."""
+    par: dict[int, int] = {}
+
+    def find(x):
+        par.setdefault(x, x)
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in par}
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df).collect()
+    }
+
+
+def test_chain_pair_and_self_loop(spark):
+    # path 0-1-2-3-4 (transitive closure), disjoint pair, a duplicate
+    # reversed edge, and a pure self-loop node (singleton component)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (7, 7)]
+    assert _cc(spark, pairs) == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 7: 7,
+    }
+
+
+def test_star_and_reverse_path(spark):
+    # star centered at the LARGEST id plus a descending path — exercises
+    # both the large-star (big hub) and small-star (long chain) halves
+    star = [(100, i) for i in range(5)]
+    path = [(i + 1, i) for i in range(50, 60)]
+    got = _cc(spark, star + path)
+    assert all(got[n] == 0 for n in [100, 0, 1, 2, 3, 4])
+    assert all(got[n] == 50 for n in range(50, 61))
+
+
+def test_randomized_vs_union_find(spark):
+    rng = random.Random(1234)
+    for _ in range(3):
+        pairs = [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        assert _cc(spark, pairs) == _uf_components(pairs)
+
+
+def test_long_path_converges_within_bound(spark):
+    # a 200-node path is the adversarial diameter case for star
+    # contraction; O(log n) rounds must find the single component
+    pairs = [(i, i + 1) for i in range(200)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {0}
+
+
+def test_keep_one_per_cluster(spark):
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in graph.keep_one_per_cluster(docs, pairs).collect()
+    )
+    # cluster {1,3,5} keeps 1; {6,7} keeps 6; 0/2/4 are singletons
+    assert kept == [0, 1, 2, 4, 6]
