@@ -75,6 +75,8 @@ HEADLINE = [
     "semantic_dedup",
     "dedup_clusters",
     "dedup_keep_one",
+    "pii_scrub",
+    "curate_corpus",
 ]
 
 

@@ -925,6 +925,261 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle_sql() -> str:
+    from ..functions.pii import pii_scrub_sql
+
+    exprs = pii_scrub_sql("n.text")
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN ' contact user' || doc_id::VARCHAR || '@site' || (doc_id % 7)::VARCHAR || '.com'
+           WHEN 2 THEN ' call +1 (' || (200 + doc_id % 700)::VARCHAR || ') ' || (100 + doc_id % 900)::VARCHAR || '-' || (1000 + doc_id % 9000)::VARCHAR
+           WHEN 3 THEN ' from ' || (1 + doc_id % 223)::VARCHAR || '.' || (doc_id % 251)::VARCHAR || '.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 250)::VARCHAR || ' logged'
+           WHEN 4 THEN ' contact user' || doc_id::VARCHAR || '@site' || (doc_id % 7)::VARCHAR || '.com at ' || (1 + doc_id % 223)::VARCHAR || '.' || (doc_id % 251)::VARCHAR || '.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 250)::VARCHAR
+           ELSE ''
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {exprs['n_emails']} AS n_emails,
+       {exprs['n_ips']} AS n_ips,
+       {exprs['n_phones']} AS n_phones,
+       {exprs['scrubbed']} AS scrubbed
+FROM n
+ORDER BY doc_id
+"""
+
+
+@q("pii_scrub", _pii_oracle_sql())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the C4/Dolma/FineWeb release gate the reference
+    lacks): deterministic email/phone/IPv4 injections derived from
+    doc_id arithmetic (the url_features noisy-variant idiom, since the
+    synthetic corpus carries no organic PII), then the three-stage
+    native-regex scrub — counts per type + scrubbed text, all
+    whole-stage-codegen, zero shuffles."""
+    from ..functions.pii import pii_scrub
+
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@site"), (d % 7).cast("string"), F.lit(".com"),
+    )
+    phone = F.concat(
+        F.lit(" call +1 ("), (d % 700 + 200).cast("string"),
+        F.lit(") "), (d % 900 + 100).cast("string"),
+        F.lit("-"), (d % 9000 + 1000).cast("string"),
+    )
+    ip = F.concat(
+        (d % 223 + 1).cast("string"), F.lit("."),
+        (d % 251).cast("string"), F.lit("."),
+        (d % 256).cast("string"), F.lit("."),
+        (d % 250).cast("string"),
+    )
+    noisy = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 1, email)
+            .when(d % 5 == 2, phone)
+            .when(d % 5 == 3, F.concat(F.lit(" from "), ip, F.lit(" logged")))
+            .when(d % 5 == 4, F.concat(email, F.lit(" at "), ip))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(noisy).orderBy("doc_id")
+
+
+def _curate_oracle_sql() -> str:
+    from ..functions.pii import pii_scrub_sql
+
+    exprs = pii_scrub_sql("n.text")
+    hv = phash_sql("text")
+    tag = "substr(md5(text), 1, 6)"
+    email = f"' contact user' || {tag} || '@ex' || ({hv} % 7)::VARCHAR || '.com'"
+    phone = f"' call +1 (' || (200 + {hv} % 700)::VARCHAR || ') ' || (100 + {hv} % 900)::VARCHAR || '-' || (1000 + {hv} % 9000)::VARCHAR"
+    ipcore = f"(1 + {hv} % 223)::VARCHAR || '.' || ({hv} % 251)::VARCHAR || '.' || ({hv} % 256)::VARCHAR || '.' || ({hv} % 250)::VARCHAR"
+    return f"""
+WITH RECURSIVE
+noisy AS (
+  SELECT doc_id, source, lang,
+         text || CASE ({hv} % 5)
+           WHEN 1 THEN {email}
+           WHEN 2 THEN {phone}
+           WHEN 3 THEN ' from ' || {ipcore} || ' logged'
+           WHEN 4 THEN {email} || ' at ' || {ipcore}
+           ELSE ''
+         END AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, source, lang,
+         {exprs['n_emails']} AS n_emails,
+         {exprs['n_ips']} AS n_ips,
+         {exprs['n_phones']} AS n_phones,
+         {exprs['scrubbed']} AS scrubbed
+  FROM noisy n
+),
+ev AS (SELECT * FROM scrub WHERE doc_id % 23 = 0),
+tr AS (SELECT * FROM scrub WHERE doc_id % 23 <> 0),
+trt AS (
+  SELECT tr.*, list_filter(string_split(scrubbed, ' '), x -> x <> '') AS toks
+  FROM tr
+),
+qual AS (
+  SELECT * FROM trt
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND len(regexp_extract_all(scrubbed, '[a-zA-Z]'))::DOUBLE
+          / greatest(length(scrubbed), 1) >= 0.5
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(scrubbed)),
+cand AS (SELECT q.* FROM qual q JOIN keepers USING (doc_id)),
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM cand
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) base
+  UNION
+  SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+nd_survivors AS (
+  SELECT c.* FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+),
+ev_g AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(list_filter(string_split(scrubbed, ' '), x -> x <> '')) - 3, 0) + 1),
+         i -> array_to_string(list_slice(list_filter(string_split(scrubbed, ' '), x -> x <> ''), i, i + 3), ' '))) AS gram
+  FROM ev
+),
+sv_g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS gram
+  FROM nd_survivors
+),
+contaminated AS (SELECT DISTINCT doc_id FROM sv_g JOIN ev_g USING (gram)),
+final AS (
+  SELECT * FROM nd_survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(toks))::BIGINT AS n_tokens,
+       sum(n_emails + n_ips + n_phones)::BIGINT AS n_redactions
+FROM final
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@q("curate_corpus", _curate_oracle_sql())
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-release pipeline — the composed flagship a
+    100 TB curation run actually executes, one stage feeding the next:
+    PII scrub (content-derived deterministic injections, so identical
+    texts stay byte-identical through the noise) -> quality gates
+    (token-length band + alpha ratio on the SCRUBBED text) -> exact
+    dedup keepers -> near-dup cluster keep-one (3-gram Jaccard pairs
+    closed with large-star/small-star connected components) ->
+    benchmark decontamination (drop docs sharing any word 4-gram with
+    the held-out doc_id%23 slice) -> per-(source, lang) release report
+    (docs, tokens, redactions).  Scale shape: scrub and gates are
+    map-only; dedup shuffles hashes not texts; the pair graph and the
+    drop/contaminated lists are tiny and anti-joined; nothing pulls the
+    corpus to the driver."""
+    from ..functions.pii import pii_scrub
+    from ..operators.dedup import token_array
+
+    docs = _read(spark, sf_dir, "documents")
+    hv = phash(F.col("text"))
+    tag = F.substring(F.md5(F.col("text")), 1, 6)
+    email = F.concat(
+        F.lit(" contact user"), tag, F.lit("@ex"),
+        (hv % 7).cast("string"), F.lit(".com"),
+    )
+    phone = F.concat(
+        F.lit(" call +1 ("), (hv % 700 + 200).cast("string"),
+        F.lit(") "), (hv % 900 + 100).cast("string"),
+        F.lit("-"), (hv % 9000 + 1000).cast("string"),
+    )
+    ipcore = F.concat(
+        (hv % 223 + 1).cast("string"), F.lit("."),
+        (hv % 251).cast("string"), F.lit("."),
+        (hv % 256).cast("string"), F.lit("."),
+        (hv % 250).cast("string"),
+    )
+    noisy = docs.select(
+        "doc_id", "source", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(hv % 5 == 1, email)
+            .when(hv % 5 == 2, phone)
+            .when(hv % 5 == 3, F.concat(F.lit(" from "), ipcore, F.lit(" logged")))
+            .when(hv % 5 == 4, F.concat(email, F.lit(" at "), ipcore))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrub = pii_scrub(noisy).join(
+        noisy.select("doc_id", "source", "lang"), "doc_id"
+    )
+    ev = scrub.filter(F.col("doc_id") % 23 == 0)
+    tr = scrub.filter(F.col("doc_id") % 23 != 0)
+    toks = token_array(F.col("scrubbed"))
+    n_toks = F.size(toks)
+    alpha = F.size(
+        F.regexp_extract_all(F.col("scrubbed"), F.lit("[a-zA-Z]"), 0)
+    ) / F.greatest(F.length("scrubbed"), F.lit(1))
+    qual = tr.withColumn("n_toks", n_toks).filter(
+        (F.col("n_toks") >= 10) & (F.col("n_toks") <= 1000) & (alpha >= 0.5)
+    )
+    keepers = (
+        qual.groupBy(F.md5(F.col("scrubbed")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # the scrub->quality->keepers chain feeds four downstream stages
+    # (pair generation twice via shingles+sizes, keep-one's doc side,
+    # decontamination's gram side) — persist it or the whole regex
+    # pipeline re-runs per stage (measured 25.8 s -> ~8 s at sf0.1);
+    # ContextCleaner drops the cache when the frame goes out of scope
+    cand = qual.join(keepers, "doc_id").persist()
+    pairs = dedup.ngram_jaccard_pairs(
+        cand, text_col="scrubbed", shingle_n=3, threshold=0.5
+    )
+    survivors = graph.keep_one_per_cluster(cand, pairs)
+    hits = dedup.ngram_decontaminate(
+        survivors, ev, text_col="scrubbed", n=4
+    ).select("doc_id")
+    final = survivors.join(hits, "doc_id", "left_anti")
+    return (
+        final.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(
+                F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+            ).alias("n_redactions"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 @q(
     "dup_span_stats",
     f"""
@@ -2890,6 +3145,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # curation action — first driver rows
     "dedup_clusters",
     "dedup_keep_one",
+    # late round 6: PII redaction and the composed end-to-end
+    # corpus-release pipeline (scrub -> quality -> exact dedup ->
+    # cluster keep-one -> decontaminate -> release report)
+    "pii_scrub",
+    "curate_corpus",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from
