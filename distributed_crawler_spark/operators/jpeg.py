@@ -13,9 +13,10 @@ decodes them for real). Everything here is from the PUBLIC spec:
   stuffing;
 * decoder — marker walk (any APPn/COM skipped), DQT/DHT/SOF0/SOS/DRI
   parse, canonical Huffman decode, dequant + inverse zigzag, separable
-  IDCT, YCbCr->RGB, restart-marker handling. Baseline only: SOF2
-  (progressive) and subsampled chroma are rejected with None, like the
-  other codecs in multimodal.py reject what they don't parse.
+  IDCT, chroma upsampling (sampling factors 1-2 per axis: 4:4:4,
+  4:2:2, 4:2:0), YCbCr->RGB, restart-marker handling. SOF2
+  (progressive) and sampling factors above 2 are rejected with None,
+  like the other codecs in multimodal.py reject what they don't parse.
 
 Pixel convention matches multimodal.make_bmp/decode_bmp: pixel_fn and
 decoded pixel grids use (b, g, r) tuples, row-major, (0, 0) top-left.
@@ -259,18 +260,41 @@ def _encode_block(
     return zz[0]
 
 
+def _block_at(plane: list[list[float]], width: int, height: int, bx: int, by: int):
+    """Level-shifted 8x8 block with top-left pixel (bx, by), edge pixels
+    replicated into the padding (the standard convention)."""
+    return [
+        [
+            plane[min(by + y, height - 1)][min(bx + x, width - 1)] - 128.0
+            for x in range(8)
+        ]
+        for y in range(8)
+    ]
+
+
 def _component_blocks(plane: list[list[float]], width: int, height: int):
-    """Yield level-shifted 8x8 blocks left-to-right, top-to-bottom, edge
-    pixels replicated into the padding (the standard convention)."""
+    """Yield level-shifted 8x8 blocks left-to-right, top-to-bottom."""
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
-            yield [
-                [
-                    plane[min(by + y, height - 1)][min(bx + x, width - 1)] - 128.0
-                    for x in range(8)
-                ]
-                for y in range(8)
-            ]
+            yield _block_at(plane, width, height, bx, by)
+
+
+def _downsample(plane: list[list[float]], width: int, height: int, h: int, v: int):
+    """Average-pool a plane by (h, v) — the chroma downsample for 4:2:2 /
+    4:2:0 encoding; edge groups shrink at the right/bottom borders."""
+    cw, ch = (width + h - 1) // h, (height + v - 1) // v
+    out = []
+    for cy in range(ch):
+        row = []
+        for cx in range(cw):
+            acc = n = 0
+            for yy in range(cy * v, min(cy * v + v, height)):
+                for xx in range(cx * h, min(cx * h + h, width)):
+                    acc += plane[yy][xx]
+                    n += 1
+            row.append(acc / n)
+        out.append(row)
+    return out
 
 
 def make_jpeg(
@@ -280,14 +304,24 @@ def make_jpeg(
     quality: int = 90,
     gray: bool = False,
     restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
     """Encode a REAL baseline JFIF JPEG (pure stdlib). ``pixel_fn(x, y)``
     returns (b, g, r) — the make_bmp convention — or a single 0-255 luma
-    value when ``gray``. YCbCr 4:4:4, Annex-K tables at ``quality``.
+    value when ``gray``. Annex-K tables at ``quality``.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (byte-aligned, DC predictors reset — F.1.2.3)."""
+    that many MCUs (byte-aligned, DC predictors reset — F.1.2.3).
+    ``subsample``: '444' (1x1 luma sampling), '422' (2x1 — the MCU is
+    two Y blocks + Cb + Cr over 16x8 px) or '420' (2x2 — four Y blocks
+    + Cb + Cr over 16x16 px, the common web-JPEG shape); chroma planes
+    are average-pooled, ignored for grayscale."""
     if width <= 0 or height <= 0:
         raise ValueError("JPEG dimensions must be positive")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
+    hy, vy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
+    if gray:
+        hy = vy = 1
     qy = scaled_quant_table(QUANT_LUMA, quality)
     qc = scaled_quant_table(QUANT_CHROMA, quality)
 
@@ -314,35 +348,53 @@ def make_jpeg(
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    # interleaved scan: per MCU one block of each component (4:4:4)
+    # interleaved scan: per MCU, (hi x vi) blocks of each component in
+    # raster order within the MCU (A.2.3) — 4:4:4 is the 1x1 case
+    ncomp = len(planes)
+    if ncomp == 3 and (hy, vy) != (1, 1):
+        planes = [
+            planes[0],
+            _downsample(planes[1], width, height, hy, vy),
+            _downsample(planes[2], width, height, hy, vy),
+        ]
+    cw, ch = (width + hy - 1) // hy, (height + vy - 1) // vy
+    samp = [(hy, vy)] + [(1, 1)] * (ncomp - 1)
+    dims = [(width, height)] + [(cw, ch)] * (ncomp - 1)
     w = _BitWriter()
-    comp_quant = [qy] + [qc, qc][: len(planes) - 1]
-    comp_codes = [(dc_y, ac_y)] + [(dc_c, ac_c), (dc_c, ac_c)][: len(planes) - 1]
-    iters = [
-        _component_blocks(p, width, height) for p in planes
-    ]
-    preds = [0] * len(planes)
-    n_mcu = ((width + 7) // 8) * ((height + 7) // 8)
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            w.flush()
-            w.out += bytes((0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)))
-            preds = [0] * len(planes)
-        for ci in range(len(planes)):
-            block = next(iters[ci])
-            coef = _fdct(block)
-            q = comp_quant[ci]
-            zz = [
-                int(round(coef[ZIGZAG[k] // 8][ZIGZAG[k] % 8] / q[ZIGZAG[k]]))
-                for k in range(64)
-            ]
-            preds[ci] = _encode_block(w, zz, preds[ci], *comp_codes[ci])
+    comp_quant = [qy] + [qc, qc][: ncomp - 1]
+    comp_codes = [(dc_y, ac_y)] + [(dc_c, ac_c), (dc_c, ac_c)][: ncomp - 1]
+    preds = [0] * ncomp
+    mcus_x = (width + 8 * hy - 1) // (8 * hy)
+    mcus_y = (height + 8 * vy - 1) // (8 * vy)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes((0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)))
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                cwi, chi = dims[ci]
+                q = comp_quant[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = _block_at(
+                            planes[ci], cwi, chi,
+                            (mx * hi + bx) * 8, (my * vi + by) * 8,
+                        )
+                        coef = _fdct(block)
+                        zz = [
+                            int(round(coef[ZIGZAG[k] // 8][ZIGZAG[k] % 8] / q[ZIGZAG[k]]))
+                            for k in range(64)
+                        ]
+                        preds[ci] = _encode_block(w, zz, preds[ci], *comp_codes[ci])
+            mcu += 1
     w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
 
-    ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG[k]] for k in range(64)))
@@ -350,7 +402,8 @@ def make_jpeg(
         out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG[k]] for k in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        h_i, v_i = samp[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)  # SOF0 baseline
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -370,6 +423,225 @@ def make_jpeg(
     out += seg(0xDA, sos)
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al rounding toward zero (G.1.2.2;
+    DC uses a plain arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first(w, zz, ss, se, al, ac_codes):
+    """AC first scan for one block: run-length over the point-transformed
+    band, per-block EOB (no cross-block EOB-run accumulation — Annex K
+    tables carry no EOBn symbols)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = _pt(zz[k], al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | t]
+        w.write(code, ln)
+        w.write(bits, t)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+
+
+def _emit_ac_refine(w, zz, ss, se, al, ac_codes):
+    """AC refinement scan for one block (G.1.2.3, libjpeg's
+    encode_mcu_AC_refine shape): newly-nonzero coefficients (t == 1)
+    emit (run, 1) + sign; already-nonzero ones buffer a correction bit.
+    ZRLs are emitted lazily at the next nonzero coefficient — flushing
+    the bits buffered BEFORE the skipped span, which is exactly what
+    the decoder's skip-walk consumes — and only while another
+    newly-nonzero coefficient remains (otherwise the run folds into the
+    closing EOB)."""
+    band = list(range(ss, se + 1))
+    ts = [abs(zz[k]) >> al for k in band]
+    new_pos = [i for i, t in enumerate(ts) if t == 1]
+    eob_i = new_pos[-1] if new_pos else -1
+    run = 0
+    pending: list[int] = []
+    for i, k in enumerate(band):
+        t = ts[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_i:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+        for b in pending:
+            w.write(b, 1)
+
+
+def make_progressive_jpeg(
+    width: int,
+    height: int,
+    pixel_fn,
+    quality: int = 90,
+    gray: bool = False,
+    approx: bool = True,
+) -> bytes:
+    """Encode a REAL progressive (SOF2) JFIF JPEG, pure stdlib, 1x1
+    sampling, Annex-K tables.  ``approx=True`` uses successive
+    approximation (DC Al=1 first + DC refine, AC Al=1 first + AC
+    refine per component); ``approx=False`` is spectral selection only
+    (full-precision DC scan, then AC bands 1-5 and 6-63 per
+    component).  Same quantized coefficients as ``make_jpeg`` at the
+    same quality, so both decode to identical pixels."""
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG dimensions must be positive")
+    qy = scaled_quant_table(QUANT_LUMA, quality)
+    qc = scaled_quant_table(QUANT_CHROMA, quality)
+    if gray:
+        planes = [
+            [[float(pixel_fn(x, y)) for x in range(width)] for y in range(height)]
+        ]
+    else:
+        ys, cbs, crs = [], [], []
+        for y in range(height):
+            ry, rcb, rcr = [], [], []
+            for x in range(width):
+                b, g, r = pixel_fn(x, y)
+                ry.append(0.299 * r + 0.587 * g + 0.114 * b)
+                rcb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+                rcr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+            ys.append(ry)
+            cbs.append(rcb)
+            crs.append(rcr)
+        planes = [ys, cbs, crs]
+    ncomp = len(planes)
+    comp_quant = [qy] + [qc, qc][: ncomp - 1]
+    # zigzag-ordered quantized blocks per component, block-raster order
+    blocks: list[list[list[int]]] = []
+    for ci in range(ncomp):
+        q = comp_quant[ci]
+        bl = []
+        for block in _component_blocks(planes[ci], width, height):
+            coef = _fdct(block)
+            bl.append(
+                [
+                    int(round(coef[ZIGZAG[k] // 8][ZIGZAG[k] % 8] / q[ZIGZAG[k]]))
+                    for k in range(64)
+                ]
+            )
+        blocks.append(bl)
+
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    comp_dc = [dc_y] + [dc_c, dc_c][: ncomp - 1]
+    comp_ac = [ac_y] + [ac_c, ac_c][: ncomp - 1]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    def sos_header(comps_tabs, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_tabs)])
+        for cid, tabs in comps_tabs:
+            body += bytes([cid, tabs])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_scan(al) -> bytes:
+        w = _BitWriter()
+        preds = [0] * ncomp
+        for bi in range(len(blocks[0])):
+            for ci in range(ncomp):
+                dc = blocks[ci][bi][0] >> al  # DC point transform: shift
+                t, bits = _magnitude(dc - preds[ci])
+                code, ln = comp_dc[ci][t]
+                w.write(code, ln)
+                if t:
+                    w.write(bits, t)
+                preds[ci] = dc
+        w.flush()
+        hdr = sos_header(
+            [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(ncomp)],
+            0, 0, 0, al,
+        )
+        return hdr + w.out
+
+    def dc_refine(al) -> bytes:
+        w = _BitWriter()
+        for bi in range(len(blocks[0])):
+            for ci in range(ncomp):
+                w.write((blocks[ci][bi][0] >> al) & 1, 1)
+        w.flush()
+        hdr = sos_header(
+            [(ci + 1, 0) for ci in range(ncomp)], 0, 0, al + 1, al
+        )
+        return hdr + w.out
+
+    def ac_scan(ci, ss, se, ah, al) -> bytes:
+        w = _BitWriter()
+        for zz in blocks[ci]:
+            if ah == 0:
+                _emit_ac_first(w, zz, ss, se, al, comp_ac[ci])
+            else:
+                _emit_ac_refine(w, zz, ss, se, al, comp_ac[ci])
+        w.flush()
+        hdr = sos_header([(ci + 1, 0 if ci == 0 else 1)], ss, se, ah, al)
+        return hdr + w.out
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG[k]] for k in range(64)))
+    if ncomp == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+    ) + (
+        ((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS), (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+        if ncomp == 3
+        else ()
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if approx:
+        out += dc_scan(1)
+        for ci in range(ncomp):
+            out += ac_scan(ci, 1, 63, 0, 1)
+        out += dc_refine(0)
+        for ci in range(ncomp):
+            out += ac_scan(ci, 1, 63, 1, 0)
+    else:
+        out += dc_scan(0)
+        for ci in range(ncomp):
+            out += ac_scan(ci, 1, 5, 0, 0)
+            out += ac_scan(ci, 6, 63, 0, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -459,22 +731,29 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> dict | None:
     """Decode a baseline sequential JFIF JPEG (8-bit, 1 or 3 components,
-    1x1 sampling i.e. 4:4:4 or grayscale) into {width, height, pixels}
+    sampling factors 1-2 per axis — 4:4:4 / 4:2:2 / 4:2:0 / grayscale,
+    nearest-neighbor chroma upsampling) into {width, height, pixels}
     with (b, g, r) tuples — the decode_bmp convention. Returns None for
-    anything this baseline decoder doesn't cover (progressive SOF2,
-    subsampled chroma, arithmetic coding, 12-bit)."""
+    anything this decoder doesn't cover (progressive SOF2, sampling
+    factors above 2, arithmetic coding, 12-bit)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (width, height, [(comp_id, qtab_id)])
+    frame = None  # (width, height, [(comp_id, h, v, qtab_id)])
+    progressive = False
+    coefs: dict[int, list] | None = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:
+            if progressive and coefs is not None:
+                return _finish_progressive(frame, quant, coefs)
+            return None  # EOI before SOS on the baseline path
+        if pos + 4 > len(payload):
             return None
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
@@ -503,38 +782,82 @@ def decode_jpeg(payload: bytes) -> dict | None:
                     return None
                 huff[(cls, tid)] = _decode_map(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3) or w_ <= 0 or h <= 0:
                 return None
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    return None  # 4:4:4 / grayscale only
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # sampling factors beyond 2 not supported
+                comps.append((cid, hi, vi, tq))
             frame = (w_, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline/-progressive frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA and progressive:  # progressive scan
+            if frame is None:
+                return None
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3:
+                return None
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if ss > se or se > 63 or (ss == 0 and se != 0):
+                return None  # G.1.1.1.1: DC scans carry exactly Ss=Se=0
+            scan_sel = []
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                td, ta = tabs >> 4, tabs & 15
+                tab = huff.get((0, td)) if ss == 0 else huff.get((1, ta))
+                if ss == 0 and ah > 0:
+                    tab = tab or {}  # DC refinement reads raw bits only
+                if tab is None:
+                    return None
+                scan_sel.append((cs, tab))
+            if coefs is None:
+                width, height, fcomps = frame
+                hmax = max(c[1] for c in fcomps)
+                vmax = max(c[2] for c in fcomps)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                coefs = {
+                    cid: [
+                        [[0] * 64 for _ in range(mcus_x * hi)]
+                        for _ in range(mcus_y * vi)
+                    ]
+                    for cid, hi, vi, _tq in fcomps
+                }
+            nxt = _progressive_scan(
+                payload, pos + 2 + ln, frame, frame[2], scan_sel,
+                ss, se, ah, al, restart_interval, coefs,
+            )
+            if nxt is None:
+                return None
+            pos = nxt
+            continue
+        elif marker == 0xDA:  # SOS — baseline, entropy data follows
             if frame is None:
                 return None
             ns = body[0]
             if ns != len(frame[2]):
                 return None
-            scan = []  # (dc_table, ac_table, qtab)
+            scan = []  # (dc_table, ac_table, qtab, h, v)
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 td, ta = tabs >> 4, tabs & 15
                 match = [c for c in frame[2] if c[0] == cs]
                 if not match or (0, td) not in huff or (1, ta) not in huff:
                     return None
-                qt = quant.get(match[0][1])
+                _cid, hi, vi, tq = match[0]
+                qt = quant.get(tq)
                 if qt is None:
                     return None
-                scan.append((huff[(0, td)], huff[(1, ta)], qt))
+                scan.append((huff[(0, td)], huff[(1, ta)], qt, hi, vi))
             return _decode_scan(
                 payload, pos + 2 + ln, frame, scan, restart_interval
             )
@@ -543,14 +866,320 @@ def decode_jpeg(payload: bytes) -> dict | None:
     return None
 
 
+def _decode_block(br, dc_tab, ac_tab, pred):
+    """One baseline 8x8 block: (zz[64] quantized coefficients, new DC
+    predictor), or None on a broken stream."""
+    t = _read_huff_symbol(br, dc_tab)
+    if t is None or t > 15:
+        return None
+    diff = 0
+    if t:
+        v = br.bits(t)
+        if v is None:
+            return None
+        diff = _extend(v, t)
+    pred += diff
+    zz = [0] * 64
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_huff_symbol(br, ac_tab)
+        if rs is None:
+            return None
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        t = rs & 15
+        if k > 63 or t == 0:
+            return None
+        v = br.bits(t)
+        if v is None:
+            return None
+        zz[k] = _extend(v, t)
+        k += 1
+    return zz, pred
+
+
+def _idct_into(plane, zz, qt, base_x, base_y):
+    coef = [[0.0] * 8 for _ in range(8)]
+    for k in range(64):
+        nat = ZIGZAG[k]
+        coef[nat // 8][nat % 8] = zz[k] * qt[nat]
+    px = _idct(coef)
+    for yy in range(8):
+        row = plane[base_y + yy]
+        for xx in range(8):
+            row[base_x + xx] = px[yy][xx] + 128.0
+
+
+def _planes_to_pixels(planes, width, height, samp):
+    """Nearest-neighbor chroma upsampling + YCbCr->RGB (or grayscale
+    passthrough); samp = [(h, v)] per component, hmax/vmax derived."""
+
+    def clamp(v: float) -> int:
+        return 0 if v < 0 else 255 if v > 255 else int(v + 0.5)
+
+    nc = len(planes)
+    pixels = []
+    if nc == 1:
+        for y in range(height):
+            pixels.append([(clamp(planes[0][y][x]),) * 3 for x in range(width)])
+        return pixels
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    for y in range(height):
+        row = []
+        for x in range(width):
+            Y = planes[0][(y * samp[0][1]) // vmax][(x * samp[0][0]) // hmax]
+            cb = planes[1][(y * samp[1][1]) // vmax][(x * samp[1][0]) // hmax] - 128.0
+            cr = planes[2][(y * samp[2][1]) // vmax][(x * samp[2][0]) // hmax] - 128.0
+            r = clamp(Y + 1.402 * cr)
+            g = clamp(Y - 0.344136 * cb - 0.714136 * cr)
+            b = clamp(Y + 1.772 * cb)
+            row.append((b, g, r))
+        pixels.append(row)
+    return pixels
+
+
+def _finish_progressive(frame, quant, coefs):
+    """Dequantize + IDCT the accumulated progressive coefficient state
+    (blocks hold NATURAL-order values) and convert to pixels."""
+    width, height, comps = frame
+    samp = [(hi, vi) for _cid, hi, vi, _tq in comps]
+    planes = []
+    for cid, _hi, _vi, tq in comps:
+        qt = quant.get(tq)
+        if qt is None:
+            return None
+        grid = coefs[cid]
+        bh, bw = len(grid), len(grid[0])
+        plane = [[0.0] * (bw * 8) for _ in range(bh * 8)]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = grid[by][bx]
+                coef = [[0.0] * 8 for _ in range(8)]
+                for nat in range(64):
+                    coef[nat // 8][nat % 8] = blk[nat] * qt[nat]
+                px = _idct(coef)
+                for yy in range(8):
+                    row = plane[by * 8 + yy]
+                    for xx in range(8):
+                        row[bx * 8 + xx] = px[yy][xx] + 128.0
+        planes.append(plane)
+    pixels = _planes_to_pixels(planes, width, height, samp)
+    return {"width": width, "height": height, "pixels": pixels}
+
+
+def _refine_ac(br, zz, k, se, al, run, newval):
+    """AC successive-approximation refinement inner loop (G.1.2.3 /
+    libjpeg decode_mcu_AC_refine): advance from zigzag index k, reading
+    a correction bit for every already-nonzero coefficient, consuming
+    ``run`` zero-history positions, then depositing ``newval`` (if any)
+    at the next zero-history slot.  Returns the next k, or None."""
+    while k <= se:
+        if zz[k] != 0:
+            bit = br.bits(1)
+            if bit is None:
+                return None
+            if bit and (zz[k] & (1 << al)) == 0:
+                zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+        else:
+            if run == 0:
+                break
+            run -= 1
+        k += 1
+    if k <= se:
+        # the break position itself is consumed (libjpeg's outer k++):
+        # deposit the new coefficient there if this symbol carried one
+        if newval:
+            zz[k] = newval
+        k += 1
+    return k
+
+
+def _progressive_scan(
+    payload, pos, frame, comps, scan_sel, ss, se, ah, al,
+    restart_interval, coefs,
+):
+    """One progressive (SOF2) scan: DC first/refine (interleaved or
+    single-component) or AC first/refine (single-component, with EOB
+    runs).  Mutates ``coefs`` (cid -> [by][bx] -> zz[64]); returns the
+    offset just past the scan's entropy bytes, or None on error."""
+    width, height, _ = frame
+    br = _BitReader(payload, pos)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    eobrun = 0
+    if ss == 0:
+        # DC scan — interleaved over the scan's components (G.1.1.1)
+        sel = [c for c in comps if c[0] in {cid for cid, _t in scan_sel}]
+        tabs = dict(scan_sel)
+        preds = {c[0]: 0 for c in sel}
+        mcu_count = 0
+        if len(sel) > 1:
+            grid = [(mx, my) for my in range(mcus_y) for mx in range(mcus_x)]
+        else:
+            # single-component DC scan: non-interleaved block raster
+            cid, hi, vi, _tq = sel[0]
+            cw = (width * hi + hmax - 1) // hmax
+            ch = (height * vi + vmax - 1) // vmax
+            grid = [(bx, by) for by in range((ch + 7) // 8) for bx in range((cw + 7) // 8)]
+        for gx, gy in grid:
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not br.restart():
+                    return None
+                preds = {c[0]: 0 for c in sel}
+            for cid, hi, vi, _tq in sel:
+                if len(sel) > 1:
+                    blocks = [
+                        (gx * hi + bx, gy * vi + by)
+                        for by in range(vi)
+                        for bx in range(hi)
+                    ]
+                else:
+                    blocks = [(gx, gy)]
+                for bxx, byy in blocks:
+                    zz = coefs[cid][byy][bxx]
+                    if ah == 0:
+                        dc_tab = tabs[cid]
+                        t = _read_huff_symbol(br, dc_tab)
+                        if t is None or t > 15:
+                            return None
+                        diff = 0
+                        if t:
+                            v = br.bits(t)
+                            if v is None:
+                                return None
+                            diff = _extend(v, t)
+                        preds[cid] += diff
+                        zz[0] = preds[cid] << al
+                    else:
+                        bit = br.bits(1)
+                        if bit is None:
+                            return None
+                        if bit:
+                            zz[0] |= 1 << al
+            mcu_count += 1
+    else:
+        # AC scan — always single-component (G.1.1.1.1)
+        if len(scan_sel) != 1:
+            return None
+        cid, ac_tab = scan_sel[0]
+        match = [c for c in comps if c[0] == cid]
+        if not match:
+            return None
+        _cid, hi, vi, _tq = match[0]
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        bw, bh = (cw + 7) // 8, (ch + 7) // 8
+        mcu_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    if not br.restart():
+                        return None
+                    eobrun = 0
+                zz = coefs[cid][by][bx]
+                if ah == 0:
+                    # AC first scan (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _read_huff_symbol(br, ac_tab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                v = br.bits(r) if r else 0
+                                if v is None:
+                                    return None
+                                eobrun = (1 << r) + v - 1
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            v = br.bits(s)
+                            if v is None:
+                                return None
+                            zz[ZIGZAG[k]] = _extend(v, s) << al
+                            k += 1
+                else:
+                    # AC refinement scan (G.1.2.3) over zigzag order
+                    band = [ZIGZAG[k] for k in range(ss, se + 1)]
+                    vals = [zz[n] for n in band]
+                    if eobrun > 0:
+                        got = _refine_ac(br, vals, 0, len(vals) - 1, al, len(vals), 0)
+                        if got is None:
+                            return None
+                        eobrun -= 1
+                    else:
+                        k = 0
+                        while k < len(vals):
+                            rs = _read_huff_symbol(br, ac_tab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    v = br.bits(r) if r else 0
+                                    if v is None:
+                                        return None
+                                    eobrun = (1 << r) + v
+                                    break
+                                # r == 15: skip 16 zero-history slots
+                            else:
+                                if s != 1:
+                                    return None
+                                bit = br.bits(1)
+                                if bit is None:
+                                    return None
+                                newval = (1 << al) if bit else -(1 << al)
+                            got = _refine_ac(br, vals, k, len(vals) - 1, al, r, newval)
+                            if got is None:
+                                return None
+                            k = got
+                        if eobrun > 0:
+                            got = _refine_ac(br, vals, k, len(vals) - 1, al, len(vals), 0)
+                            if got is None:
+                                return None
+                            eobrun -= 1
+                    for i, n in enumerate(band):
+                        zz[n] = vals[i]
+                mcu_count += 1
+    # locate the next marker after this scan's entropy bytes
+    p = br.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return None
+
+
 def _decode_scan(payload, pos, frame, scan, restart_interval):
     width, height, _comps = frame
     nc = len(scan)
     br = _BitReader(payload, pos)
-    mcus_x = (width + 7) // 8
-    mcus_y = (height + 7) // 8
+    samp = [(hi, vi) for _dc, _ac, _qt, hi, vi in scan]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        [[0.0] * (mcus_x * 8) for _ in range(mcus_y * 8)] for _ in range(nc)
+        [[0.0] * (mcus_x * 8 * hi) for _ in range(mcus_y * 8 * vi)]
+        for hi, vi in samp
     ]
     preds = [0] * nc
     mcu_count = 0
@@ -561,68 +1190,17 @@ def _decode_scan(payload, pos, frame, scan, restart_interval):
                     return None
                 preds = [0] * nc
             for ci in range(nc):
-                dc_tab, ac_tab, qt = scan[ci]
-                t = _read_huff_symbol(br, dc_tab)
-                if t is None or t > 15:
-                    return None
-                diff = 0
-                if t:
-                    v = br.bits(t)
-                    if v is None:
-                        return None
-                    diff = _extend(v, t)
-                preds[ci] += diff
-                zz = [0] * 64
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_huff_symbol(br, ac_tab)
-                    if rs is None:
-                        return None
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    t = rs & 15
-                    if k > 63 or t == 0:
-                        return None
-                    v = br.bits(t)
-                    if v is None:
-                        return None
-                    zz[k] = _extend(v, t)
-                    k += 1
-                coef = [[0.0] * 8 for _ in range(8)]
-                for k in range(64):
-                    nat = ZIGZAG[k]
-                    coef[nat // 8][nat % 8] = zz[k] * qt[nat]
-                px = _idct(coef)
-                base_y, base_x = my * 8, mx * 8
-                plane = planes[ci]
-                for yy in range(8):
-                    row = plane[base_y + yy]
-                    for xx in range(8):
-                        row[base_x + xx] = px[yy][xx] + 128.0
+                dc_tab, ac_tab, qt, hi, vi = scan[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        got = _decode_block(br, dc_tab, ac_tab, preds[ci])
+                        if got is None:
+                            return None
+                        zz, preds[ci] = got
+                        _idct_into(
+                            planes[ci], zz, qt,
+                            (mx * hi + bx) * 8, (my * vi + by) * 8,
+                        )
             mcu_count += 1
-
-    def clamp(v: float) -> int:
-        return 0 if v < 0 else 255 if v > 255 else int(v + 0.5)
-
-    pixels = []
-    if nc == 1:
-        for y in range(height):
-            pixels.append(
-                [(clamp(planes[0][y][x]),) * 3 for x in range(width)]
-            )
-    else:
-        for y in range(height):
-            row = []
-            for x in range(width):
-                Y, cb, cr = planes[0][y][x], planes[1][y][x] - 128.0, planes[2][y][x] - 128.0
-                r = clamp(Y + 1.402 * cr)
-                g = clamp(Y - 0.344136 * cb - 0.714136 * cr)
-                b = clamp(Y + 1.772 * cb)
-                row.append((b, g, r))
-            pixels.append(row)
+    pixels = _planes_to_pixels(planes, width, height, samp)
     return {"width": width, "height": height, "pixels": pixels}

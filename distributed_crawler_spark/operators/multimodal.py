@@ -24,12 +24,13 @@ synthesized media row decodes a REAL container format, all pure stdlib:
 
 Decode extracts true header metadata and payload-derived features,
 resize does real nearest-neighbor resampling (per-frame for AVI/MP4,
-sample resampling for WAV) re-encoded in the source format. Formats
-this container genuinely cannot decode (progressive/subsampled JPEG,
-MP3 — no PIL/ffmpeg) fall
-back to the clearly-marked deterministic ``_fake_decode`` stub, so
-arbitrary user data stays handled and a real deployment only swaps the
-fallback for PIL/soundfile/pyav.
+sample resampling for WAV) re-encoded in the source format. JPEG covers
+baseline AND progressive (SOF2) with 4:4:4/4:2:2/4:2:0 sampling
+(operators/jpeg.py). The one format this container genuinely cannot
+decode (MP3 — the Layer-III synthesis window tables aren't derivable
+offline and there's no PIL/ffmpeg) falls back to the clearly-marked
+deterministic ``_fake_decode`` stub, so arbitrary user data stays
+handled and a real deployment only swaps the fallback for soundfile.
 """
 
 from __future__ import annotations
@@ -737,11 +738,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(payload: bytes, media_id: int) -> dict:
     """STUB for formats this container can't decode (no PIL/soundfile/
-    pyav — e.g. progressive/subsampled JPEG, MP3): deterministic fake
-    metadata + an 8-dim feature derived from the bytes. A real
+    pyav — now only MP3 and exotic/corrupt payloads): deterministic
+    fake metadata + an 8-dim feature derived from the bytes. A real
     deployment replaces this fallback only — BMP/PNG/WAV/AVI here plus
-    baseline JPEG (operators/jpeg.py) and MJPEG MP4 (operators/mp4.py)
-    are real decodes, and no synthesized row hits this path anymore."""
+    baseline+progressive JPEG at 4:4:4/4:2:2/4:2:0 (operators/jpeg.py)
+    and MJPEG MP4 (operators/mp4.py) are real decodes, and no
+    synthesized row hits this path anymore."""
     n = len(payload)
     width = 32 * (1 + media_id % 16)
     height = 32 * (1 + (media_id // 16) % 16)
