@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_keep_one",
     "pii_scrub",
     "curate_corpus",
+    "pagerank",
 ]
 
 

@@ -147,6 +147,65 @@ def connected_components(
     )
 
 
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-arithmetic PageRank — frontier prioritization over the
+    crawl link graph (the score production crawlers rank fetch queues
+    by; the reference's FIFO frontier has no notion of it).
+
+    Scores are integers in units of 1/scale: every node starts at
+    ``scale``; each round every edge carries ``score // out_degree``
+    and a node's new score is ``(scale * (den-num)) // den +
+    (num * incoming) // den`` (the per-node-base PageRank variant,
+    damping num/den).  ALL arithmetic is nonnegative-integer division,
+    so the result is BIT-EXACT regardless of partitioning, join order,
+    or engine — the DuckDB oracle replays the same unrolled iterations
+    with no float-rounding caveat (contrast kmeans_lloyd's
+    round(avg, 6) contract).
+
+    Scale shape per iteration: one (src) join + one map-side-combined
+    groupBy(dst) sum + one left join back to the node list — shuffles
+    carry (id, long) pairs only.  A fixed iteration count (PageRank
+    converges geometrically; 5-10 rounds rank-stabilizes web graphs),
+    so the lineage is a short static chain — no checkpoints needed."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    base = (scale * (damp_den - damp_num)) // damp_den
+    scores = nodes.select(
+        F.col(node_col).cast("long").alias("node"), F.lit(scale).cast("long").alias("score")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(scores, F.col("src") == F.col("node"))
+            .join(odeg, "src")
+            .select("dst", F.expr("score DIV od").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        scores = (
+            scores.select("node")
+            .join(incoming, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damp_num} * coalesce(inc, 0L)) DIV {damp_den}")
+                ).alias("score"),
+            )
+        )
+    return scores
+
+
 def dedup_clusters(
     pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

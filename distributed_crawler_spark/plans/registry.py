@@ -1088,6 +1088,67 @@ ORDER BY source, lang
 """
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    from ..corpus import LINK_COEFFS
+
+    scale, num, den = 1_000_000, 85, 100
+    base = (scale * (den - num)) // den
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS src, ({a} * doc_id + {b}) % nn.n AS dst FROM documents, nn"
+        for a, b in LINK_COEFFS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS (\n{unions}\n)",
+        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"s0 AS (SELECT doc_id AS node, {scale}::BIGINT AS score FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst, sum(s.score // o.od) AS inc
+  FROM edges e JOIN s{i-1} s ON s.node = e.src JOIN odeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.node, ({base} + ({num} * coalesce(c.inc, 0)) // {den})::BIGINT AS score
+  FROM s{i-1} s LEFT JOIN c{i} c ON c.dst = s.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT node AS doc_id, score FROM s{iters} ORDER BY doc_id"
+
+
+@q("pagerank", _pagerank_oracle_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-prioritization PageRank over the crawl model's link
+    graph (5 iterations, damping 85/100, integer units of 1e-6): the
+    fetch-queue ranking signal the reference's FIFO frontier lacks.
+    Integer-only arithmetic makes the result bit-exact across engines
+    and partitionings — the oracle unrolls the same 5 iterations with
+    // division, no float-rounding contract needed."""
+    from ..corpus import _doc_count, LINK_COEFFS
+    from ..operators.graph import pagerank_int
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        pagerank_int(nodes, edges, iters=5)
+        .select(F.col("node").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )
+
+
 @q("curate_corpus", _curate_oracle_sql())
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-release pipeline — the composed flagship a
@@ -3150,6 +3211,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # cluster keep-one -> decontaminate -> release report)
     "pii_scrub",
     "curate_corpus",
+    # late round 6: integer-arithmetic PageRank over the crawl link
+    # graph (bit-exact unrolled oracle) — first driver row
+    "pagerank",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from

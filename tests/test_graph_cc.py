@@ -73,6 +73,47 @@ def test_long_path_converges_within_bound(spark):
     assert set(got.values()) == {0}
 
 
+def _pr_py(nodes, edges, iters=5, scale=1_000_000, num=85, den=100):
+    """Pure-Python integer PageRank reference."""
+    od: dict[int, int] = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    score = {v: scale for v in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t in edges:
+            inc[t] += score[s] // od[s]
+        score = {v: base + (num * inc[v]) // den for v in nodes}
+    return score
+
+
+def test_pagerank_int_vs_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    nodes = list(range(60))
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(180)
+    ]  # multi-edges + self-loops allowed; some nodes dangling
+    exp = _pr_py(nodes, edges)
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["score"]
+        for r in graph.pagerank_int(ndf, edf, iters=5).collect()
+    }
+    assert got == exp
+    # bit-exactness under a different partitioning
+    got2 = {
+        r["node"]: r["score"]
+        for r in graph.pagerank_int(ndf.repartition(7), edf.repartition(13), iters=5).collect()
+    }
+    assert got2 == exp
+
+
 def test_keep_one_per_cluster(spark):
     docs = spark.range(8).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame(
