@@ -78,6 +78,10 @@ HEADLINE = [
     "pii_scrub",
     "curate_corpus",
     "pagerank",
+    "mixture_sample",
+    "dedup_paragraphs",
+    "token_count_bpe",
+    "training_shards",
 ]
 
 

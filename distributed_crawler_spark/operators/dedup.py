@@ -624,3 +624,90 @@ def ngram_decontaminate(
             F.min("gram").alias("example_gram"),
         )
     )
+
+
+def remove_dup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication: drop every paragraph
+    whose content already appeared earlier in the corpus (earlier =
+    smaller (doc, paragraph-index) pair), keeping only the globally
+    FIRST occurrence, then reassemble each document from its surviving
+    paragraphs.  This is the boilerplate-killer of web-corpus pipelines
+    (cookie banners, nav menus, license footers repeat across millions
+    of pages while full-document dedup never fires); the reference
+    deduplicates whole URLs only (master_node.py:69-70,336-391).
+
+    Paragraph boundary: the corpus model's text is single-line, so a
+    "paragraph" here is a fixed window of ``para_tokens`` whitespace
+    tokens (non-overlapping, last one short) — the operator is agnostic:
+    swap the segmenter for split-on-newline when the input has real
+    paragraph structure.
+
+    Returns (id, n_paras, n_kept, text_dedup), one row per input doc
+    (text_dedup = '' when every paragraph was removed).
+
+    Scale shape: paragraph TEXT never enters the dedup shuffle — each
+    paragraph is reduced to its portable 60-bit hash immediately, so the
+    first-occurrence window shuffles only (hash, id, idx) triples
+    (~24 bytes/paragraph at 100 TB, not the paragraphs themselves); the
+    surviving indices are re-joined to the original docs (shuffle keyed
+    on id) and the text is re-sliced from the token array locally.
+    Dedup key is the 60-bit hash, same on both engines (collision odds
+    ~n^2/2^61 — the documented md5-prefix contract every other dedup
+    operator here shares)."""
+    p = int(para_tokens)
+    toks = docs.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("__toks")
+    )
+    # non-overlapping P-token windows; guard the empty doc (sequence()
+    # DESCENDS when stop < start — same pitfall as shingles_from_tokens)
+    nseg = F.ceil(F.size("__toks") / p).cast("int")
+    seg_idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segged = toks.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.transform(
+            seg_idx,
+            lambda i: phash(F.array_join(F.slice("__toks", i * p + 1, p), " ")),
+        ).alias("__seg_hashes"),
+    )
+    paras = segged.select(
+        F.col(id_col), F.posexplode("__seg_hashes").alias("idx", "h")
+    )
+    from pyspark.sql.window import Window
+
+    first_w = Window.partitionBy("h").orderBy(id_col, "idx")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(first_w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "idx")
+    )
+    kept_per_doc = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("idx")).alias("__kept_idx")
+    )
+    rebuilt = (
+        segged.join(kept_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__seg_hashes").alias("n_paras"),
+            F.coalesce(F.size("__kept_idx"), F.lit(0)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(
+                        F.col("__kept_idx"), F.array().cast("array<int>")
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i * p + 1, p), " "
+                    ),
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    return rebuilt

@@ -258,6 +258,177 @@ def hash_sample(
     return out
 
 
+# GPT-2-style BPE PRE-tokenizer (the "BPE-ish regex"): contractions,
+# optional-space letter runs, optional-space digit runs, optional-space
+# punctuation runs, whitespace runs. Restricted to the Java-regex ∩ RE2
+# subset (the functions/pii.py discipline) so the DuckDB oracle runs the
+# SAME pattern: GPT-2's \s+(?!\S) lookahead is not RE2-expressible, so
+# interior multi-space runs tokenize as one whitespace token instead of
+# reserving the final space — a documented, deterministic divergence.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc BPE-pretokenizer statistics: token count, distinct-token
+    count, and chars-per-token (the LM-cost proxy used to budget
+    training corpora — whitespace word counts undercount punctuation-
+    and digit-heavy text). One JVM-native regexp_extract_all projection;
+    the token array is bound once (Catalyst HOF-inlining discipline)."""
+    bound = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__len"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0
+        ).alias("__bt"),
+    )
+    return bound.select(
+        F.col(id_col),
+        F.size("__bt").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("__bt")).alias("n_unique_bpe"),
+        F.round(
+            F.col("__len") / F.greatest(F.size("__bt"), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "m0",
+    target_total: int | None = None,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (alpha = 0.5) — the
+    multilingual/multi-source re-balancing step of an LM data recipe
+    (mC4 / XLM-R style alpha-sampling): a domain with c docs gets an
+    expected share proportional to c^alpha, so head domains are
+    down-weighted and tail domains up-weighted relative to natural
+    frequency.
+
+    The whole computation is INTEGER arithmetic so the result is
+    bit-exact across engines, runs, and partition layouts (the
+    pagerank_int discipline — no float sums whose value depends on
+    reduction order):
+
+        c_d    = count(domain)                       (exact bigint)
+        w_d    = floor(sqrt(c_d))                    (IEEE sqrt is
+                 correctly rounded, so floor matches on every engine)
+        S      = sum_d w_d                           (integer sum, exact)
+        T      = target_total (default: corpus_size div 2)
+        picks_d = (T * w_d) div S                    (floor division)
+        keep doc <=> pmod(phash(seed||key), G) * c_d < picks_d * G
+
+    so each domain keeps ~picks_d docs chosen by the deterministic
+    portable hash. The min(1, .) cap is implicit: picks_d >= c_d makes
+    the inequality true for every hash value. Overflow bound (bigint):
+    with G = 1e6 the largest product is max(G*c_d, T*G) — safe past a
+    10^10-doc corpus (1e16 << 2^63).
+
+    Plan shape: one groupBy(domain) count (map-side combined), the
+    per-domain picks table broadcast back — no shuffle of the corpus
+    itself. Extends the reference's uniform frontier consumption
+    (master_node.py task dispatch has no notion of source weighting).
+    """
+    # materialize the tiny per-domain counts once (localCheckpoint — the
+    # graph.py discipline): both the picks table and the (S, N) totals
+    # derive from it, and without truncation Catalyst re-expands the
+    # lineage into TWO full corpus scans
+    counts = (
+        docs.groupBy(domain_col)
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    w = counts.withColumn("__w", F.floor(F.sqrt(F.col("__c"))).cast("long"))
+    tot = w.agg(
+        F.sum("__w").alias("__s"), F.sum("__c").alias("__n")
+    )
+    per = w.crossJoin(F.broadcast(tot))
+    t_expr = (
+        F.lit(int(target_total))
+        if target_total is not None
+        else F.expr("__n div 2")
+    )
+    per = per.select(
+        domain_col,
+        "__c",
+        (t_expr * F.col("__w")).cast("long").alias("__tw"),
+        "__s",
+    ).select(
+        domain_col, "__c", F.expr("__tw div __s").alias("__picks")
+    )
+    g = F.lit(int(granularity))
+    h = F.pmod(phash(F.concat(F.lit(seed), F.col(key_col).cast("string"))), g)
+    return (
+        docs.join(F.broadcast(per), domain_col)
+        .filter(h * F.col("__c") < F.col("__picks") * g)
+        .drop("__c", "__picks")
+    )
+
+
+def training_shard_assignment(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: str = "sh0",
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the terminal
+    step of an LM data pipeline: examples must reach the trainer in a
+    pseudo-random order that is reproducible (resumable training, exact
+    ablations) and engine/layout-independent, which DataFrame.sample or
+    rand()-sorts cannot give.
+
+        shard = pmod(phash(seed || id), n_shards)
+        pos   = row_number within shard ordered by (phash(seed' || id), id)
+
+    The within-shard order hash uses a DIFFERENT seed than the shard
+    hash: ordering by a function of the sharding hash would correlate
+    position with shard assignment. Output (id, shard, pos) is the
+    complete deterministic writer plan; `write_training_shards` applies
+    it. Scale shape: the shard hash is uniform so shards are balanced
+    within binomial noise (no mega-key skew by construction — the skew
+    problem politeness windows have does not exist here), and the only
+    shuffle is the per-shard window exchange on the 60-bit-hash-keyed
+    rows."""
+    h_order = phash(F.concat(F.lit(seed + ":o:"), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(
+        phash(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+        F.lit(int(n_shards)),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__ho", id_col)
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"), h_order.alias("__ho"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__ho")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: str = "sh0",
+) -> None:
+    """Materialize the deterministic global shuffle: one directory
+    partition per shard (shard=K/), rows orderable by pos. At cluster
+    scale this is repartition(n_shards on shard) + sortWithinPartitions
+    — each trainer data-loader reads its shard sequentially."""
+    plan = training_shard_assignment(docs, n_shards, id_col, seed)
+    (
+        docs.join(plan, id_col)
+        .repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
 def domain_quota_sample(
     docs: DataFrame,
     quota: int,

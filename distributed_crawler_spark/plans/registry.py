@@ -3057,6 +3057,130 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mixture_sample",
+    f"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS s, CAST(sum(c) AS BIGINT) AS n FROM w),
+per AS (SELECT source, c, ((n // 2) * w) // s AS picks FROM w, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN per ON d.source = per.source
+WHERE ({phash_sql("'m0' || d.doc_id::VARCHAR")} % 1000000) * per.c
+      < per.picks * 1000000
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (alpha = 0.5, target = half
+    the corpus): per-source keep rates proportional to sqrt(count) — the
+    multilingual/multi-source re-balancing recipe (mC4 / XLM-R
+    alpha-sampling). Entirely integer arithmetic (floor(sqrt), integer
+    div, hash-threshold compare), so the kept set is bit-exact across
+    engines and partition layouts; the corpus never shuffles (one
+    map-side-combined count per source, picks broadcast back)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return textstats.temperature_mixture_sample(
+        docs, domain_col="source", key_col="doc_id", seed="m0"
+    ).select("doc_id", "source")
+
+
+# the SAME pattern object the Spark operator compiles — single source of
+# truth, SQL-escaped for the DuckDB literal
+_BPE_RE_SQL = textstats.BPE_PRETOKEN_RE.replace("'", "''")
+
+
+@q(
+    "training_shards",
+    f"""
+SELECT doc_id,
+       ({phash_sql("'sh0' || doc_id::VARCHAR")} % 16)::INT AS shard,
+       row_number() OVER (
+         PARTITION BY ({phash_sql("'sh0' || doc_id::VARCHAR")} % 16)
+         ORDER BY {phash_sql("'sh0:o:' || doc_id::VARCHAR")}, doc_id
+       )::INT AS pos
+FROM documents
+""",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards (the LM
+    pipeline's terminal writer plan): shard = hash mod 16, within-shard
+    position by an independent order hash — reproducible pseudo-random
+    example order across engines, runs, and partition layouts (rand()
+    sorts and DataFrame.sample can't promise any of that)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return textstats.training_shard_assignment(docs, n_shards=16)
+
+
+@q(
+    "token_count_bpe",
+    f"""
+WITH bt AS (
+  SELECT doc_id, length(text) AS len,
+         regexp_extract_all(text, '{_BPE_RE_SQL}') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t)::INT AS n_bpe_tokens,
+       len(list_distinct(t))::INT AS n_unique_bpe,
+       round(len / greatest(len(t), 1), 4) AS chars_per_token
+FROM bt
+""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretokenizer token statistics (GPT-2-style regex restricted
+    to the Java-regex ∩ RE2 subset so BOTH engines run the identical
+    pattern): the LM-cost proxy for corpus budgeting — whitespace word
+    counts undercount punctuation/digit-heavy text. One JVM-native
+    regexp_extract_all projection, zero shuffles."""
+    return textstats.bpe_token_stats(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_paragraphs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+segged AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 8.0) AS INT) AS nseg FROM toks
+),
+paras AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(t, i*8 + 1, i*8 + 8), ' ') AS para,
+         {phash_sql("array_to_string(list_slice(t, i*8 + 1, i*8 + 8), ' ')")} AS h
+  FROM segged, LATERAL (SELECT unnest(range(0, nseg)) AS i) ix
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_paras,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                  '') AS text_dedup
+  FROM ranked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_paras, 0)::INT AS n_paras,
+       coalesce(a.n_kept, 0)::INT AS n_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup (8-token windows as the
+    single-line corpus's paragraph stand-in): only the globally-first
+    occurrence of each paragraph survives (order = (doc_id, idx)); docs
+    are reassembled from surviving paragraphs. Paragraph text never
+    enters the dedup shuffle — only (hash, id, idx) triples do."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.remove_dup_paragraphs(docs, para_tokens=8)
+
+
+@q(
     "decontaminate_ngrams",
     """
 WITH toks AS (
@@ -3214,6 +3338,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # late round 6: integer-arithmetic PageRank over the crawl link
     # graph (bit-exact unrolled oracle) — first driver row
     "pagerank",
+    # late round 6 (second continuation): temperature mixture sampling
+    # (integer alpha=0.5 recipe) and CCNet-style paragraph dedup — first
+    # driver rows
+    "mixture_sample",
+    "dedup_paragraphs",
+    "token_count_bpe",
+    "training_shards",
     # rotated back in: every query whose newest driver row is r04
     # (rested through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from

@@ -152,6 +152,8 @@ _CARTESIAN_OK = {
     "url_cardinality_hll",  # 1-row register-agg x 1-row count crossJoin
     "semantic_dedup",       # broadcast-codebook assignment (16 literal
                             # centroids via ivf_assign_fixed)
+    "mixture_sample",       # 1-row (S, N) totals crossJoin onto the
+                            # tiny per-source picks table
 }
 
 
@@ -314,4 +316,50 @@ def test_ivf_assignment_broadcasts_codebook(spark, sf_dir):
     plan = _plan(ivf_assign_fixed(emb, cents))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_paragraph_dedup_shuffle_carries_hashes_not_text(spark, sf_dir):
+    """remove_dup_paragraphs' first-occurrence window shuffles (hash, id,
+    idx) triples only: neither the raw text nor any paragraph string
+    column may appear in the exchange feeding the Window — at 100 TB the
+    dedup shuffle is ~24 bytes/paragraph, not the corpus."""
+    from distributed_crawler_spark.operators.dedup import remove_dup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted_plan(remove_dup_paragraphs(docs, para_tokens=8))
+    # locate the Window node's exchange input columns
+    lines = plan.splitlines()
+    win = [i for i, line in enumerate(lines) if "Window" in line]
+    assert win, plan
+    # the formatted plan lists each node's Output — the window's
+    # row_number input must be exactly {doc_id, idx, h}-shaped (no
+    # string column named text/para in any upstream Exchange output)
+    exch_out = [
+        line
+        for i, line in enumerate(lines)
+        if "Exchange" in lines[i - 1] or "Exchange" in line
+    ]
+    assert "text" not in " ".join(exch_out), exch_out
+    # and no Python anywhere
+    assert "EvalPython" not in plan
+
+
+def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
+    """temperature_mixture_sample: the docs side reaches the filter via a
+    broadcast join of the tiny per-source picks table — the only
+    hash-exchange in the plan is the per-source count aggregate (over
+    source cardinality rows), never the corpus itself."""
+    from distributed_crawler_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = _plan(temperature_mixture_sample(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    # count agg partials combine map-side; the corpus row flow joins
+    # broadcast-side without an Exchange of its own
     assert plan.count("Exchange hashpartitioning") <= 1

@@ -1303,3 +1303,227 @@ def test_semantic_dedup_removal_rule(spark):
             want[vid] = (assign[vid], keeper, dict(lower)[keeper])
     assert got == want
     assert set(got) == {1, 4}  # exactly the two near-dups removed
+
+
+def test_remove_dup_paragraphs_python_parity(spark):
+    """CCNet-style paragraph dedup vs a direct python replay on a
+    handcrafted corpus with cross-doc, in-doc, and boundary-straddling
+    duplicate windows (P=3 tokens)."""
+    from distributed_crawler_spark.operators.dedup import remove_dup_paragraphs
+
+    texts = {
+        0: "a b c d e f",          # paras: [a b c] [d e f]
+        1: "a b c x y z",          # [a b c] dup of doc0's first
+        2: "d e f d e f",          # [d e f] dup of doc0; 2nd in-doc dup
+        3: "a b c",                # whole doc duplicated
+        4: "q r",                  # short tail-only doc
+        5: "x y z q r",            # [x y z] fresh, [q r] dup of doc4
+    }
+    P = 3
+
+    def py_reference():
+        paras = []  # (doc, idx, text)
+        for d in sorted(texts):
+            toks = [t for t in texts[d].split(" ") if t]
+            for i in range(0, (len(toks) + P - 1) // P):
+                paras.append((d, i, " ".join(toks[i * P : i * P + P])))
+        first = {}
+        for d, i, p in sorted(paras):
+            first.setdefault(p, (d, i))
+        out = {}
+        for d in sorted(texts):
+            mine = [(i, p) for dd, i, p in paras if dd == d]
+            kept = [p for i, p in mine if first[p] == (d, i)]
+            out[d] = (len(mine), len(kept), " ".join(kept))
+        return out
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+        for r in remove_dup_paragraphs(docs, para_tokens=P).collect()
+    }
+    want = py_reference()
+    assert got == want
+    # the known answers, spelled out
+    assert want[1] == (2, 1, "x y z")
+    assert want[2] == (2, 0, "")
+    assert want[3] == (1, 0, "")
+    assert want[5] == (2, 0, "")
+
+
+def test_remove_dup_paragraphs_partition_invariant(spark, sf_dir):
+    """Result is a pure function of the data — identical under a
+    different partition layout (the first-occurrence rule is keyed on
+    (doc_id, idx), not arrival order)."""
+    from distributed_crawler_spark.operators.dedup import remove_dup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {
+        tuple(r)
+        for r in remove_dup_paragraphs(docs, para_tokens=8).collect()
+    }
+    b = {
+        tuple(r)
+        for r in remove_dup_paragraphs(
+            docs.repartition(17, "source"), para_tokens=8
+        ).collect()
+    }
+    assert a == b
+    # the operator does real work on the word-soup corpus: some
+    # paragraph somewhere repeats
+    assert any(r[1] != r[2] for r in a)
+
+
+def test_temperature_mixture_sample_semantics(spark):
+    """Integer alpha=0.5 mixture sampling: per-domain kept counts track
+    picks_d = (T*w_d) div S within binomial noise; head domains are
+    down-weighted relative to natural share; the min(1,.) cap keeps ALL
+    docs of a domain whose picks exceed its size; and the kept set is
+    partition-layout invariant."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    rows = []
+    sizes = {"mega": 6400, "mid": 400, "tail": 25}
+    k = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((k, dom))
+            k += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    total = sum(sizes.values())
+    w = {d: int(math.isqrt(n)) for d, n in sizes.items()}
+    s = sum(w.values())
+    t = total // 2
+    picks = {d: (t * w[d]) // s for d in sizes}
+
+    out = temperature_mixture_sample(docs, domain_col="source")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for d, n in sizes.items():
+        want = min(picks[d], n)
+        if want == n:
+            assert got.get(d, 0) == n  # cap: keep everything
+        else:
+            sd = math.sqrt(want * max(1 - want / n, 0.01))
+            assert abs(got.get(d, 0) - want) <= max(5 * sd, 8), (
+                d, got.get(d, 0), want
+            )
+    # temperature flattens the mixture: mega's kept share < natural share
+    assert got["mega"] / sum(got.values()) < sizes["mega"] / total
+    # tail is over-represented vs natural share
+    assert got["tail"] / sum(got.values()) > sizes["tail"] / total
+
+    # partition invariance: same kept set under a different layout
+    out2 = temperature_mixture_sample(
+        docs.repartition(13, "doc_id"), domain_col="source"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in out2.collect()
+    }
+
+
+def test_bpe_pretokenizer_cross_engine_parity(spark):
+    """The BPE pre-tokenizer regex must produce byte-identical token
+    arrays in Spark (java.util.regex) and DuckDB (RE2) — the pattern is
+    deliberately restricted to the intersection subset (the pii.py
+    discipline). Adversarial inputs: contractions, digit/punct runs,
+    interior multi-space runs (the documented divergence from GPT-2's
+    lookahead form), tabs, unicode letters, empty string."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators.textstats import BPE_PRETOKEN_RE
+
+    samples = [
+        "the quick brown fox",
+        "don't stop, it's 42.5% done!",
+        "hello   world\t tabs",
+        "a1b2 c3—d4 naïve café",
+        "",
+        "  ",
+        "...!!!",
+        "x'll y've we're i'm you'd",
+        "http://a.b/c?d=1&e=2",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got_spark = {
+        r["t"]: list(r["r"])
+        for r in df.select(
+            "t", F.regexp_extract_all("t", F.lit(BPE_PRETOKEN_RE), 0).alias("r")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        got_duck = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        assert got_spark[s] == got_duck, (s, got_spark[s], got_duck)
+        # lossless: tokens concatenate back to the input
+        assert "".join(got_duck) == s
+
+
+def test_training_shard_writer_roundtrip(spark, sf_dir, tmp_path):
+    """Deterministic global shuffle: the written shards contain every
+    doc exactly once, positions are contiguous 1..n per shard, the
+    assignment is partition-layout invariant, and shards are balanced
+    (uniform hash, no mega-key skew by construction)."""
+    from pyspark.sql import functions as F
+
+    from distributed_crawler_spark.operators.textstats import (
+        training_shard_assignment,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    # contiguous 1..k positions inside every shard
+    bad = (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("k"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("d"),
+        )
+        .filter(
+            (F.col("lo") != 1) | (F.col("hi") != F.col("k")) | (F.col("d") != F.col("k"))
+        )
+        .count()
+    )
+    assert bad == 0
+    sizes = [r["k"] for r in back.groupBy("shard").agg(F.count("*").alias("k")).collect()]
+    assert len(sizes) == 8
+    # binomial balance: no shard more than 2x the mean at n>=500
+    assert max(sizes) <= 2 * (n / 8)
+
+    # layout invariance of the plan itself
+    a = {tuple(r) for r in training_shard_assignment(docs.select("doc_id"), 8).collect()}
+    b = {
+        tuple(r)
+        for r in training_shard_assignment(
+            docs.select("doc_id").repartition(13), 8
+        ).collect()
+    }
+    assert a == b
+    # and the written rows agree with the plan
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.select("doc_id", "shard", "pos").collect()}
+    assert got == a
