@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "token_count_bpe",
     "training_shards",
+    "anchor_texts",
 ]
 
 

@@ -392,3 +392,115 @@ def native_text_regex(html_col):
     extract_text_regex_py output."""
     s = F.col(html_col).cast(StringType()) if isinstance(html_col, str) else html_col.cast(StringType())
     return F.trim(F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction (web-graph feature the reference's link extractor
+# drops: crawler_node.py:86-129 keeps a@href but discards the anchor text).
+# ---------------------------------------------------------------------------
+
+class _AnchorParser(HTMLParser):
+    """Collects (href, anchor_text) pairs: the text nodes between an
+    ``<a href=...>`` and its ``</a>`` (script/style content excluded;
+    a new ``<a>`` implicitly closes an open one, as browsers do; an
+    anchor left open at EOF is still emitted). Whitespace inside the
+    anchor collapses to single spaces."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append(
+                (self._href, " ".join("".join(self._parts).split()))
+            )
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self._href = v
+                    break
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "a":
+            # <a href=x/> carries no text; emit the empty anchor
+            self.handle_starttag(tag, attrs)
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and not self._skip_depth:
+            self._parts.append(data)
+
+    def close(self) -> None:  # emit an anchor left open at EOF
+        super().close()
+        self._flush()
+
+
+def extract_anchors_py(html: str | None, base_url: str | None) -> list[dict]:
+    """(url, anchor) pairs for every http(s) link on the page, hrefs
+    resolved against ``base_url`` and normalized exactly like
+    ``parse_page_py``'s link loop (so anchor targets join against
+    frontier/page urls). Anchor text may be '' (image links etc.)."""
+    if html is None:
+        return []
+    p = _AnchorParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    out: list[dict] = []
+    for href, anchor in p.anchors:
+        if href.startswith(("http://", "https://")) and (
+            "/./" not in href
+            and "/../" not in href
+            and not href.endswith(("/.", "/.."))
+        ):
+            absolute = href
+        else:
+            try:
+                absolute = urljoin(base_url or "", href)
+            except ValueError:
+                continue
+        if absolute.startswith("http://") or absolute.startswith("https://"):
+            out.append({"url": normalize_url_py(absolute), "anchor": anchor})
+    return out
+
+
+ANCHOR_SCHEMA = ArrayType(
+    StructType(
+        [StructField("url", StringType()), StructField("anchor", StringType())]
+    )
+)
+
+
+@pandas_udf(ANCHOR_SCHEMA)
+def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Vectorized anchor extraction: html binary + base url →
+    array<struct<url, anchor>> per page. One Python call per Arrow
+    batch, same shape as parse_page_udf."""
+    return pd.Series(
+        [extract_anchors_py(_decode(h), u) for h, u in zip(html, url)]
+    )
+
+
+# same rationale as parse_page_udf: never let projection collapsing
+# duplicate the parse under an explode
+extract_anchors_udf = extract_anchors_udf.asNondeterministic()

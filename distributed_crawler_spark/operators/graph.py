@@ -233,3 +233,35 @@ def keep_one_per_cluster(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def anchor_text_agg(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Inbound anchor-text aggregation over the web graph: for every
+    link TARGET, the inlink count, distinct-source count, and the
+    sorted distinct anchor texts pointing at it.
+
+    The ranking/quality feature the reference's extractor throws away
+    (crawler_node.py:86-129 keeps a@href, drops the anchor text): search
+    engines index anchor text as a page field (BM25F 'anchor'), and
+    crawl schedulers use inlink counts for frontier priority.  Targets
+    need not have been fetched — anchor text is the classic signal for
+    pages you HAVEN'T crawled yet.
+
+    Scale shape: Arrow-batched anchor parse → explode → ONE hash
+    shuffle on the target url with partial (map-side) aggregation for
+    all three measures; anchor strings are tiny relative to pages, and
+    no join touches the corpus.
+    """
+    from ..functions.extract import extract_anchors_udf
+
+    pairs = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(extract_anchors_udf(F.col(html_col), F.col(url_col))).alias("lnk"),
+    ).select("src_url", F.col("lnk.url").alias("url"), F.col("lnk.anchor").alias("anchor"))
+    return pairs.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.countDistinct("src_url").cast("long").alias("n_sources"),
+        F.concat_ws(" ", F.array_sort(F.collect_set("anchor"))).alias("anchors"),
+    )

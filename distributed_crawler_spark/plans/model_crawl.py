@@ -179,6 +179,51 @@ FROM fresh WHERE rn <= {budget}
 """
 
 
+def anchor_texts_sql() -> str:
+    """Inbound anchor-text aggregation as DuckDB SQL — like
+    html_round0_sql, an INDEPENDENT re-derivation from the corpus
+    GENERATOR's formulas rather than from the HTML: every page embeds
+    anchors 'next' (absolute t1 = (2d+1)%n), 'rel' (relative /p/t2,
+    t2 = (3d+7)%n, resolving against the PARENT host), 'frag'
+    (t3 = (5d+13)%n with a fragment the parser must strip), plus
+    javascript:/mailto: anchors that must be dropped.  A parser that
+    attributes anchor text to the wrong href, loses an empty/duplicate
+    anchor, or mis-resolves the relative target hash-fails here."""
+    model = model_sql_ctes().strip().rstrip(",")
+    a1, b1 = LINK_COEFFS[0]
+    a2, b2 = LINK_COEFFS[1]
+    a3, b3 = LINK_COEFFS[2]
+
+    def url_of(t: str) -> str:
+        return (
+            f"'https://h' || (CASE WHEN {t} % {MEGA_MOD} < {MEGA_LT} THEN 0 "
+            f"ELSE {t} % {HOST_MOD} END) || '.example.com/p/' || ({t})"
+        )
+
+    return f"""WITH {model},
+alinks AS (
+  SELECT p.doc_id AS src, {url_of(f'({a1}*p.doc_id+{b1}) % nn.n')} AS url,
+         'next' AS anchor
+  FROM pages p, nn
+  UNION ALL
+  SELECT p.doc_id,
+         'https://h' || p.host_id || '.example.com/p/' || (({a2}*p.doc_id+{b2}) % nn.n),
+         'rel'
+  FROM pages p, nn
+  UNION ALL
+  SELECT p.doc_id, {url_of(f'({a3}*p.doc_id+{b3}) % nn.n')}, 'frag'
+  FROM pages p, nn
+)
+SELECT url,
+       count(*)::BIGINT AS n_inlinks,
+       count(DISTINCT src)::BIGINT AS n_sources,
+       array_to_string(list_sort(list_distinct(list(anchor))), ' ') AS anchors
+FROM alinks
+GROUP BY url
+ORDER BY url
+"""
+
+
 def bfs_sql(max_depth: int = 2, budget: int = 100) -> str:
     """The identical BFS as DuckDB SQL (rounds unrolled into CTEs)."""
     ctes = [model_sql_ctes().strip().rstrip(",")]

@@ -24,6 +24,7 @@ from ..operators import dedup, graph, search, similarity, stats, textstats
 from ..operators.politeness import host_budget_filter, robots_filter
 from . import porter_sql
 from .model_crawl import (
+    anchor_texts_sql,
     bfs_sql,
     html_round0_sql,
     model_bfs,
@@ -1953,6 +1954,26 @@ def q_url_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.hll_cardinality(links, "dst_url", p=10)
 
 
+def _cached_html_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, keyed by a content fingerprint) the
+    real-HTML corpus into a tempdir — shared by every query that drives
+    the parse path end-to-end."""
+    import tempfile
+
+    from ..corpus import build_html_corpus
+
+    corpus = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_query_corpus_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
+    )
+    if not os.path.exists(os.path.join(corpus, "pages.parquet", "_SUCCESS")):
+        build_html_corpus(spark, sf_dir, corpus, buckets=8)
+    return corpus
+
+
 @q("crawl_html_round0", html_round0_sql(budget=100))
 def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 0 of the real HTML-corpus crawl (fetch join → Arrow parse
@@ -1965,22 +1986,11 @@ def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped) — a full hash check over the parse→extract→normalize→
     dedup→robots→budget pipeline. Byte-parity and order-parity remain
     pytest-verified (tests/test_crawl_parity.py)."""
-    import tempfile
-
     from ..config import CrawlConfig
-    from ..corpus import build_html_corpus
     from ..operators.frontier import crawl_round
     from ..operators.scheduler import seed_frontier
 
-    corpus = os.path.join(
-        tempfile.gettempdir(),
-        "dcs_query_corpus_"
-        + os.path.basename(sf_dir.rstrip("/"))
-        + "_"
-        + _table_fingerprint(sf_dir, "documents"),
-    )
-    if not os.path.exists(os.path.join(corpus, "pages.parquet", "_SUCCESS")):
-        build_html_corpus(spark, sf_dir, corpus, buckets=8)
+    corpus = _cached_html_corpus(spark, sf_dir)
     pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
     robots = spark.read.parquet(os.path.join(corpus, "robots.parquet"))
     seeds = spark.read.parquet(os.path.join(corpus, "seeds.parquet"))
@@ -1988,6 +1998,26 @@ def q_crawl_html_round0(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending0 = seed_frontier(spark, seeds, robots, cfg)
     res = crawl_round(pending0, pages, robots, pending0.select("url"), None, cfg, 0)
     return res.next_pending.orderBy("url")
+
+
+@q("anchor_texts", anchor_texts_sql())
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation over the REAL HTML corpus
+    (graph.anchor_text_agg): per link target, inlink count, distinct
+    sources, and sorted distinct anchor texts — the ranking/frontier-
+    priority feature the reference's extractor drops (crawler_node.py:
+    86-129 keeps a@href, discards anchor text; anchor text is the
+    canonical signal for pages not yet fetched).  Spark parses the
+    actual pages (Arrow anchor UDF -> explode -> one hash shuffle with
+    map-side partials); the oracle re-derives every (target, anchor)
+    pair from the generator's arithmetic link formulas, so a parser
+    that mis-attributes anchor text, keeps javascript:/mailto:, or
+    mis-resolves the relative link hash-fails."""
+    from ..operators.graph import anchor_text_agg
+
+    corpus = _cached_html_corpus(spark, sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    return anchor_text_agg(pages).orderBy("url")
 
 # =========================================================================
 # Search stretch goals (SURVEY §2.8): highlighting, fuzzy, phrase, wildcard
@@ -3345,14 +3375,27 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_paragraphs",
     "token_count_bpe",
     "training_shards",
-    # rotated back in: every query whose newest driver row is r04
-    # (rested through the r05 window; VERDICT r05 next #7). The three
+    "anchor_texts",
+    # first-ever hash oracles this round that must sit INSIDE the
+    # 50-query window to earn their first hash-green driver row:
+    # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
+    # since r02 — generator-formula oracle since r06); plus the two
+    # round-6-changed code paths (wide-aggregate simhash vote build;
+    # fuzzy term-dict distinct ordering)
+    "search_bm25f",
+    "crawl_html_round0",
+    "simhash_neardup_wide",
+    "search_fuzzy",
+    # rotated back in: queries whose newest driver row is r04 (rested
+    # through the r05 window; VERDICT r05 next #7). The three
     # stemmed/indexed-search entries carried rows-only checks from
-    # r02-r05 and are full hash oracles since late round 6.
+    # r02-r05 and are full hash oracles since late round 6. Six trivial
+    # r04-green scalar/set queries (get_domain, url_seen_union, set_ops,
+    # distinct_ids, time_range_filter, freshness_boost) rest past the
+    # window this round to make room for the first-row queries above —
+    # the local DuckDB sweep re-verifies them every pytest run.
     "url_features",
     "normalize_urls",
-    "get_domain",
-    "url_seen_union",
     "sliding_rate",
     "search_tf",
     "search_tf_stemmed",
@@ -3372,29 +3415,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "lang_id",
     "quality_score",
     "fingerprint",
-    "freshness_boost",
-    "set_ops",
-    "distinct_ids",
-    "time_range_filter",
     "url_validate",
     "rep_signals",
     "hash_sample",
     "quota_sample",
-    # first-ever hash oracle this round (was rows-only since r02) — must
-    # get its first hash-green driver row
-    "search_bm25f",
-    # code paths touched in round 6 (fuzzy term-dict distinct ordering;
-    # submit/merge crash ordering sits under crawl_bfs; wide-aggregate
-    # simhash vote build) plus the representative crawl/stats core — the
-    # rest carry r05 rows and the local DuckDB sweep covers every entry
-    # each pytest run
-    "simhash_neardup_wide",
-    "search_fuzzy",
+    # past the 50-entry window from here: r04-green trivia rested this
+    # round, then the r05-green crawl/stats core — every entry below is
+    # re-verified by the local DuckDB sweep each pytest run
+    "get_domain",
+    "url_seen_union",
+    "set_ops",
+    "distinct_ids",
+    "time_range_filter",
+    "freshness_boost",
     "dedup_anti_join",
     "host_budget",
     "robots_filter",
     "status_counts",
-    "crawl_html_round0",
     "crawl_stats",
     "pricing_summary",
     "join_enrich",

@@ -161,3 +161,73 @@ def test_fast_scan_matches_htmlparser_on_corpus(spark, corpus_dir):
     for (html,) in rows:
         h = bytes(html).decode("utf-8", "ignore")
         assert _state(_parse_collected(h)) == _state(_slow_collect(h))
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction (functions/extract.py:_AnchorParser)
+# ---------------------------------------------------------------------------
+
+def test_extract_anchors_basic_attribution():
+    from distributed_crawler_spark.functions.extract import extract_anchors_py
+
+    out = extract_anchors_py(FIXTURE, "https://base.example.com/dir/page")
+    # js/mailto dropped; #frag resolves onto the base page (fragment
+    # stripped by normalization); relative resolves against the base
+    assert out == [
+        {"url": "https://other.com/page", "anchor": "abs"},
+        {"url": "https://base.example.com/rel/path", "anchor": "rel"},
+        {"url": "https://base.example.com/dir/page", "anchor": "frag-only"},
+    ]
+
+
+def test_extract_anchors_nested_markup_and_entities():
+    from distributed_crawler_spark.functions.extract import extract_anchors_py
+
+    html = (
+        '<a href="https://a.com/x"><b>bold</b> &amp; <i>ital</i></a>'
+        '<a href="https://a.com/y"><img src="i.png"></a>'
+        '<a href="https://a.com/z">outer '
+        '<a href="https://a.com/w">implicit close</a>'
+    )
+    out = extract_anchors_py(html, None)
+    assert out == [
+        {"url": "https://a.com/x", "anchor": "bold & ital"},
+        {"url": "https://a.com/y", "anchor": ""},
+        # a new <a> closes the open one (browser behavior); the last
+        # anchor is open at EOF and still emitted
+        {"url": "https://a.com/z", "anchor": "outer"},
+        {"url": "https://a.com/w", "anchor": "implicit close"},
+    ]
+
+
+def test_extract_anchors_skips_script_inside_anchor():
+    from distributed_crawler_spark.functions.extract import extract_anchors_py
+
+    html = '<a href="https://a.com/s">seen<script>var x="HIDDEN";</script> text</a>'
+    out = extract_anchors_py(html, None)
+    assert out == [{"url": "https://a.com/s", "anchor": "seen text"}]
+    assert extract_anchors_py(None, None) == []
+
+
+def test_anchor_udf_matches_python(spark, corpus_dir):
+    """Arrow UDF ≡ row-at-a-time python over the real HTML corpus."""
+    import os
+    from distributed_crawler_spark.functions.extract import (
+        extract_anchors_py,
+        extract_anchors_udf,
+    )
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    rows = (
+        pages.select("url", extract_anchors_udf(F.col("html"), F.col("url")).alias("a"))
+        .orderBy("url")
+        .collect()
+    )
+    golden = {
+        r["url"]: extract_anchors_py(bytes(r["html"]).decode("utf-8"), r["url"])
+        for r in pages.select("url", "html").collect()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        got = [{"url": x["url"], "anchor": x["anchor"]} for x in r["a"]]
+        assert got == golden[r["url"]], r["url"]

@@ -114,6 +114,18 @@ def test_driver_window_priority_names_all_registered():
         # late-round-6 LLM-pipeline additions
         "decontaminate_ngrams",
         "semantic_dedup",
+        "dedup_clusters",
+        "dedup_keep_one",
+        "pii_scrub",
+        "curate_corpus",
+        "pagerank",
+        "mixture_sample",
+        "dedup_paragraphs",
+        "token_count_bpe",
+        "training_shards",
+        "anchor_texts",
+        # first hash oracle in r06 after rows-only since r02
+        "crawl_html_round0",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
