@@ -83,6 +83,7 @@ HEADLINE = [
     "token_count_bpe",
     "training_shards",
     "anchor_texts",
+    "search_anchor_bm25f",
 ]
 
 

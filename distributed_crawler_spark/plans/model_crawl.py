@@ -179,17 +179,11 @@ FROM fresh WHERE rn <= {budget}
 """
 
 
-def anchor_texts_sql() -> str:
-    """Inbound anchor-text aggregation as DuckDB SQL — like
-    html_round0_sql, an INDEPENDENT re-derivation from the corpus
-    GENERATOR's formulas rather than from the HTML: every page embeds
-    anchors 'next' (absolute t1 = (2d+1)%n), 'rel' (relative /p/t2,
-    t2 = (3d+7)%n, resolving against the PARENT host), 'frag'
-    (t3 = (5d+13)%n with a fragment the parser must strip), plus
-    javascript:/mailto: anchors that must be dropped.  A parser that
-    attributes anchor text to the wrong href, loses an empty/duplicate
-    anchor, or mis-resolves the relative target hash-fails here."""
-    model = model_sql_ctes().strip().rstrip(",")
+def anchor_links_cte() -> str:
+    """``alinks`` CTE — every (src doc, target url, anchor text) triple
+    of the generated web, re-derived from the generator's arithmetic
+    link formulas (see anchor_texts_sql for the per-anchor semantics).
+    Requires the model CTEs (pages, nn) in scope."""
     a1, b1 = LINK_COEFFS[0]
     a2, b2 = LINK_COEFFS[1]
     a3, b3 = LINK_COEFFS[2]
@@ -200,8 +194,7 @@ def anchor_texts_sql() -> str:
             f"ELSE {t} % {HOST_MOD} END) || '.example.com/p/' || ({t})"
         )
 
-    return f"""WITH {model},
-alinks AS (
+    return f"""alinks AS (
   SELECT p.doc_id AS src, {url_of(f'({a1}*p.doc_id+{b1}) % nn.n')} AS url,
          'next' AS anchor
   FROM pages p, nn
@@ -213,7 +206,22 @@ alinks AS (
   UNION ALL
   SELECT p.doc_id, {url_of(f'({a3}*p.doc_id+{b3}) % nn.n')}, 'frag'
   FROM pages p, nn
-)
+)"""
+
+
+def anchor_texts_sql() -> str:
+    """Inbound anchor-text aggregation as DuckDB SQL — like
+    html_round0_sql, an INDEPENDENT re-derivation from the corpus
+    GENERATOR's formulas rather than from the HTML: every page embeds
+    anchors 'next' (absolute t1 = (2d+1)%n), 'rel' (relative /p/t2,
+    t2 = (3d+7)%n, resolving against the PARENT host), 'frag'
+    (t3 = (5d+13)%n with a fragment the parser must strip), plus
+    javascript:/mailto: anchors that must be dropped.  A parser that
+    attributes anchor text to the wrong href, loses an empty/duplicate
+    anchor, or mis-resolves the relative target hash-fails here."""
+    model = model_sql_ctes().strip().rstrip(",")
+    return f"""WITH {model},
+{anchor_links_cte()}
 SELECT url,
        count(*)::BIGINT AS n_inlinks,
        count(DISTINCT src)::BIGINT AS n_sources,

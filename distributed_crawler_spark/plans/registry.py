@@ -2884,6 +2884,139 @@ def q_search_multifield_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_anchor_mf_index(spark: SparkSession, sf_dir: str) -> str:
+    """3-field RAW multifield index (title / body / anchor) where the
+    anchor field is each document's INBOUND anchor text, aggregated by
+    graph.anchor_text_agg over the real HTML corpus and joined back to
+    document urls (dangling link targets — relative hrefs resolving onto
+    a host that never served that page — carry anchors but are NOT
+    documents, so the join is on the full url, never on the extracted
+    id). Built once per corpus content, crawl_html_round0 pattern."""
+    import tempfile
+
+    from ..operators.graph import anchor_text_agg
+    from ..operators.query import write_multifield_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_anchoridx_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + _table_fingerprint(sf_dir, "documents"),
+    )
+    if not os.path.exists(os.path.join(idx, "fields.json")):
+        from ..corpus import model_pages_df
+
+        corpus = _cached_html_corpus(spark, sf_dir)
+        pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        docs = _read(spark, sf_dir, "documents")
+        anchor_field = (
+            anchor_text_agg(pages)
+            .join(model_pages_df(spark, sf_dir).select("doc_id", "url"), "url")
+            .select("doc_id", F.col("anchors").alias("text"))
+        )
+        fields = {
+            "title": docs.select(
+                "doc_id",
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)).alias("text"),
+            ),
+            "body": docs.select("doc_id", "text"),
+            "anchor": anchor_field,
+        }
+        write_multifield_index(fields, idx, analyzer="raw")
+    return idx
+
+
+# anchor-field CTEs for the BM25F-with-anchor oracle: the distinct
+# (target, anchor) pairs from the generator formulas, restricted to
+# targets that ARE documents (dangling rel-targets carry anchors but
+# no document), tf = 1 by construction (anchors are distinct words)
+_ANCHOR_FIELD_CTE = """
+adist AS (SELECT url, anchor AS term FROM alinks GROUP BY url, anchor),
+pa AS (SELECT p.doc_id, a.term, 1 AS tf
+       FROM adist a JOIN pages p ON p.url = a.url),
+da AS (SELECT doc_id, count(*) AS dl FROM pa GROUP BY doc_id),
+na AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM da),
+dfa AS (SELECT term, count(*) AS df FROM pa GROUP BY term)
+"""
+
+
+def _anchor_bm25f_sql() -> str:
+    """Oracle for search_anchor_bm25f: anchor:next AND
+    (title:spark OR body:join), every leaf scored with ITS field's
+    df/dl/avgdl BM25 and summed over the tree — the anchor-field leaf
+    re-derived from the generator's link formulas, the title/body
+    leaves from the documents text (same shapes as the hash-green
+    search_multifield_bm25f oracle)."""
+    from .model_crawl import anchor_links_cte
+
+    model = _MODEL.strip().rstrip(",")
+    return f"""WITH {model},
+{anchor_links_cte()},
+{_ANCHOR_FIELD_CTE.strip()},
+{_MF_FIELDS_CTE.strip()},
+dt AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+db AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+nt AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dt),
+nb AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM db),
+dft AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+dfb AS (SELECT term, count(*) AS df FROM pb GROUP BY term),
+l_anchor AS (
+  SELECT p.doc_id,
+         ln(1 + (na.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * da.dl / na.avgdl)) AS s
+  FROM pa p JOIN da ON p.doc_id = da.doc_id
+       JOIN dfa d ON d.term = p.term, na
+  WHERE p.term = 'next'
+),
+l_title AS (
+  SELECT p.doc_id,
+         ln(1 + (nt.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * dt.dl / nt.avgdl)) AS s
+  FROM pt p JOIN dt ON p.doc_id = dt.doc_id
+       JOIN dft d ON d.term = p.term, nt
+  WHERE p.term = 'spark'
+),
+l_body AS (
+  SELECT p.doc_id,
+         ln(1 + (nb.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * db.dl / nb.avgdl)) AS s
+  FROM pb p JOIN db ON p.doc_id = db.doc_id
+       JOIN dfb d ON d.term = p.term, nb
+  WHERE p.term = 'join'
+),
+orx AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS s
+  FROM l_title a FULL OUTER JOIN l_body b ON a.doc_id = b.doc_id
+)
+SELECT a.doc_id, round(a.s + o.s, 4) AS score
+FROM l_anchor a JOIN orx o ON o.doc_id = a.doc_id
+ORDER BY round(a.s + o.s, 4) DESC, a.doc_id LIMIT 20
+"""
+
+
+@q("search_anchor_bm25f", _anchor_bm25f_sql())
+def q_search_anchor_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F over a 3-field index whose third field is INBOUND ANCHOR
+    TEXT (the web-search trick the reference's single-field Whoosh
+    schema cannot express: anchors describe a page better than the page
+    does, and exist even for unfetched pages). The anchor field is
+    graph.anchor_text_agg output joined to document urls at INDEX time
+    — query time reads per-field postings/docstats snapshots only, no
+    HTML anywhere near the hot path. Query: anchor:next AND
+    (title:spark OR body:join), each leaf scored with its own field's
+    df/dl/avgdl."""
+    from ..operators.query import search_composed_indexed
+
+    return search_composed_indexed(
+        spark,
+        _cached_anchor_mf_index(spark, sf_dir),
+        "anchor:next AND (title:spark OR body:join)",
+        scoring="bm25f",
+    )
+
+
 @q(
     "search_phrase_indexed",
     """
@@ -3376,6 +3509,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_count_bpe",
     "training_shards",
     "anchor_texts",
+    "search_anchor_bm25f",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
