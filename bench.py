@@ -84,6 +84,7 @@ HEADLINE = [
     "training_shards",
     "anchor_texts",
     "search_anchor_bm25f",
+    "frontier_priority",
 ]
 
 

@@ -61,6 +61,7 @@ def salted_prefilter(
     host_col: str = "host",
     order_col: str = "url",
     salt_buckets: int = 16,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Phase 1 of the budget window: rank within (host, salt) and keep
     rank ≤ budget. Any URL ranked > budget inside its salt bucket cannot
@@ -68,11 +69,18 @@ def salted_prefilter(
     the exact per-host window at salt_buckets × budget PER HOST — a
     mega-domain with 10^8 candidate URLs contributes at most 16×budget
     rows to the phase-2 partition (the skew bound the north_rule's
-    'no partition > 2× median task time' requires)."""
+    'no partition > 2× median task time' requires).
+
+    ``order_cols`` overrides the within-host total order (e.g.
+    [score.desc(), url] for priority crawling); the phase-1 bound holds
+    for ANY total order as long as phase 2 uses the same one, because a
+    row's rank within its salt subset is ≤ its global host rank.
+    ``order_col`` stays the unique salt key either way."""
+    ordering = order_cols if order_cols is not None else [order_col]
     salted = candidates.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
     )
-    w_salt = Window.partitionBy(host_col, "__salt").orderBy(order_col)
+    w_salt = Window.partitionBy(host_col, "__salt").orderBy(*ordering)
     return (
         salted.withColumn("__srn", F.row_number().over(w_salt))
         .filter(F.col("__srn") <= max_urls_per_domain)
@@ -87,10 +95,13 @@ def host_budget_filter(
     host_col: str = "host",
     order_col: str = "url",
     salt_buckets: int = 16,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Keep, per host, the first (budget − already_consumed) candidates in
     canonical order (ascending ``order_col`` — the defined crawl order
-    within a round, SURVEY.md §2.7 frontier priority).
+    within a round, SURVEY.md §2.7 frontier priority), or in the custom
+    total order ``order_cols`` when given (e.g. PageRank-descending for
+    importance-first budget consumption — frontier_priority).
 
     ``prior_host_counts`` is (host, n_scheduled) consumed so far across
     earlier rounds (master_node.py:340-343 counter); None ⇒ zero.
@@ -100,11 +111,13 @@ def host_budget_filter(
     """
     out_cols = candidates.columns
     pre = salted_prefilter(
-        candidates, max_urls_per_domain, host_col, order_col, salt_buckets
+        candidates, max_urls_per_domain, host_col, order_col, salt_buckets,
+        order_cols=order_cols,
     )
 
     # phase 2: exact per-host ranking over the bounded survivor set
-    w_host = Window.partitionBy(host_col).orderBy(order_col)
+    ordering = order_cols if order_cols is not None else [order_col]
+    w_host = Window.partitionBy(host_col).orderBy(*ordering)
     ranked = pre.withColumn("host_budget_rank", F.row_number().over(w_host))
     if prior_host_counts is not None:
         prior = prior_host_counts.select(

@@ -1089,7 +1089,11 @@ ORDER BY source, lang
 """
 
 
-def _pagerank_oracle_sql(iters: int = 5) -> str:
+def _pagerank_ctes(iters: int = 5, with_nn: bool = True) -> list[str]:
+    """CTE chain computing the integer PageRank fixpoint (s{iters}:
+    node, score) over the generator link graph — reusable inside larger
+    oracles (frontier_priority). ``with_nn=False`` when the surrounding
+    query already defines the model's nn CTE."""
     from ..corpus import LINK_COEFFS
 
     scale, num, den = 1_000_000, 85, 100
@@ -1098,8 +1102,7 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
         f"  SELECT doc_id AS src, ({a} * doc_id + {b}) % nn.n AS dst FROM documents, nn"
         for a, b in LINK_COEFFS
     )
-    ctes = [
-        "nn AS (SELECT count(*) AS n FROM documents)",
+    ctes = ([] if not with_nn else ["nn AS (SELECT count(*) AS n FROM documents)"]) + [
         f"edges AS (\n{unions}\n)",
         "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
         f"s0 AS (SELECT doc_id AS node, {scale}::BIGINT AS score FROM documents)",
@@ -1118,18 +1121,17 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
   FROM s{i-1} s LEFT JOIN c{i} c ON c.dst = s.node
 )"""
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    body = ",\n".join(_pagerank_ctes(iters))
     return f"WITH {body}\nSELECT node AS doc_id, score FROM s{iters} ORDER BY doc_id"
 
 
-@q("pagerank", _pagerank_oracle_sql())
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frontier-prioritization PageRank over the crawl model's link
-    graph (5 iterations, damping 85/100, integer units of 1e-6): the
-    fetch-queue ranking signal the reference's FIFO frontier lacks.
-    Integer-only arithmetic makes the result bit-exact across engines
-    and partitionings — the oracle unrolls the same 5 iterations with
-    // division, no float-rounding contract needed."""
+def _model_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, score) integer PageRank over the generator link graph —
+    shared by the pagerank query and frontier_priority."""
     from ..corpus import _doc_count, LINK_COEFFS
     from ..operators.graph import pagerank_int
 
@@ -1143,11 +1145,105 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank_int(nodes, edges, iters=5)
+
+
+@q("pagerank", _pagerank_oracle_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-prioritization PageRank over the crawl model's link
+    graph (5 iterations, damping 85/100, integer units of 1e-6): the
+    fetch-queue ranking signal the reference's FIFO frontier lacks.
+    Integer-only arithmetic makes the result bit-exact across engines
+    and partitionings — the oracle unrolls the same 5 iterations with
+    // division, no float-rounding contract needed."""
     return (
-        pagerank_int(nodes, edges, iters=5)
+        _model_pagerank(spark, sf_dir)
         .select(F.col("node").alias("doc_id"), "score")
         .orderBy("doc_id")
     )
+
+
+def _frontier_priority_sql(budget: int = 100) -> str:
+    """Oracle for frontier_priority: round-0 schedule (url-asc budget —
+    seeds carry no graph signal yet), then the round-1 frontier with the
+    remaining per-host budget consumed in (PageRank DESC, url) order.
+    The PageRank fixpoint CTEs are the bit-exact integer chain of the
+    pagerank oracle; the round-0/robots/dedup CTEs are bfs_sql's."""
+    from .model_crawl import _round0_cte
+
+    model = _MODEL.strip().rstrip(",")
+    pr = ",\n".join(_pagerank_ctes(iters=5, with_nn=False))
+    return f"""WITH {model},
+{pr},
+{_round0_cte(budget).strip()},
+pri AS (SELECT host, count(*) AS n0 FROM sched0 GROUP BY host),
+cand1 AS (SELECT DISTINCT l.dst_url AS url
+          FROM links l JOIN sched0 s ON l.src_url = s.url),
+fresh1 AS (
+  SELECT p.url, p.host, p.doc_id FROM cand1 c JOIN pages p ON p.url = c.url
+  WHERE NOT EXISTS (SELECT 1 FROM sched0 x WHERE x.url = c.url)
+    AND NOT EXISTS (SELECT 1 FROM robots r
+                    WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
+),
+rankd AS (
+  SELECT f.url, f.host, s.score,
+         row_number() OVER (PARTITION BY f.host ORDER BY s.score DESC, f.url) AS rn,
+         coalesce(pri.n0, 0) AS n0
+  FROM fresh1 f JOIN s5 s ON s.node = f.doc_id
+       LEFT JOIN pri ON pri.host = f.host
+)
+SELECT url, host, score, rn AS host_budget_rank
+FROM rankd WHERE rn + n0 <= {budget} ORDER BY url
+"""
+
+
+@q("frontier_priority", _frontier_priority_sql())
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-first frontier scheduling — PageRank composed INTO the
+    politeness gate: round 0 schedules seeds in canonical url order (no
+    graph signal exists yet); the round-1 candidate set (link join →
+    seen anti-join → robots) then consumes each host's REMAINING budget
+    in (score DESC, url) order via the same salted two-phase window as
+    the canonical crawl (host_budget_filter order_cols) — the classic
+    fix for FIFO frontiers wasting politeness budget on unimportant
+    pages (Cho/Garcia-Molina/Page 1998). Integer scores keep the
+    ranking bit-exact across engines; the url tiebreak makes the
+    window total."""
+    from ..corpus import (
+        model_links_df,
+        model_pages_df,
+        model_robots_df,
+        model_seeds_df,
+    )
+    from ..operators.politeness import host_budget_filter, robots_filter
+
+    budget = 100
+    pages = model_pages_df(spark, sf_dir).select("url", "host", "doc_id")
+    robots = model_robots_df(spark, sf_dir)
+    links = model_links_df(spark, sf_dir).select("src_url", "dst_url")
+    cand0 = model_seeds_df(spark, sf_dir).join(pages, "url").select("url", "host")
+    sched0 = host_budget_filter(
+        robots_filter(cand0, robots), None, budget
+    ).select("url", "host")
+    counts = sched0.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scheduled")
+    )
+    cand1 = (
+        links.join(sched0.select(F.col("url").alias("src_url")), "src_url")
+        .select(F.col("dst_url").alias("url"))
+        .distinct()
+        .join(pages, "url")
+    )
+    fresh = robots_filter(
+        cand1.join(sched0.select("url"), "url", "left_anti"), robots
+    )
+    pr = _model_pagerank(spark, sf_dir)
+    cand = fresh.join(pr, fresh.doc_id == pr.node).select("url", "host", "score")
+    out = host_budget_filter(
+        cand, counts, budget,
+        order_cols=[F.col("score").desc(), F.col("url")],
+    )
+    return out.select("url", "host", "score", "host_budget_rank").orderBy("url")
 
 
 @q("curate_corpus", _curate_oracle_sql())
@@ -3510,6 +3606,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "training_shards",
     "anchor_texts",
     "search_anchor_bm25f",
+    "frontier_priority",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -3548,7 +3645,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_count",
     "lang_id",
     "quality_score",
-    "fingerprint",
     "url_validate",
     "rep_signals",
     "hash_sample",
@@ -3557,6 +3653,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round, then the r05-green crawl/stats core — every entry below is
     # re-verified by the local DuckDB sweep each pytest run
     "get_domain",
+    "fingerprint",
     "url_seen_union",
     "set_ops",
     "distinct_ids",

@@ -215,3 +215,36 @@ def test_ivf_bucketed_index_prunes_partitions(spark, sf_dir):
 
     n_dirs = len([d for d in os.listdir(idx_dir) if d.startswith("centroid=")])
     assert n_dirs == 8  # all lists exist on disk; the scan reads only 3
+
+
+def test_host_budget_filter_order_cols(spark):
+    """order_cols generalization: [url] ≡ the order_col default (same
+    rows AND ranks), and a priority order keeps the per-host TOP-budget
+    by score — the salted two-phase bound must hold for any total
+    order."""
+    from distributed_crawler_spark.operators.politeness import host_budget_filter
+
+    rows = [
+        (f"https://h{h}.t/p/{i:03d}", f"h{h}.t", (i * 37 + h * 11) % 100)
+        for h in range(3)
+        for i in range(40)
+    ]
+    cand = spark.createDataFrame(rows, "url STRING, host STRING, score LONG")
+
+    base = host_budget_filter(cand, None, 5)
+    gen = host_budget_filter(cand, None, 5, order_cols=[F.col("url")])
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, gen.collect()))
+
+    pri = host_budget_filter(
+        cand, None, 5, order_cols=[F.col("score").desc(), F.col("url")]
+    ).collect()
+    got = {}
+    for r in pri:
+        got.setdefault(r["host"], []).append((r["score"], r["url"], r["host_budget_rank"]))
+    for h in ("h0.t", "h1.t", "h2.t"):
+        per_host = sorted(((-s, u) for (u2, h2, s) in rows if h2 == h for s, u in [(s, u2)]))
+        want = [(-ns, u) for ns, u in per_host[:5]]
+        have = sorted(((s, u) for s, u, _ in got[h]), key=lambda x: (-x[0], x[1]))
+        assert [(s, u) for s, u in have] == want
+        # ranks are 1..5 following the priority order
+        assert sorted(r for _, _, r in got[h]) == [1, 2, 3, 4, 5]
