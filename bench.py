@@ -85,6 +85,7 @@ HEADLINE = [
     "anchor_texts",
     "search_anchor_bm25f",
     "frontier_priority",
+    "sequence_packing",
 ]
 
 

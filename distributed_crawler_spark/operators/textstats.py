@@ -453,3 +453,70 @@ def domain_quota_sample(
     )
     out = host_budget_filter(keyed, None, quota, host_col=domain_col, order_col="__qh")
     return out.drop("__qh").withColumnRenamed("host_budget_rank", "quota_rank")
+
+
+def sequence_packing(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pk0",
+    order_partitions: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate all documents in a
+    deterministic pseudo-random order and split the token stream into
+    fixed-length training sequences. Output per doc: its global first-
+    token position, the sequence containing that token, and the offset
+    inside it — the complete packing layout (a doc may span sequences;
+    downstream writers slice by tok_pos ranges).
+
+    Token positions are a GLOBAL exclusive prefix sum, computed without
+    ever collapsing to one partition (the bare Window.orderBy trap):
+    range-partition on the order key, per-partition running sum, then
+    add the exclusive per-partition totals (a #partitions-row broadcast)
+    — crawl_order's distributed prefix-sum shape (scheduler.py:524-545)
+    applied to token counts. Positions are exact for ANY range
+    boundaries (each partition is a contiguous slice of the total
+    order), so sampling-dependent boundary placement cannot move the
+    result; everything is integer arithmetic, bit-exact across engines.
+    """
+    from pyspark.sql.window import Window
+
+    h = phash(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+            h.alias("__oh"),
+        )
+        .repartitionByRange(order_partitions, "__oh", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__oh", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = base.withColumn(
+        "__cum", F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    totals = base.groupBy("__pid").agg(F.sum("n_tokens").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        base.join(F.broadcast(offsets), "__pid")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__off") + F.col("__cum")).cast("long").alias("tok_pos"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "tok_pos",
+            F.expr(f"tok_pos DIV {int(seq_len)}").alias("seq_id"),
+            F.pmod(F.col("tok_pos"), F.lit(int(seq_len))).cast("long").alias("seq_offset"),
+        )
+    )

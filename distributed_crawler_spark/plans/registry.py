@@ -3394,6 +3394,43 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         {phash_sql("'pk0' || doc_id::VARCHAR")} AS oh
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY oh, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pos
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_pos,
+       (tok_pos // 512)::BIGINT AS seq_id,
+       (tok_pos % 512)::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout (textstats.sequence_packing):
+    concatenate the corpus in a deterministic pseudo-random order and
+    split into 512-token training sequences — per doc, the global
+    first-token position (a DISTRIBUTED exclusive prefix sum:
+    range-partition on the order hash, per-partition running sums,
+    broadcast per-partition offsets — never one-partition Window), its
+    sequence id and in-sequence offset. Integer-exact across engines
+    and partition layouts; the oracle is the single-window SQL the
+    distributed plan must equal."""
+    return textstats.sequence_packing(
+        _read(spark, sf_dir, "documents"), seq_len=512
+    ).orderBy("doc_id")
+
+
+@q(
     "dedup_paragraphs",
     f"""
 WITH toks AS (
@@ -3607,6 +3644,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "anchor_texts",
     "search_anchor_bm25f",
     "frontier_priority",
+    "sequence_packing",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -3642,7 +3680,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_cosine_topk",
     "embedding_neardup",
     "ann_lsh_buckets",
-    "token_count",
     "lang_id",
     "quality_score",
     "url_validate",
@@ -3653,6 +3690,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round, then the r05-green crawl/stats core — every entry below is
     # re-verified by the local DuckDB sweep each pytest run
     "get_domain",
+    "token_count",
     "fingerprint",
     "url_seen_union",
     "set_ops",

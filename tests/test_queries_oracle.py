@@ -126,6 +126,7 @@ def test_driver_window_priority_names_all_registered():
         "anchor_texts",
         "search_anchor_bm25f",
         "frontier_priority",
+        "sequence_packing",
         # first hash oracle in r06 after rows-only since r02
         "crawl_html_round0",
         # r04-stale rotations that must regain a fresh row this round

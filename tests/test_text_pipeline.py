@@ -1527,3 +1527,29 @@ def test_training_shard_writer_roundtrip(spark, sf_dir, tmp_path):
     # and the written rows agree with the plan
     got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.select("doc_id", "shard", "pos").collect()}
     assert got == a
+
+
+def test_sequence_packing_layout_invariance_and_contiguity(spark):
+    """The distributed prefix sum must (a) be identical under any input
+    partitioning AND any range-partition count, (b) tile the token
+    stream exactly: ordered by tok_pos, each doc starts where the
+    previous ended, starting at 0."""
+    from distributed_crawler_spark.operators.textstats import sequence_packing
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range((i * 13) % 37 + 1)))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    a = sequence_packing(docs.repartition(1), seq_len=64).collect()
+    b = sequence_packing(docs.repartition(17, "doc_id"), seq_len=64,
+                         order_partitions=5).collect()
+    key = lambda r: (r["doc_id"],)
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(map(tuple, b), key=lambda t: t[0])
+
+    ordered = sorted(a, key=lambda r: r["tok_pos"])
+    pos = 0
+    for r in ordered:
+        assert r["tok_pos"] == pos
+        assert r["seq_id"] == pos // 64 and r["seq_offset"] == pos % 64
+        pos += r["n_tokens"]
+    assert pos == sum((i * 13) % 37 + 1 for i in range(300))
