@@ -86,6 +86,9 @@ HEADLINE = [
     "search_anchor_bm25f",
     "frontier_priority",
     "sequence_packing",
+    "fetch_schedule",
+    "trap_detection",
+    "lm_perplexity",
 ]
 
 

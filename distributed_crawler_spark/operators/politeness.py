@@ -159,3 +159,60 @@ def politeness_waves(
     extra shuffle."""
     wave = ((F.col(rank_col) - 1) / concurrent_per_host).cast("int")
     return scheduled.withColumn("wave", wave)
+
+
+def crawl_delay_schedule(
+    candidates: DataFrame,
+    delay_ms,
+    host_col: str = "host",
+    order_col: str = "url",
+    order_partitions: int = 32,
+) -> DataFrame:
+    """Crawl-delay-aware fetch timetable: for every candidate URL, its
+    per-host fetch slot (0-based position in canonical order) and the
+    earliest fetch time offset ``slot * delay_ms`` — the batch analog of
+    a per-host delay queue honoring robots.txt ``Crawl-delay`` (the
+    reference hardcodes one global CRAWLER_DOWNLOAD_DELAY, config.py:14;
+    real crawlers honor the per-host directive, which is what makes the
+    delay a *column*, not a constant).
+
+    Unlike the budget window (host_budget_filter) this is an UNBOUNDED
+    per-host enumeration — every URL gets a slot, so the salted top-k
+    prefilter cannot bound the mega-host partition. Instead it reuses the
+    crawl-order prefix-sum shape (scheduler.py:524-545): range-partition
+    on (host, url) so each (partition, host) cell is a bounded contiguous
+    slice of the host's order, rank locally inside the cell, then add the
+    host's exclusive cell-count prefix (a window over the tiny
+    cells-per-host table — ≤ #partitions rows per host). No single task
+    ever ranks more than one range partition's worth of the mega-host.
+
+    ``delay_ms`` is a Column evaluated against the candidate row (e.g. a
+    robots-table join result or an arithmetic rule).
+    """
+    out_cols = candidates.columns
+    base = (
+        candidates
+        .repartitionByRange(order_partitions, host_col, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_cell = Window.partitionBy("__pid", host_col).orderBy(order_col)
+    base = base.withColumn("__rk", F.row_number().over(w_cell))
+    cells = base.groupBy("__pid", host_col).agg(F.count("*").alias("__n"))
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        "__pid", host_col, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    # no broadcast hint: offsets is ~(#hosts + #partitions) rows — small
+    # here, but per-HOST at web scale; both sides are already keyed on
+    # (__pid, host), and AQE broadcasts when it is truly small
+    return (
+        base.join(offsets, ["__pid", host_col])
+        .withColumn("slot", (F.col("__off") + F.col("__rk") - 1).cast("long"))
+        .withColumn("delay_ms", delay_ms.cast("long"))
+        .withColumn("fetch_offset_ms", (F.col("slot") * F.col("delay_ms")).cast("long"))
+        .select(*out_cols, "slot", "delay_ms", "fetch_offset_ms")
+    )

@@ -176,3 +176,61 @@ SELECT round(CASE WHEN ({alpha_num!r} / s_total::DOUBLE) <= {2.5 * m!r} AND v > 
        n_rows::BIGINT AS n_rows
 FROM hest
 """
+
+
+def host_trap_stats(
+    pages: DataFrame,
+    content_key,
+    host_col: str = "host",
+    url_col: str = "url",
+    path_col: str = "path",
+    min_urls: int = 20,
+    max_dup_ratio: float = 1.5,
+) -> DataFrame:
+    """Crawler-trap detection (Heritrix/Nutch-style): per host, compare
+    how many URLs were seen against how much DISTINCT content they serve
+    and how many URL *templates* (path with digit runs collapsed) they
+    span. A trap host mints unbounded URLs — session ids, calendars,
+    faceted search — over a tiny content set; a frontier that keeps
+    scheduling it starves real hosts long before any budget fires. The
+    reference has no such guard (its per-domain cap is the only defense,
+    master_node.py:340-343); at 10^10 URLs a cap alone still wastes the
+    whole cap on each trap.
+
+    ``content_key`` is a Column: the page-content identity (hash of the
+    body, simhash, etc.). Flag = many URLs AND URLs-per-distinct-content
+    ≥ max_dup_ratio.
+
+    One hash aggregate keyed on host; both distinct counts are two-phase
+    partial aggregations (no distinct-explosion: Spark plans
+    count(DISTINCT x) per group as re-aggregation on (host, x) partials),
+    so the mega-host stays map-side-combined. Output is per-host (≤ #hosts
+    rows) — the frontier joins it back as a broadcast gate.
+    """
+    template = F.regexp_replace(F.col(path_col), "[0-9]+", "N")
+    per_host = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            template.alias("__tpl"),
+            content_key.alias("__ck"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("__ck").alias("n_contents"),
+            F.countDistinct("__tpl").alias("n_templates"),
+        )
+    )
+    ratio = F.round(F.col("n_urls") / F.col("n_contents"), 4)
+    return per_host.select(
+        "host",
+        "n_urls",
+        "n_contents",
+        "n_templates",
+        ratio.alias("dup_ratio"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (ratio >= F.lit(float(max_dup_ratio)))
+        ).alias("trap_flag"),
+    )

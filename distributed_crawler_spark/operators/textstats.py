@@ -520,3 +520,103 @@ def sequence_packing(
             F.pmod(F.col("tok_pos"), F.lit(int(seq_len))).cast("long").alias("seq_offset"),
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pred=None,
+    vocab_prune_mod: int = 4,
+    vocab_seed: str = "v0",
+    head_cutoff: float = 3.30,
+    mid_cutoff: float = 3.45,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020):
+    score every document by its per-bigram negative log-likelihood under
+    an add-one-smoothed bigram LM trained on a held-in reference slice,
+    then bucket into head/middle/tail — the filter that selected
+    CCNet/LLaMA training data (their KenLM 5-gram becomes a bigram here;
+    the plan shape is identical).
+
+    Determinism/oracle contract: the vocabulary is the training slice's
+    distinct tokens *pruned by a hash rule* (phash(seed:term) %
+    vocab_prune_mod != 0 — the deterministic stand-in for a min-count /
+    SentencePiece truncation), OOV tokens on BOTH sides map to <unk>,
+    P(w|p) = (c2(p,w)+1) / (c1(p)+|V|+1) (the +1 slot is <unk>), and the
+    bucket thresholds compare against the ROUNDED nll, so the bucket is
+    a pure function of values both engines agree on to 4 decimals.
+
+    Scale shape: tokens are positioned once (posexplode of one projected
+    split array — Catalyst does NOT CSE expressions into HOF lambdas),
+    bigrams come from one lead() window keyed on doc id (bounded per
+    key), and the LM tables are vocabulary-bounded (≤ |V|²) — broadcast
+    to every executor exactly like CCNet ships its KenLM binary to every
+    worker; for an LM too big to broadcast, drop the hints and the gram
+    joins degrade to shuffle hash joins on the gram key. The corpus
+    itself shuffles once (on doc id, for adjacency)."""
+    from pyspark.sql.window import Window
+
+    if train_pred is None:
+        train_pred = F.col(id_col) % 10 == 0
+    arr = docs.select(
+        F.col(id_col), train_pred.alias("__train"), _tokens(F.col(text_col)).alias("__t")
+    )
+    toks = arr.select(
+        id_col, "__train", F.posexplode("__t").alias("pos", "term")
+    )
+    vocab = (
+        toks.filter(F.col("__train"))
+        .select("term")
+        .distinct()
+        .filter(
+            F.pmod(
+                phash(F.concat(F.lit(vocab_seed + ":"), F.col("term"))),
+                F.lit(int(vocab_prune_mod)),
+            )
+            != 0
+        )
+    )
+    vsize = vocab.agg(F.count("*").alias("__v"))
+    mapped = (
+        toks.join(F.broadcast(vocab.withColumn("__in", F.lit(True))), "term", "left")
+        .select(
+            id_col,
+            "__train",
+            "pos",
+            F.when(F.col("__in").isNotNull(), F.col("term"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w"),
+        )
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        mapped.withColumn("w_next", F.lead("w").over(w_doc))
+        .filter(F.col("w_next").isNotNull())
+    )
+    c2 = big.filter(F.col("__train")).groupBy("w", "w_next").agg(
+        F.count("*").alias("c2")
+    )
+    c1 = big.filter(F.col("__train")).groupBy("w").agg(F.count("*").alias("c1"))
+    scored = (
+        big.join(F.broadcast(c2), ["w", "w_next"], "left")
+        .join(F.broadcast(c1), "w", "left")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "__ll",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("__v") + 1)
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("__ll"), 4).alias("nll"),
+    )
+    bucket = (
+        F.when(F.col("nll") < F.lit(float(head_cutoff)), F.lit("head"))
+        .when(F.col("nll") < F.lit(float(mid_cutoff)), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return per_doc.select(id_col, "n_bigrams", "nll", bucket.alias("ppl_bucket"))

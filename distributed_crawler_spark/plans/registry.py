@@ -21,7 +21,11 @@ from ..corpus import model_links_df, model_pages_df, model_robots_df, model_seed
 from ..functions.hashing import phash, phash_sql
 from ..functions.urls import get_domain, normalize_url
 from ..operators import dedup, graph, search, similarity, stats, textstats
-from ..operators.politeness import host_budget_filter, robots_filter
+from ..operators.politeness import (
+    crawl_delay_schedule,
+    host_budget_filter,
+    robots_filter,
+)
 from . import porter_sql
 from .model_crawl import (
     anchor_texts_sql,
@@ -3587,6 +3591,146 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_removed(emb, centroids, threshold=0.35)
 
 
+@q(
+    "fetch_schedule",
+    f"""
+WITH {_MODEL},
+allowed AS (
+  SELECT p.url, p.host, p.host_id FROM pages p
+  WHERE NOT EXISTS (SELECT 1 FROM robots r
+                    WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
+)
+SELECT url, host,
+       (row_number() OVER (PARTITION BY host ORDER BY url) - 1)::BIGINT AS slot,
+       (500 * (1 + host_id % 4))::BIGINT AS delay_ms,
+       ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+        * 500 * (1 + host_id % 4))::BIGINT AS fetch_offset_ms
+FROM allowed
+""",
+)
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware fetch timetable: robots gate, then every allowed
+    URL gets its per-host fetch slot and earliest start offset
+    slot × delay(host) — the per-host Crawl-delay directive honored as a
+    COLUMN (the reference hardcodes one global 1.0 s delay,
+    config.py:13-14; delay here = 500·(1+host_id mod 4) ms, the
+    arithmetic stand-in for the parsed robots value). Unbounded per-host
+    enumeration — the salted top-k prefilter can't bound it — so it runs
+    on the crawl-order prefix-sum shape: range-partition (host, url),
+    rank inside each bounded (partition, host) cell, add exclusive
+    cell-count offsets (politeness.crawl_delay_schedule)."""
+    pages = model_pages_df(spark, sf_dir).select("url", "host", "host_id")
+    robots = model_robots_df(spark, sf_dir)
+    allowed = robots_filter(pages, robots)
+    sched = crawl_delay_schedule(
+        allowed, delay_ms=F.lit(500) * (F.lit(1) + F.pmod(F.col("host_id"), F.lit(4)))
+    )
+    return sched.select("url", "host", "slot", "delay_ms", "fetch_offset_ms")
+
+
+@q(
+    "trap_detection",
+    f"""
+WITH {_MODEL},
+keyed AS (
+  SELECT host, url, regexp_replace(path, '[0-9]+', 'N', 'g') AS tpl,
+         CASE WHEN host_id % 13 = 2 THEN 'dup:' || host_id
+              ELSE 'u:' || doc_id END AS ck
+  FROM pages
+),
+agg AS (
+  SELECT host, count(*) AS n_urls,
+         count(DISTINCT ck) AS n_contents,
+         count(DISTINCT tpl) AS n_templates
+  FROM keyed GROUP BY host
+)
+SELECT host, n_urls, n_contents, n_templates,
+       round(n_urls * 1.0 / n_contents, 4) AS dup_ratio,
+       (n_urls >= 3 AND round(n_urls * 1.0 / n_contents, 4) >= 2.0) AS trap_flag
+FROM agg
+""",
+)
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection: per host, URLs seen vs DISTINCT content
+    served vs URL templates spanned — a trap host (session ids,
+    calendars, faceted search) mints unbounded URLs over a tiny content
+    set and starves the frontier; the reference's only defense is the
+    per-domain cap, which a trap still consumes whole. Content identity
+    is injected deterministically (hosts with host_id % 13 == 2 serve
+    ONE page body under all their URLs — the pii_scrub injection
+    pattern), so the flag is exercised and bit-exact on both engines.
+    One map-side-combined hash aggregate keyed on host; output is
+    host-level (broadcastable back as a frontier gate)."""
+    pages = model_pages_df(spark, sf_dir)
+    ck = F.when(
+        F.pmod(F.col("host_id"), F.lit(13)) == 2,
+        F.concat(F.lit("dup:"), F.col("host_id").cast("string")),
+    ).otherwise(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+    return stats.host_trap_stats(pages, ck, min_urls=3, max_dup_ratio=2.0)
+
+
+@q(
+    "lm_perplexity",
+    f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 10 = 0 AS train, string_split(text, ' ') AS l
+  FROM documents
+),
+pos AS (SELECT doc_id, train, unnest(generate_series(1, len(l))) AS i, l FROM d),
+toks AS (SELECT doc_id, train, i, l[i] AS term FROM pos WHERE l[i] <> ''),
+vkeep AS (
+  SELECT DISTINCT term FROM toks
+  WHERE train AND ({phash_sql("'v0:' || term")} % 4) <> 0
+),
+vs AS (SELECT count(*)::BIGINT AS v FROM vkeep),
+m AS (
+  SELECT t.doc_id, t.train, t.i,
+         CASE WHEN k.term IS NOT NULL THEN t.term ELSE '<unk>' END AS w
+  FROM toks t LEFT JOIN vkeep k ON t.term = k.term
+),
+seq AS (
+  SELECT doc_id, train, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM m
+),
+big AS (
+  SELECT a.doc_id, a.train, a.w, b.w AS w_next
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+),
+c2 AS (SELECT w, w_next, count(*) AS c2 FROM big WHERE train GROUP BY w, w_next),
+c1 AS (SELECT w, count(*) AS c1 FROM big WHERE train GROUP BY w),
+sc AS (
+  SELECT g.doc_id,
+         ln((coalesce(c2.c2, 0) + 1)::DOUBLE
+            / (coalesce(c1.c1, 0) + vs.v + 1)) AS ll
+  FROM big g
+  LEFT JOIN c2 ON g.w = c2.w AND g.w_next = c2.w_next
+  LEFT JOIN c1 ON g.w = c1.w, vs
+),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(-avg(ll), 4) AS nll
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, nll,
+       CASE WHEN nll < 3.30 THEN 'head'
+            WHEN nll < 3.45 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM pd
+""",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): add-one
+    bigram LM trained on the doc_id%10==0 reference slice (vocabulary
+    hash-pruned — the deterministic min-count stand-in — OOV → <unk> on
+    both sides), every doc scored by per-bigram negative log-likelihood
+    and bucketed head/middle/tail on the ROUNDED score — the filter that
+    selected CCNet/LLaMA training data. LM tables are vocab-bounded and
+    broadcast (the KenLM-binary-per-worker analog); the corpus shuffles
+    once, on doc id, for bigram adjacency."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.bigram_lm_score(docs)
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -3645,6 +3789,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_anchor_bm25f",
     "frontier_priority",
     "sequence_packing",
+    # round-6 third continuation: crawl-delay fetch timetable (unbounded
+    # per-host enumeration on the prefix-sum shape), crawler-trap
+    # detection, and the CCNet-style bigram-LM quality filter — first
+    # driver rows
+    "fetch_schedule",
+    "trap_detection",
+    "lm_perplexity",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -3680,15 +3831,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_cosine_topk",
     "embedding_neardup",
     "ann_lsh_buckets",
-    "lang_id",
-    "quality_score",
-    "url_validate",
     "rep_signals",
     "hash_sample",
     "quota_sample",
     # past the 50-entry window from here: r04-green trivia rested this
-    # round, then the r05-green crawl/stats core — every entry below is
-    # re-verified by the local DuckDB sweep each pytest run
+    # round (lang_id / quality_score / url_validate joined the rested
+    # block when the three third-continuation queries above took their
+    # slots — same trivial map-only class as the six below), then the
+    # r05-green crawl/stats core — every entry below is re-verified by
+    # the local DuckDB sweep each pytest run
+    "lang_id",
+    "quality_score",
+    "url_validate",
     "get_domain",
     "token_count",
     "fingerprint",

@@ -154,6 +154,7 @@ _CARTESIAN_OK = {
                             # centroids via ivf_assign_fixed)
     "mixture_sample",       # 1-row (S, N) totals crossJoin onto the
                             # tiny per-source picks table
+    "lm_perplexity",        # 1-row vocab-size crossJoin (the |V| scalar)
 }
 
 

@@ -129,6 +129,10 @@ def test_driver_window_priority_names_all_registered():
         "sequence_packing",
         # first hash oracle in r06 after rows-only since r02
         "crawl_html_round0",
+        # round-6 third continuation: first driver rows
+        "fetch_schedule",
+        "trap_detection",
+        "lm_perplexity",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
