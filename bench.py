@@ -89,6 +89,9 @@ HEADLINE = [
     "fetch_schedule",
     "trap_detection",
     "lm_perplexity",
+    "hits_scores",
+    "crawl_delta",
+    "recrawl_priority",
 ]
 
 

@@ -203,3 +203,32 @@ def crawl_round(
         extracted, robots, seen, host_counts, cfg, round_no
     )
     return RoundResult(cohort, extracted, next_pending, fetched)
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Recrawl snapshot diff: classify every URL across two crawl
+    snapshots as added / removed / changed / same — the incremental-
+    crawl primitive (Common Crawl publishes exactly this delta between
+    monthly snapshots; the reference can only crawl from scratch, its
+    visited-set has no notion of content change).
+
+    Inputs are (key, content-fingerprint) projections — fingerprint the
+    text BEFORE the join so the shuffle carries (url, long) pairs, never
+    page bodies. One full outer join hash-partitioned on the key; both
+    sides prune to two columns at the scan.
+    """
+    o = old.select(F.col(key_col).alias("url"), F.col(fp_col).alias("__old"))
+    n = new.select(F.col(key_col).alias("url"), F.col(fp_col).alias("__new"))
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(F.col("__old") == F.col("__new"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"))

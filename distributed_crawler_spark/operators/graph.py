@@ -265,3 +265,71 @@ def anchor_text_agg(
         F.countDistinct("src_url").cast("long").alias("n_sources"),
         F.concat_ws(" ", F.array_sort(F.collect_set("anchor"))).alias("anchors"),
     )
+
+
+def hits_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg 1999) — hub/authority scores
+    over the crawl link graph: the complementary frontier signal to
+    PageRank (a high-hub page is a good place to DISCOVER new urls; a
+    high-authority page is a good page to FETCH).
+
+    Same bit-exactness contract as pagerank_int, with L1 normalization
+    replacing Kleinberg's L2 so every step stays in integers: each half-
+    iteration sums the opposite score over in/out-links, then rescales
+    to a total of ``n * scale`` via ``(raw * n * scale) // sum(raw)`` —
+    exact integer division after an exact integer sum, so partitioning,
+    join order, and engine cannot move any score. (Overflow headroom:
+    raw ≤ max_degree·scale and the rescale multiplies by n·scale, so at
+    extreme graph sizes lower ``scale``; 10^6 holds to ~10^6-node
+    graphs with mega-hubs, plenty for per-partition frontier ranking.)
+
+    Scale shape per half-iteration: one (src or dst) join + one
+    map-side-combined sum + one 1-row total broadcast — shuffles carry
+    (id, long) pairs only, the pagerank_int shape run twice."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    ns = nodes.select(F.col(node_col).cast("long").alias("node"))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # rescale to sum = n*scale; nodes missing from raw hold 0
+        tot = raw.agg(F.sum(col).alias("__tot"))
+        n_scale = ns.agg((F.count(F.lit(1)) * scale).alias("__ns"))
+        return (
+            ns.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_scale))
+            .select(
+                "node",
+                F.expr(f"(coalesce({col}, 0L) * __ns) DIV __tot").alias(col),
+            )
+        )
+
+    hub = ns.select("node", F.lit(scale).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+        auth = _normalize(a_raw, "a")
+        h_raw = (
+            e.join(auth, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        hub = _normalize(h_raw, "h")
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

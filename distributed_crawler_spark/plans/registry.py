@@ -3731,6 +3731,194 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_lm_score(docs)
 
 
+def _hits_oracle_sql(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled integer HITS fixpoint over the generator link graph —
+    the pagerank CTE pattern run for both score vectors, L1-normalized
+    each half-iteration with exact integer division."""
+    from ..corpus import LINK_COEFFS
+
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS src, ({a} * doc_id + {b}) % nn.n AS dst FROM documents, nn"
+        for a, b in LINK_COEFFS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS (\n{unions}\n)",
+        f"h0 AS (SELECT doc_id AS node, {scale}::BIGINT AS h FROM documents)",
+        f"ns AS (SELECT (count(*) * {scale})::BIGINT AS ns FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""ar{i} AS (
+  SELECT e.dst AS node, sum(h.h) AS a
+  FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst
+)""",
+            f"at{i} AS (SELECT sum(a)::BIGINT AS tot FROM ar{i})",
+            f"""a{i} AS (
+  SELECT d.doc_id AS node,
+         ((coalesce(ar.a, 0) * ns.ns) // at.tot)::BIGINT AS a
+  FROM documents d LEFT JOIN ar{i} ar ON ar.node = d.doc_id, at{i} at, ns
+)""",
+            f"""hr{i} AS (
+  SELECT e.src AS node, sum(a.a) AS h
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+)""",
+            f"ht{i} AS (SELECT sum(h)::BIGINT AS tot FROM hr{i})",
+            f"""h{i} AS (
+  SELECT d.doc_id AS node,
+         ((coalesce(hr.h, 0) * ns.ns) // ht.tot)::BIGINT AS h
+  FROM documents d LEFT JOIN hr{i} hr ON hr.node = d.doc_id, ht{i} ht, ns
+)""",
+        ]
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT h.node AS doc_id, h.h AS hub, a.a AS authority\n"
+        f"FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY doc_id"
+    )
+
+
+@q("hits_scores", _hits_oracle_sql())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the crawl link graph (Kleinberg 1999)
+    — the complementary frontier signal to pagerank: a high-hub page is
+    where new URLs are DISCOVERED, a high-authority page is what's worth
+    FETCHING. 3 iterations, L1-normalized in pure integer arithmetic
+    (graph.hits_int), so scores are bit-exact across engines and
+    partitionings; the oracle unrolls the identical fixpoint."""
+    from ..corpus import _doc_count, LINK_COEFFS
+    from ..operators.graph import hits_int
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        hits_int(nodes, edges, iters=3)
+        .select(F.col("node").alias("doc_id"), "hub", "authority")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "crawl_delta",
+    f"""
+WITH {_MODEL},
+old AS (SELECT url, {phash_sql("text")} AS fp FROM pages),
+kept AS (
+  SELECT url,
+         {phash_sql("CASE WHEN doc_id % 17 = 4 THEN text || ' v2' ELSE text END")} AS fp
+  FROM pages WHERE doc_id % 23 <> 9
+),
+added AS (
+  SELECT 'https://h' || host_id || '.example.com/new/' || doc_id AS url,
+         {phash_sql("'new:' || doc_id")} AS fp
+  FROM pages WHERE doc_id % 29 = 3
+),
+new_snap AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'same'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new_snap n ON o.url = n.url
+""",
+)
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot diff (the incremental-crawl primitive Common
+    Crawl publishes between monthly snapshots; the reference can only
+    crawl from scratch): snapshot B is derived arithmetically from the
+    corpus — doc_id%23==9 pages vanish, doc_id%17==4 bodies change,
+    doc_id%29==3 hosts mint a new /new/ URL — then every URL is
+    classified added/removed/changed/same via one full outer join on
+    (url, fingerprint) pairs. Bodies are hashed BEFORE the join, so the
+    shuffle never carries page text (operators.frontier.snapshot_delta)."""
+    from ..operators.frontier import snapshot_delta
+
+    pages = model_pages_df(spark, sf_dir)
+    d = F.col("doc_id")
+    old = pages.select("url", phash(F.col("text")).alias("fp"))
+    kept = pages.filter(d % 23 != 9).select(
+        "url",
+        phash(
+            F.when(d % 17 == 4, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    added = pages.filter(d % 29 == 3).select(
+        F.concat(
+            F.lit("https://h"),
+            F.col("host_id").cast("string"),
+            F.lit(".example.com/new/"),
+            d.cast("string"),
+        ).alias("url"),
+        phash(F.concat(F.lit("new:"), d.cast("string"))).alias("fp"),
+    )
+    return snapshot_delta(old, kept.unionByName(added))
+
+
+@q(
+    "recrawl_priority",
+    f"""
+WITH {_MODEL},
+r AS (
+  SELECT url, host, (10 + 30 * (host_id % 3))::BIGINT AS change_pct,
+         list_sum(list_transform(generate_series(0, 7), e ->
+           CASE WHEN ({phash_sql("'ch:' || url || ':' || e")} % 100)
+                     < (10 + 30 * (host_id % 3)) THEN 1 ELSE 0 END
+         ))::BIGINT AS n_changes
+  FROM pages
+)
+SELECT url, host, change_pct, n_changes,
+       (24 * (8 - n_changes + 1) // (n_changes + 1))::BIGINT AS revisit_after_h
+FROM r
+""",
+)
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2000):
+    estimate each page's change rate from its observed change history —
+    simulated here as 8 deterministic hash-derived change bits whose
+    per-host rate (10/40/70 %) both engines re-derive — and set the
+    revisit interval inversely to the observed change count, in pure
+    integer arithmetic. Zero shuffles: one map-side projection (the
+    change-bit fold is a HOF aggregate over a literal epoch sequence);
+    the reference's visited-set has no recrawl notion at all."""
+    pages = model_pages_df(spark, sf_dir)
+    rate = (F.lit(10) + F.lit(30) * F.pmod(F.col("host_id"), F.lit(3))).cast("long")
+    bit = lambda e: F.when(
+        F.pmod(
+            phash(
+                F.concat(F.lit("ch:"), F.col("url"), F.lit(":"), e.cast("string"))
+            ),
+            F.lit(100),
+        )
+        < rate,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    n_changes = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + bit(e),
+    )
+    out = pages.select(
+        "url",
+        "host",
+        rate.alias("change_pct"),
+        n_changes.alias("n_changes"),
+    )
+    return out.withColumn(
+        "revisit_after_h",
+        F.expr("(24 * (8 - n_changes + 1)) DIV (n_changes + 1)").cast("long"),
+    )
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -3796,6 +3984,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "fetch_schedule",
     "trap_detection",
     "lm_perplexity",
+    # round-6 third continuation, second batch: integer HITS, recrawl
+    # snapshot delta, freshness-driven revisit scheduling — first rows
+    "hits_scores",
+    "crawl_delta",
+    "recrawl_priority",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -3828,18 +4021,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_jaccard",
     "dup_span_stats",
     "simhash",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "ann_lsh_buckets",
     "rep_signals",
     "hash_sample",
     "quota_sample",
-    # past the 50-entry window from here: r04-green trivia rested this
-    # round (lang_id / quality_score / url_validate joined the rested
-    # block when the three third-continuation queries above took their
-    # slots — same trivial map-only class as the six below), then the
+    # past the 50-entry window from here: r04-green queries rested this
+    # round to make room for the six third-continuation first-row
+    # queries above (lang_id / quality_score / url_validate are trivial
+    # map-only scalars; ann_cosine_topk / embedding_neardup /
+    # ann_lsh_buckets are the constant-bounded similarity baselines
+    # whose scale paths — ivf/lsh_mt — hold fresh rows), then the
     # r05-green crawl/stats core — every entry below is re-verified by
     # the local DuckDB sweep each pytest run
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_buckets",
     "lang_id",
     "quality_score",
     "url_validate",

@@ -155,6 +155,7 @@ _CARTESIAN_OK = {
     "mixture_sample",       # 1-row (S, N) totals crossJoin onto the
                             # tiny per-source picks table
     "lm_perplexity",        # 1-row vocab-size crossJoin (the |V| scalar)
+    "hits_scores",          # 1-row L1-total crossJoins per half-iteration
 }
 
 

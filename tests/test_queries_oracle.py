@@ -133,6 +133,9 @@ def test_driver_window_priority_names_all_registered():
         "fetch_schedule",
         "trap_detection",
         "lm_perplexity",
+        "hits_scores",
+        "crawl_delta",
+        "recrawl_priority",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
