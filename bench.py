@@ -92,6 +92,7 @@ HEADLINE = [
     "hits_scores",
     "crawl_delta",
     "recrawl_priority",
+    "recrawl_queue",
 ]
 
 

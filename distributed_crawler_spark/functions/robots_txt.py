@@ -69,9 +69,65 @@ def parse_robots_txt(body: str | None) -> list[dict]:
                 rules.append(
                     {"user_agent": ua, "rule": key, "path_prefix": value}
                 )
+        elif key == "crawl-delay":
+            last_was_agent = False
+            try:
+                float(value)
+            except ValueError:
+                continue  # malformed delay = no-op (urllib keeps strings;
+                          # a crawler can only honor numbers)
+            for ua in agents or ["*"]:
+                rules.append(
+                    {"user_agent": ua, "rule": "crawl-delay", "path_prefix": value}
+                )
         else:
             last_was_agent = False
     return rules
+
+
+def crawl_delay_for(
+    rules: list[dict], user_agent: str = "*"
+) -> float | None:
+    """Seconds from the group's ``Crawl-delay`` directive (the de-facto
+    per-host politeness knob fetch scheduling consumes — see
+    politeness.crawl_delay_schedule); the specific agent's group wins
+    over '*', mirroring urllib.robotparser.crawl_delay."""
+    best = None
+    for r in rules:
+        if r["rule"] != "crawl-delay":
+            continue
+        if r["user_agent"] == user_agent:
+            return float(r["path_prefix"])
+        if r["user_agent"] == "*" and best is None:
+            best = float(r["path_prefix"])
+    return best
+
+
+def host_crawl_delays(
+    rules: DataFrame, default_s: float = 1.0, user_agent: str = "*"
+) -> DataFrame:
+    """(host, delay_s) from a parsed per-host rule table — hosts with no
+    directive get ``default_s`` (the reference's global
+    CRAWLER_DOWNLOAD_DELAY, config.py:14). Feed the result to
+    crawl_delay_schedule via a broadcast join. Agent-specific groups win
+    over '*' (min over the ranked pair, like crawl_delay_for)."""
+    cd = rules.filter(F.col("rule") == "crawl-delay").filter(
+        F.col("user_agent").isin(user_agent, "*")
+    )
+    ranked = cd.select(
+        "host",
+        F.struct(
+            F.when(F.col("user_agent") == user_agent, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("pref"),
+            F.col("path_prefix").cast("double").alias("delay_s"),
+        ).alias("__r"),
+    )
+    return (
+        ranked.groupBy("host")
+        .agg(F.min("__r").alias("__best"))
+        .select("host", F.coalesce(F.col("__best.delay_s"), F.lit(default_s)).alias("delay_s"))
+    )
 
 
 @pandas_udf(RULE_SCHEMA)

@@ -3919,6 +3919,141 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "recrawl_queue",
+    f"""
+WITH {_MODEL},
+old AS (SELECT url, {phash_sql("text")} AS fp FROM pages),
+kept AS (
+  SELECT url,
+         {phash_sql("CASE WHEN doc_id % 17 = 4 THEN text || ' v2' ELSE text END")} AS fp
+  FROM pages WHERE doc_id % 23 <> 9
+),
+added AS (
+  SELECT 'https://h' || host_id || '.example.com/new/' || doc_id AS url,
+         {phash_sql("'new:' || doc_id")} AS fp
+  FROM pages WHERE doc_id % 29 = 3
+),
+new_snap AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+delta AS (
+  SELECT coalesce(o.url, n.url) AS url,
+         CASE WHEN o.url IS NULL THEN 'added'
+              WHEN n.url IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'same'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new_snap n ON o.url = n.url
+),
+feat AS (
+  SELECT a.url, a.status,
+         coalesce(p.host, regexp_extract(a.url, '^https://([^/]+)', 1)) AS host,
+         p.host_id
+  FROM delta a LEFT JOIN pages p ON p.url = a.url
+  WHERE a.status <> 'removed'
+),
+scored AS (
+  SELECT url, status, host,
+         (CASE status WHEN 'added' THEN 0 WHEN 'changed' THEN 1 ELSE 2 END)::INT
+           AS urgency,
+         (CASE WHEN host_id IS NULL THEN 0
+               ELSE (24 * (8 - nch + 1)) // (nch + 1) END)::BIGINT
+           AS revisit_after_h
+  FROM (
+    SELECT f.*,
+           CASE WHEN host_id IS NULL THEN NULL
+                ELSE list_sum(list_transform(generate_series(0, 7), e ->
+                  CASE WHEN ({phash_sql("'ch:' || url || ':' || e")} % 100)
+                            < (10 + 30 * (host_id % 3)) THEN 1 ELSE 0 END))
+           END AS nch
+    FROM feat f
+  )
+)
+SELECT url, host, status, urgency, revisit_after_h, rn AS host_budget_rank
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY host ORDER BY urgency, revisit_after_h, url
+         ) AS rn
+  FROM scored
+) WHERE rn <= 50
+""",
+)
+def q_recrawl_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed maintenance-crawl scheduler — the three recrawl
+    operators chained end to end: snapshot diff (what exists / what
+    changed) → freshness priority (how fast each page churns) → per-host
+    politeness budget consumed in (urgency, revisit-interval, url) order
+    via the same salted two-phase window as the canonical crawl
+    (host_budget_filter order_cols). Newly discovered urls outrank
+    changed ones outrank stale-stable ones; one ~60-line oracle replays
+    all three stages. The reference re-crawls nothing, ever — this is
+    the query that turns its one-shot crawler into a maintained index."""
+    from ..operators.frontier import snapshot_delta
+
+    pages = model_pages_df(spark, sf_dir)
+    d = F.col("doc_id")
+    old = pages.select("url", phash(F.col("text")).alias("fp"))
+    kept = pages.filter(d % 23 != 9).select(
+        "url",
+        phash(
+            F.when(d % 17 == 4, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    added = pages.filter(d % 29 == 3).select(
+        F.concat(
+            F.lit("https://h"),
+            F.col("host_id").cast("string"),
+            F.lit(".example.com/new/"),
+            d.cast("string"),
+        ).alias("url"),
+        phash(F.concat(F.lit("new:"), d.cast("string"))).alias("fp"),
+    )
+    delta = snapshot_delta(old, kept.unionByName(added))
+    feat = (
+        delta.filter(F.col("status") != "removed")
+        .join(pages.select("url", "host", "host_id"), "url", "left")
+        .withColumn(
+            "host",
+            F.coalesce(
+                F.col("host"), F.regexp_extract(F.col("url"), "^https://([^/]+)", 1)
+            ),
+        )
+    )
+    rate = (F.lit(10) + F.lit(30) * F.pmod(F.col("host_id"), F.lit(3))).cast("long")
+    bit = lambda e: F.when(
+        F.pmod(
+            phash(F.concat(F.lit("ch:"), F.col("url"), F.lit(":"), e.cast("string"))),
+            F.lit(100),
+        )
+        < rate,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    nch = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)), F.lit(0).cast("long"), lambda acc, e: acc + bit(e)
+    )
+    scored = (
+        feat.withColumn("__nch", nch)
+        .withColumn(
+            "urgency",
+            F.when(F.col("status") == "added", 0)
+            .when(F.col("status") == "changed", 1)
+            .otherwise(2)
+            .cast("int"),
+        )
+        .withColumn(
+            "revisit_after_h",
+            F.when(F.col("host_id").isNull(), F.lit(0).cast("long")).otherwise(
+                F.expr("(24 * (8 - __nch + 1)) DIV (__nch + 1)").cast("long")
+            ),
+        )
+        .select("url", "host", "status", "urgency", "revisit_after_h")
+    )
+    return host_budget_filter(
+        scored, None, 50,
+        order_cols=[F.col("urgency"), F.col("revisit_after_h"), F.col("url")],
+    )
+
+
 # =========================================================================
 # Driver-window ordering
 # =========================================================================
@@ -3989,6 +4124,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hits_scores",
     "crawl_delta",
     "recrawl_priority",
+    "recrawl_queue",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4020,7 +4156,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dup_span_stats",
-    "simhash",
     "rep_signals",
     "hash_sample",
     "quota_sample",
@@ -4029,9 +4164,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # queries above (lang_id / quality_score / url_validate are trivial
     # map-only scalars; ann_cosine_topk / embedding_neardup /
     # ann_lsh_buckets are the constant-bounded similarity baselines
-    # whose scale paths — ivf/lsh_mt — hold fresh rows), then the
-    # r05-green crawl/stats core — every entry below is re-verified by
-    # the local DuckDB sweep each pytest run
+    # whose scale paths — ivf/lsh_mt — hold fresh rows; plain simhash's
+    # signature projection is re-derived inside the fresher
+    # simhash_neardup / simhash_neardup_wide rows), then the r05-green
+    # crawl/stats core — every entry below is re-verified by the local
+    # DuckDB sweep each pytest run
+    "simhash",
     "ann_cosine_topk",
     "embedding_neardup",
     "ann_lsh_buckets",

@@ -136,6 +136,7 @@ def test_driver_window_priority_names_all_registered():
         "hits_scores",
         "crawl_delta",
         "recrawl_priority",
+        "recrawl_queue",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",

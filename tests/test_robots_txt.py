@@ -103,3 +103,90 @@ def test_parse_udf_roundtrip(spark):
         ("disallow", "/admin/"),
         ("allow", "/public/"),
     }
+
+
+CD_FIXTURE = """
+User-agent: *
+Crawl-delay: 2
+Disallow: /private/
+
+User-agent: fastbot
+Crawl-delay: 0.5
+
+User-agent: brokenbot
+Crawl-delay: soon
+"""
+
+
+def test_crawl_delay_parse_and_lookup():
+    from distributed_crawler_spark.functions.robots_txt import (
+        crawl_delay_for,
+        parse_robots_txt,
+    )
+
+    rules = parse_robots_txt(CD_FIXTURE)
+    assert crawl_delay_for(rules, "*") == 2.0
+    assert crawl_delay_for(rules, "fastbot") == 0.5
+    # specific agent with no directive of its own falls back to '*'
+    assert crawl_delay_for(rules, "otherbot") == 2.0
+    # malformed value is dropped entirely -> falls back to '*'
+    assert crawl_delay_for(rules, "brokenbot") == 2.0
+    # no crawl-delay anywhere -> None
+    assert crawl_delay_for(parse_robots_txt("User-agent: *\nDisallow: /x")) is None
+
+
+def test_crawl_delay_matches_urllib():
+    """Cross-check against stdlib on groups that carry path rules.
+    (urllib DISCARDS a group containing only a Crawl-delay and no
+    Allow/Disallow line — rp.crawl_delay('fastbot') on CD_FIXTURE is
+    None; this parser keeps such groups, the RFC-9309-consistent and
+    crawler-useful reading, same documented-divergence class as
+    longest-match vs first-match.)"""
+    import urllib.robotparser
+
+    from distributed_crawler_spark.functions.robots_txt import (
+        crawl_delay_for,
+        parse_robots_txt,
+    )
+
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n\n"
+        "User-agent: fastbot\nCrawl-delay: 5\nDisallow: /tmp/\n"
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    rules = parse_robots_txt(body)
+    for agent in ("fastbot", "somebot"):
+        assert crawl_delay_for(rules, agent) == float(rp.crawl_delay(agent))
+    # second divergence, also toward usefulness: urllib's isdigit() gate
+    # drops fractional delays entirely; this parser accepts any float
+    # (Crawl-delay: 0.5 is common in the wild)
+    frac = "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /tmp/\n"
+    rp3 = urllib.robotparser.RobotFileParser()
+    rp3.parse(frac.splitlines())
+    assert rp3.crawl_delay("fastbot") is None
+    assert crawl_delay_for(parse_robots_txt(frac), "fastbot") == 0.5
+    # the documented divergence: delay-only group
+    rp2 = urllib.robotparser.RobotFileParser()
+    rp2.parse(CD_FIXTURE.splitlines())
+    assert rp2.crawl_delay("fastbot") is None  # urllib drops the group
+    assert crawl_delay_for(parse_robots_txt(CD_FIXTURE), "fastbot") == 0.5
+
+
+def test_host_crawl_delays_dataframe(spark):
+    from distributed_crawler_spark.functions.robots_txt import host_crawl_delays
+
+    rules = spark.createDataFrame(
+        [
+            ("h1.com", "*", "crawl-delay", "2"),
+            ("h1.com", "mybot", "crawl-delay", "0.25"),
+            ("h2.com", "*", "crawl-delay", "5"),
+            ("h2.com", "*", "disallow", "/x"),   # non-delay rows ignored
+            ("h3.com", "*", "disallow", "/y"),   # no directive at all
+        ],
+        ["host", "user_agent", "rule", "path_prefix"],
+    )
+    got = {r.host: r.delay_s for r in host_crawl_delays(rules, user_agent="mybot").collect()}
+    assert got == {"h1.com": 0.25, "h2.com": 5.0}  # h3 absent (joins get default)
+    got_star = {r.host: r.delay_s for r in host_crawl_delays(rules).collect()}
+    assert got_star == {"h1.com": 2.0, "h2.com": 5.0}
