@@ -127,6 +127,63 @@ def model_seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_for_doc(d):
+    """Public arithmetic url expression for a doc-id column — the same
+    derivation as model_pages_df's url, usable without a pages join."""
+    return _url_expr(_host_id_expr(d), d)
+
+
+# ---- redirect model -------------------------------------------------------
+# A slice of pages are 301s (the reference's requests.get follows these
+# implicitly, crawler_node.py fetch path; at warehouse scale the hop
+# chain must be resolved as data):
+#   * step chains: 1 <= d % REDIR_STEP_MOD <= REDIR_STEP_MAX  ->  d-1
+#     (chains of up to REDIR_STEP_MAX hops ending at a non-redirect)
+#   * one adversarial 2-cycle family (takes precedence):
+#     d % REDIR_CYCLE_MOD == REDIR_CYCLE_FWD -> (d+1) % N
+#     d % REDIR_CYCLE_MOD == REDIR_CYCLE_BWD -> d-1
+#     (a step chain that runs INTO a cycle node also becomes unresolvable)
+REDIR_STEP_MOD, REDIR_STEP_MAX = 16, 5
+REDIR_CYCLE_MOD = 257
+REDIR_CYCLE_FWD, REDIR_CYCLE_BWD = 100, 101
+REDIR_MAX_HOPS = 32
+
+
+def model_redirects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic redirect table: (src_doc_id, dst_doc_id)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    is_cycle = (d % REDIR_CYCLE_MOD).isin(REDIR_CYCLE_FWD, REDIR_CYCLE_BWD)
+    is_step = (d % REDIR_STEP_MOD >= 1) & (d % REDIR_STEP_MOD <= REDIR_STEP_MAX)
+    dst = (
+        F.when(d % REDIR_CYCLE_MOD == REDIR_CYCLE_FWD, (d + 1) % n)
+        .when(d % REDIR_CYCLE_MOD == REDIR_CYCLE_BWD, d - 1)
+        .otherwise(d - 1)
+    )
+    return docs.filter(is_cycle | is_step).select(
+        d.alias("src_doc_id"), dst.alias("dst_doc_id")
+    )
+
+
+def redirects_sql_cte() -> str:
+    """DuckDB CTE body for the redirect table (requires the model's nn
+    CTE in scope), byte-equivalent to model_redirects_df."""
+    return f"""
+redir AS (
+  SELECT doc_id AS src_doc_id,
+         CASE WHEN doc_id % {REDIR_CYCLE_MOD} = {REDIR_CYCLE_FWD}
+                THEN (doc_id + 1) % nn.n
+              WHEN doc_id % {REDIR_CYCLE_MOD} = {REDIR_CYCLE_BWD}
+                THEN doc_id - 1
+              ELSE doc_id - 1 END AS dst_doc_id
+  FROM documents, nn
+  WHERE doc_id % {REDIR_CYCLE_MOD} IN ({REDIR_CYCLE_FWD}, {REDIR_CYCLE_BWD})
+     OR (doc_id % {REDIR_STEP_MOD} BETWEEN 1 AND {REDIR_STEP_MAX})
+)
+"""
+
+
 # ---- the same model as DuckDB SQL CTEs (oracle side) ---------------------
 
 def model_sql_ctes() -> str:

@@ -333,3 +333,91 @@ def hits_int(
     return hub.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def resolve_chains(
+    nodes: DataFrame,
+    redirects: DataFrame,
+    id_col: str = "id",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: for every node,
+    the terminal node reached by following redirect edges, in
+    ceil(log2(max_hops)) shuffle rounds instead of max_hops rounds.
+
+    The reference resolves redirects one HTTP hop at a time inside
+    requests.get (crawler_node.py fetch path) — per-row sequential
+    chasing.  At warehouse scale the redirect map is a TABLE, and a
+    naive iterative join costs one shuffle per hop (a 30-hop chain =
+    30 shuffles over the full frontier).  Pointer doubling keeps state
+    (id, ptr, hops, done) where after round k every row has followed
+    min(2^k, chain) hops: each round self-joins the state on ptr = id
+    and composes the two half-paths, accumulating EXACT hop counts
+    (partner rows are complete sub-chain summaries, so the sums
+    decompose the true chain length).  5 rounds resolve 32 hops; 2-cycle
+    or over-length chains simply never reach a terminal row and come
+    back resolved=false — no cycle detection pass needed.
+
+    Input: nodes (id_col), redirects (id_col -> dst_col; at most one
+    edge per source).  A dst outside `nodes` is treated as terminal.
+    Output: (id, final_id, hops, resolved) for every node; non-redirect
+    nodes resolve to themselves with hops=0.  All-integer state, so the
+    result is bit-exact across engines and partitionings."""
+    import math
+
+    r = redirects.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(dst_col).cast("long").alias("ptr"),
+    )
+    state = (
+        nodes.select(F.col(id_col).cast("long").alias("id"))
+        .join(r, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("ptr"), F.col("id")).alias("ptr"),
+            F.when(F.col("ptr").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("hops"),
+            F.col("ptr").isNull().alias("done"),
+        )
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    for _ in range(rounds):
+        partner = state.select(
+            F.col("id").alias("p_id"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("hops").alias("p_hops"),
+            F.col("done").alias("p_done"),
+        )
+        pending = state.filter(~F.col("done"))
+        settled = state.filter(F.col("done"))
+        stepped = pending.join(
+            partner, pending["ptr"] == partner["p_id"], "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("p_ptr"), F.col("ptr")).alias("ptr"),
+            (F.col("hops") + F.coalesce(F.col("p_hops"), F.lit(0))).alias("hops"),
+            # a ptr with no state row points outside `nodes`: terminal
+            F.coalesce(F.col("p_done"), F.lit(True)).alias("done"),
+        )
+        # lineage truncation: each round stacks a join on the last —
+        # lazy so the next round's join is the materializing job
+        state = settled.unionByName(stepped).localCheckpoint(eager=False)
+    # Final classification is by MEMBERSHIP, not the in-loop done flag:
+    # the flag lags the pointer by one round (a row landing on the
+    # terminal via a still-pending partner isn't flagged until it joins
+    # the terminal's own state), so after r rounds the flag only covers
+    # chains ≤ 2^r - 1 while the pointer itself has followed a full
+    # 2^r = max_hops.  ptr ∉ redirect-sources ⇔ a terminal was reached
+    # within max_hops — and hops is then the exact chain length (partner
+    # contributions are exact sub-chain summaries that never overshoot
+    # a terminal).
+    srcs = r.select(F.col("id").alias("t_id")).distinct()
+    return state.join(srcs, state["ptr"] == srcs["t_id"], "left").select(
+        "id",
+        F.when(F.col("t_id").isNull(), F.col("ptr")).alias("final_id"),
+        F.when(F.col("t_id").isNull(), F.col("hops")).alias("hops"),
+        F.col("t_id").isNull().alias("resolved"),
+    )

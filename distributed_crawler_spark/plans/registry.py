@@ -1167,6 +1167,76 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redirect_resolve_sql() -> str:
+    """Oracle for redirect_resolve: the arithmetic redirect table +
+    a DuckDB recursive walk bounded at REDIR_MAX_HOPS; a source whose
+    walk never reaches a non-redirect within the bound (the 2-cycle
+    family) is unresolved — exactly the pointer-doubling semantics."""
+    from ..corpus import REDIR_MAX_HOPS, redirects_sql_cte
+
+    model = _MODEL.rstrip().rstrip(",")
+    redir = redirects_sql_cte().strip()
+    return f"""WITH RECURSIVE {model},
+{redir},
+walk AS (
+  SELECT src_doc_id AS src, dst_doc_id AS cur, 1::BIGINT AS hops FROM redir
+  UNION ALL
+  SELECT w.src, r.dst_doc_id, w.hops + 1
+  FROM walk w JOIN redir r ON r.src_doc_id = w.cur
+  WHERE w.hops < {REDIR_MAX_HOPS}
+),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE w.cur NOT IN (SELECT src_doc_id FROM redir)
+)
+SELECT p.url,
+       CASE WHEN r.src_doc_id IS NULL THEN p.url
+            WHEN t.src IS NOT NULL THEN fp.url
+            ELSE '' END AS final_url,
+       CASE WHEN r.src_doc_id IS NULL THEN 0::BIGINT
+            WHEN t.src IS NOT NULL THEN t.hops
+            ELSE -1::BIGINT END AS hops,
+       (r.src_doc_id IS NULL OR t.src IS NOT NULL) AS resolved
+FROM pages p
+LEFT JOIN redir r ON r.src_doc_id = p.doc_id
+LEFT JOIN term t ON t.src = p.doc_id
+LEFT JOIN pages fp ON fp.doc_id = t.cur
+ORDER BY p.url"""
+
+
+@q("redirect_resolve", _redirect_resolve_sql())
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (301 map → terminal url + exact hop
+    count) by log-round pointer doubling over the crawl model's
+    redirect slice. The reference chases redirects one HTTP hop at a
+    time per url inside requests.get (crawler_node.py fetch path); at
+    warehouse scale the redirect map is a table and a hop-at-a-time
+    join costs one shuffle per hop — pointer doubling
+    (graph.resolve_chains) resolves 32-hop chains in 5 integer-keyed
+    self-joins, and the planted 2-cycle family comes back
+    resolved=false with no separate cycle-detection pass."""
+    from ..corpus import REDIR_MAX_HOPS, model_redirects_df, url_for_doc
+    from ..operators.graph import resolve_chains
+
+    docs = _read(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    redirects = model_redirects_df(spark, sf_dir).select(
+        F.col("src_doc_id").alias("id"), F.col("dst_doc_id").alias("dst")
+    )
+    res = resolve_chains(nodes, redirects, max_hops=REDIR_MAX_HOPS)
+    # sentinel '' / -1 for unresolved rows (a 2-cycle or over-cap
+    # chain): nullable output columns would make downstream sinks
+    # (and the driver's order-insensitive compare) ambiguous
+    return res.select(
+        url_for_doc(F.col("id")).alias("url"),
+        F.coalesce(
+            F.when(F.col("resolved"), url_for_doc(F.col("final_id"))), F.lit("")
+        ).alias("final_url"),
+        F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops"),
+        "resolved",
+    ).orderBy("url")
+
+
 def _frontier_priority_sql(budget: int = 100) -> str:
     """Oracle for frontier_priority: round-0 schedule (url-asc budget —
     seeds carry no graph signal yet), then the round-1 frontier with the
@@ -4125,6 +4195,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "crawl_delta",
     "recrawl_priority",
     "recrawl_queue",
+    # round-6 fourth continuation: redirect-chain resolution by
+    # pointer doubling (recursive-CTE oracle) — first driver row
+    "redirect_resolve",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4151,7 +4224,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25_indexed",
     "search_bm25_stemmed",
     "search_bm25",
-    "search_substring",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard",
@@ -4160,8 +4232,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "hash_sample",
     "quota_sample",
     # past the 50-entry window from here: r04-green queries rested this
-    # round to make room for the six third-continuation first-row
-    # queries above (lang_id / quality_score / url_validate are trivial
+    # round to make room for the fourth-continuation first-row queries
+    # above (search_substring/url_features/sliding_rate/search_tf/
+    # search_bm25 are r04-green trivia that the local DuckDB sweep
+    # re-verifies every pytest run; at r06 their newest driver row is
+    # exactly 2 rounds old, so the r07 window must rotate them in),
+    # and the r04-green queries rested since the third continuation (lang_id / quality_score / url_validate are trivial
     # map-only scalars; ann_cosine_topk / embedding_neardup /
     # ann_lsh_buckets are the constant-bounded similarity baselines
     # whose scale paths — ivf/lsh_mt — hold fresh rows; plain simhash's
@@ -4169,6 +4245,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # simhash_neardup / simhash_neardup_wide rows), then the r05-green
     # crawl/stats core — every entry below is re-verified by the local
     # DuckDB sweep each pytest run
+    "search_substring",
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",

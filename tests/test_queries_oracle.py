@@ -137,6 +137,8 @@ def test_driver_window_priority_names_all_registered():
         "crawl_delta",
         "recrawl_priority",
         "recrawl_queue",
+        # round-6 fourth continuation: first driver rows
+        "redirect_resolve",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
