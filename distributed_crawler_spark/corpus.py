@@ -184,6 +184,107 @@ redir AS (
 """
 
 
+# ---- sitemap model ---------------------------------------------------------
+# Hosts with host_id % 9 == 2 (plus the mega-host 0) publish sitemaps
+# listing their pages with doc_id % 4 == 1; the mega-host shards its list
+# into chunk = (doc_id DIV 4) % 4 child sitemaps behind a <sitemapindex>
+# that references only shards 0..2 — shard 3 exists on the host but is
+# unreferenced (the orphan a correct ingester must NOT surface), and a
+# referenced shard may be absent at tiny scale (the dangling reference a
+# correct ingester must tolerate).
+SITEMAP_HOST_MOD, SITEMAP_HOST_REMAINDER = 9, 2
+SITEMAP_INCLUDE_MOD, SITEMAP_INCLUDE_REMAINDER = 4, 1
+SITEMAP_CHUNK_DIV, SITEMAP_CHUNK_MOD = 4, 4
+SITEMAP_INDEXED_CHUNKS = 3
+SITEMAP_EPOCH = "2024-01-01 00:00:00"
+
+
+def model_sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic sitemap table: (host, name, body) — real sitemaps.org
+    XML bodies built natively (concat over sorted collected entries; no
+    Python). Lastmod = SITEMAP_EPOCH + doc_id seconds, the warc_ts
+    arithmetic."""
+    from .operators.sitemap import INDEX_OPEN, URLSET_OPEN, XML_HEADER
+
+    pages = model_pages_df(spark, sf_dir)
+    d = F.col("doc_id")
+    hid = F.col("host_id")
+    inc = pages.filter(
+        (d % SITEMAP_INCLUDE_MOD == SITEMAP_INCLUDE_REMAINDER)
+        & ((hid % SITEMAP_HOST_MOD == SITEMAP_HOST_REMAINDER) | (hid == 0))
+    )
+    lastmod = F.date_format(
+        F.to_timestamp(F.lit(SITEMAP_EPOCH))
+        + F.make_interval(secs=d.cast("double")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    ent = inc.select(
+        "host",
+        "host_id",
+        d.alias("doc_id"),
+        (F.expr(f"doc_id DIV {SITEMAP_CHUNK_DIV}") % SITEMAP_CHUNK_MOD).alias("chunk"),
+        F.concat(
+            F.lit("<url><loc>"), F.col("url"),
+            F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url>"),
+        ).alias("entry"),
+    )
+
+    def entries_concat():
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda x: x["entry"],
+            ),
+        )
+
+    def urlset_body(ents):
+        return F.concat(F.lit(XML_HEADER + URLSET_OPEN), ents, F.lit("</urlset>"))
+
+    plain = (
+        ent.filter(F.col("host_id") != 0)
+        .groupBy("host")
+        .agg(entries_concat().alias("ents"))
+        .select(
+            "host",
+            F.lit("sitemap.xml").alias("name"),
+            urlset_body(F.col("ents")).alias("body"),
+        )
+    )
+    shards = (
+        ent.filter(F.col("host_id") == 0)
+        .groupBy("host", "chunk")
+        .agg(entries_concat().alias("ents"))
+        .select(
+            "host",
+            F.concat(
+                F.lit("sitemap_"), F.col("chunk").cast("string"), F.lit(".xml")
+            ).alias("name"),
+            urlset_body(F.col("ents")).alias("body"),
+        )
+    )
+    idx_body = (
+        XML_HEADER
+        + INDEX_OPEN
+        + "".join(
+            f"<sitemap><loc>https://h0.example.com/sitemap_{c}.xml</loc></sitemap>"
+            for c in range(SITEMAP_INDEXED_CHUNKS)
+        )
+        + "</sitemapindex>"
+    )
+    index = (
+        ent.filter(F.col("host_id") == 0)
+        .select("host")
+        .distinct()
+        .select(
+            "host",
+            F.lit("sitemap.xml").alias("name"),
+            F.lit(idx_body).alias("body"),
+        )
+    )
+    return plain.unionByName(shards).unionByName(index)
+
+
 # ---- the same model as DuckDB SQL CTEs (oracle side) ---------------------
 
 def model_sql_ctes() -> str:

@@ -1237,6 +1237,63 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _sitemap_urls_sql() -> str:
+    """Oracle for sitemap_urls: re-derive the discoverable entry set
+    purely arithmetically — sitemap hosts' included pages, minus the
+    mega-host's orphan shard (unreferenced by the sitemapindex). A
+    builder bug (dropped page, mangled url/lastmod) or a parser bug
+    (orphan surfaced, entry mis-split) both hash-fail; only exactly
+    compensating builder+parser bugs escape, the WARC round-trip
+    caveat."""
+    from ..corpus import (
+        SITEMAP_CHUNK_DIV,
+        SITEMAP_CHUNK_MOD,
+        SITEMAP_EPOCH,
+        SITEMAP_HOST_MOD,
+        SITEMAP_HOST_REMAINDER,
+        SITEMAP_INCLUDE_MOD,
+        SITEMAP_INCLUDE_REMAINDER,
+        SITEMAP_INDEXED_CHUNKS,
+    )
+
+    model = _MODEL.rstrip().rstrip(",")
+    return f"""WITH {model},
+sm AS (
+  SELECT host, url, host_id,
+         strftime(TIMESTAMP '{SITEMAP_EPOCH}' + INTERVAL (doc_id) SECOND,
+                  '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+         (doc_id // {SITEMAP_CHUNK_DIV}) % {SITEMAP_CHUNK_MOD} AS chunk
+  FROM pages
+  WHERE doc_id % {SITEMAP_INCLUDE_MOD} = {SITEMAP_INCLUDE_REMAINDER}
+    AND (host_id % {SITEMAP_HOST_MOD} = {SITEMAP_HOST_REMAINDER} OR host_id = 0)
+)
+SELECT host AS sitemap_host, url, lastmod
+FROM sm
+WHERE host_id <> 0 OR chunk < {SITEMAP_INDEXED_CHUNKS}
+ORDER BY url"""
+
+
+@q("sitemap_urls", _sitemap_urls_sql())
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org two-level protocol): build the
+    model's per-host sitemap XML natively, then parse it back with
+    JVM-side regexp_extract_all — <urlset> leaves plus <sitemapindex>
+    indirection where only REFERENCED child shards count (the
+    mega-host's shard 3 is planted orphan, and the index may reference
+    a shard absent at tiny scale). The reference crawler has no sitemap
+    channel at all — its frontier grows only from seeds + <a href>
+    (crawler_node.py:86-129); production crawlers treat sitemaps as the
+    primary per-host url feed."""
+    from ..corpus import model_sitemaps_df
+    from ..operators.sitemap import sitemap_url_entries
+
+    return (
+        sitemap_url_entries(model_sitemaps_df(spark, sf_dir))
+        .select("sitemap_host", "url", "lastmod")
+        .orderBy("url")
+    )
+
+
 def _frontier_priority_sql(budget: int = 100) -> str:
     """Oracle for frontier_priority: round-0 schedule (url-asc budget —
     seeds carry no graph signal yet), then the round-1 frontier with the
@@ -4196,8 +4253,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "recrawl_priority",
     "recrawl_queue",
     # round-6 fourth continuation: redirect-chain resolution by
-    # pointer doubling (recursive-CTE oracle) — first driver row
+    # pointer doubling (recursive-CTE oracle) and two-level sitemap
+    # ingestion — first driver rows
     "redirect_resolve",
+    "sitemap_urls",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4224,7 +4283,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25_indexed",
     "search_bm25_stemmed",
     "search_bm25",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dup_span_stats",
@@ -4246,6 +4304,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # crawl/stats core — every entry below is re-verified by the local
     # DuckDB sweep each pytest run
     "search_substring",
+    "minhash_signatures",
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",

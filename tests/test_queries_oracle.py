@@ -139,6 +139,7 @@ def test_driver_window_priority_names_all_registered():
         "recrawl_queue",
         # round-6 fourth continuation: first driver rows
         "redirect_resolve",
+        "sitemap_urls",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
