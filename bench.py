@@ -224,9 +224,16 @@ def run_headline() -> None:
     )
 
 
-BENCH_CORPUS = os.environ.get(
-    "SPARK_GRAFT_BENCH_CORPUS", "/tmp/dcs_bench_corpus_" + os.path.basename(SF_DIR.rstrip("/"))
-)
+def _bench_corpus_default() -> str:
+    from distributed_crawler_spark.corpus import CORPUS_FORMAT
+
+    return (
+        f"/tmp/dcs_bench_corpus_v{CORPUS_FORMAT}_"
+        + os.path.basename(SF_DIR.rstrip("/"))
+    )
+
+
+BENCH_CORPUS = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", _bench_corpus_default())
 # amp=8 (40k pages): the job carries ~2-3 s of parallelism-INDEPENDENT
 # driver cost (Catalyst planning for the two actions, job/stage
 # scheduling, broadcast build) — at amp=4 that is ~24% of the 4-core

@@ -45,6 +45,12 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
         )
     return _N_CACHE[sf_dir]
 
+# Bump when html_pages_df's OUTPUT changes: every on-disk cache of a
+# built corpus (conftest, registry query corpus, bench corpus) keys its
+# path on this, so a code change can never serve a stale corpus built
+# by an older generator.
+CORPUS_FORMAT = 2
+
 # ---- the arithmetic model constants (shared Spark ↔ DuckDB) --------------
 HOST_MOD = 97            # non-mega hosts: doc_id % 97
 MEGA_MOD, MEGA_LT = 5, 2  # doc_id % 5 < 2  → host 0 (the mega-domain, ~40%)
@@ -54,6 +60,11 @@ ROBOTS_PAGE_REMAINDER = 3   # host_id % 7 == 3 → Disallow: /p/1
 ROBOTS_PAGE_PREFIX = "/p/1"
 ROBOTS_ALL_REMAINDER = 5    # host_id % 7 == 5 → Disallow: /
 SEED_COUNT = 10
+# rel=canonical: pages with doc_id % CANON_MOD >= CANON_MIN_REMAINDER
+# declare <link rel="canonical"> to the block base doc_id - (doc_id %
+# CANON_MOD) — duplicate clusters of up to 1 + (CANON_MOD -
+# CANON_MIN_REMAINDER) variants; the base never declares one itself.
+CANON_MOD, CANON_MIN_REMAINDER = 6, 3
 
 
 def _host_id_expr(d):
@@ -131,6 +142,11 @@ def url_for_doc(d):
     """Public arithmetic url expression for a doc-id column — the same
     derivation as model_pages_df's url, usable without a pages join."""
     return _url_expr(_host_id_expr(d), d)
+
+
+def host_id_for_doc(d):
+    """Public arithmetic host-id expression for a doc-id column."""
+    return _host_id_expr(d)
 
 
 # ---- redirect model -------------------------------------------------------
@@ -369,6 +385,15 @@ def html_pages_df(
             F.lit('<a href="'), _url_expr(_host_id_expr(tj), tj),
             F.lit(f'">more{j}</a>'),
         ]
+    t_can = d - (d % CANON_MOD)
+    canonical = F.when(
+        d % CANON_MOD >= CANON_MIN_REMAINDER,
+        F.concat(
+            F.lit('<link rel="canonical" href="'),
+            _url_expr(_host_id_expr(t_can), t_can),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
     html = F.concat(
         F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
         d.cast("string"), F.lit(" page</title>"),
@@ -376,7 +401,7 @@ def html_pages_df(
         d.cast("string"), F.lit(" of the corpus"),
         F.lit('"><meta name="keywords" content="'),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)),
-        F.lit('"></head><body>'), *body_parts,
+        F.lit('">'), canonical, F.lit("</head><body>"), *body_parts,
         F.lit("<script>var x = "), d.cast("string"), F.lit(";</script>"),
         F.lit('<a href="'), url_t1, F.lit('">next</a>'),
         F.lit('<a href="/p/'), t2.cast("string"), F.lit('">rel</a>'),

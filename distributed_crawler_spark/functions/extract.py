@@ -504,3 +504,14 @@ def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
 # same rationale as parse_page_udf: never let projection collapsing
 # duplicate the parse under an explode
 extract_anchors_udf = extract_anchors_udf.asNondeterministic()
+
+
+def canonical_url_expr(html_col):
+    """Native <link rel="canonical" href="..."> extraction — '' when the
+    page declares none. Stays in whole-stage codegen (one JVM regex over
+    the head; no Python), the hot-path rule for per-page scalar pulls.
+    Canonical-cluster dedup is the standard crawl-side duplicate channel
+    (print/mobile/tracking-param variants declare a shared canonical)
+    that content hashing only catches when the bytes happen to match."""
+    s = F.col(html_col).cast("string") if isinstance(html_col, str) else html_col.cast("string")
+    return F.regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1)

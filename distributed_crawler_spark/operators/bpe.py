@@ -1,0 +1,134 @@
+"""Distributed BPE merge learning — the tokenizer-vocabulary step of a
+training-data pipeline (Sennrich et al. 2016, the GPT-2 recipe): learn
+the top-M byte-pair merges from corpus word frequencies.
+
+The reference pipeline has no tokenizer training at all (its NLTK path
+consumes a fixed vocabulary); a 100-TB corpus engine must learn the
+vocabulary FROM the corpus, and the canonical algorithm is inherently
+iterative — each chosen merge changes the next round's pair counts, so
+it cannot collapse into one aggregation.
+
+Scale shape per merge round (this is how production distributed BPE
+trainers are built):
+
+  * pair counting is ONE map-side-combined groupBy over (left, right)
+    symbol pairs weighted by word frequency — the corpus itself was
+    reduced to a (word, freq) table once, up front (the only
+    corpus-sized shuffle in the whole job);
+  * the argmax is a 1-row driver action (the chosen pair is the only
+    thing that must be globally agreed per round — same tiny-side
+    contract as the BM25 avgdl literal);
+  * applying the merge is a pure map (literal string replace) over the
+    (word, freq) table — no shuffle.
+
+Symbol sequences are encoded as '||'-delimited strings
+('||l||o||w||</w>||'): the pattern '|a||b|' → '|ab|' preserves the
+shared boundary bar, so LEFT-TO-RIGHT NON-OVERLAPPING replace merges
+every occurrence including back-to-back ones ('a b a b' → 'ab ab' in
+one pass) — exactly BPE's greedy in-word merge order, and exactly what
+SQL replace() does, which is what makes the unrolled DuckDB oracle
+possible.  Symbols never contain '|' (words are [a-z0-9]+ after
+normalization; the end marker is '</w>').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_MARK = "</w>"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over normalized lowercase [a-z0-9]+ tokens."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+    return (
+        docs.select(F.explode(F.split(norm, " +")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _initial_seq() -> F.Column:
+    # '||a||b||c||</w>||' — one '(.)' → '$1||' pass, so the encoding is
+    # reproducible as the same regex in the oracle
+    return F.concat(
+        F.lit("||"),
+        F.regexp_replace(F.col("word"), "(.)", "$1||"),
+        F.lit(END_MARK + "||"),
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word freq — index-based
+    (transform over sequence) so the oracle can mirror it 1:1."""
+    return (
+        # single-symbol words carry no pairs; the filter also guards
+        # Spark's sequence(1, 0), which DESCENDS ([1, 0]) rather than
+        # producing an empty range like DuckDB's generate_series
+        seqs.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        .select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def learn_bpe(
+    docs: DataFrame, merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top-``merges`` BPE merges; returns one row per merge:
+    (rank, lhs, rhs, merged, pair_count), rank 1-based in learn order.
+    Ties broken (count DESC, lhs ASC, rhs ASC) so the result is
+    deterministic and engine-independent (counts are exact integers)."""
+    spark: SparkSession = docs.sparkSession
+    wf = word_freqs(docs, text_col).select(
+        "word", "freq", _initial_seq().alias("seq")
+    )
+    # the (word, freq, seq) table is small relative to the corpus (one
+    # row per DISTINCT word) and is re-read every round
+    wf = wf.persist()
+    out = []
+    for rank in range(1, merges + 1):
+        syms = wf.select(
+            "freq",
+            F.filter(F.split("seq", r"\|\|"), lambda x: x != "").alias("syms"),
+        )
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        out.append((rank, l, r, l + r, cnt))
+        nxt = wf.select(
+            "word",
+            "freq",
+            F.expr(
+                "replace(seq,"
+                f" '|' || {_sql_str(l)} || '||' || {_sql_str(r)} || '|',"
+                f" '|' || {_sql_str(l)} || {_sql_str(r)} || '|')"
+            ).alias("seq"),
+        ).persist()
+        wf.unpersist()
+        wf = nxt
+    wf.unpersist()
+    return spark.createDataFrame(
+        out, "rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

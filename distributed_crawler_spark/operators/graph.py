@@ -157,6 +157,7 @@ def pagerank_int(
     node_col: str = "node",
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank — frontier prioritization over the
     crawl link graph (the score production crawlers rank fetch queues
@@ -176,11 +177,22 @@ def pagerank_int(
     groupBy(dst) sum + one left join back to the node list — shuffles
     carry (id, long) pairs only.  A fixed iteration count (PageRank
     converges geometrically; 5-10 rounds rank-stabilizes web graphs),
-    so the lineage is a short static chain — no checkpoints needed."""
+    so the lineage is a short static chain — no checkpoints needed.
+
+    ``weight`` names an integer edge-weight column for WEIGHTED
+    PageRank (the contracted-graph case: a host→host edge carries the
+    page-link count): out-degree becomes sum(w) and each edge carries
+    ``(score * w) // sum(w)`` — still exact integer arithmetic, with
+    weight=1 reducing bit-exactly to the unweighted form.  (Overflow
+    headroom: score ≤ ~n·scale and the product multiplies by w, so
+    score·w must stay under 2^63 — at scale=10^6 that allows
+    n·w ~ 9·10^12, far past any host graph's needs.)"""
     e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
     )
-    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    odeg = e.groupBy("src").agg(F.sum("w").alias("od"))
     base = (scale * (damp_den - damp_num)) // damp_den
     scores = nodes.select(
         F.col(node_col).cast("long").alias("node"), F.lit(scale).cast("long").alias("score")
@@ -189,7 +201,7 @@ def pagerank_int(
         contrib = (
             e.join(scores, F.col("src") == F.col("node"))
             .join(odeg, "src")
-            .select("dst", F.expr("score DIV od").alias("c"))
+            .select("dst", F.expr("(score * w) DIV od").alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         scores = (

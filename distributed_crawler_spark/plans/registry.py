@@ -1294,6 +1294,218 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_learn_sql(merges: int = 6) -> str:
+    """Oracle for bpe_learn: the same M merge rounds unrolled as a CTE
+    chain — pair counts via 1-indexed list positions, argmax with the
+    identical (cnt DESC, l, r) tie-break, and the merge applied with
+    SQL replace() over the '||'-delimited encoding, whose '|a||b|' →
+    '|ab|' pattern keeps the shared boundary so back-to-back
+    occurrences merge in one left-to-right pass exactly like the Spark
+    side (and like BPE's greedy in-word order)."""
+    ctes = [
+        """w AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)""",
+        """s0 AS (
+  SELECT word, freq,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '</w>||' AS seq
+  FROM w
+)""",
+    ]
+    for i in range(1, merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, list_filter(string_split(seq, '||'), x -> x <> '') AS syms
+        FROM s{i-1}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if i < merges:
+            ctes.append(
+                f"""s{i} AS (
+  SELECT s.word, s.freq,
+         replace(s.seq, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS seq
+  FROM s{i-1} s, b{i} b
+)"""
+            )
+    body = ",\n".join(ctes)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, l AS lhs, r AS rhs, l || r AS merged,"
+        f" cnt::BIGINT AS pair_count FROM b{i}"
+        for i in range(1, merges + 1)
+    )
+    return f"WITH {body}\nSELECT * FROM (\n{selects}\n) ORDER BY rank"
+
+
+@q("bpe_learn", _bpe_learn_sql())
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary learning: the top-6 BPE merges over the
+    documents corpus (Sennrich 2016 / GPT-2 recipe), learned
+    DISTRIBUTEDLY — per round one map-side-combined pair-count
+    aggregation over the (word, freq) table, a 1-row argmax action, and
+    a shuffle-free literal-replace merge map. Inherently iterative
+    (each merge changes the next round's counts): the operator class a
+    one-shot SQL engine cannot express but a 100-TB pipeline needs,
+    made oracle-checkable by unrolling the fixed merge count."""
+    from ..operators.bpe import learn_bpe
+
+    return learn_bpe(_read(spark, sf_dir, "documents"), merges=6).orderBy("rank")
+
+
+def _host_pagerank_sql(iters: int = 5) -> str:
+    """Oracle for host_pagerank: contract the generator link graph to
+    weighted host→host edges, then unroll the same weighted integer
+    PageRank iterations (per-edge (score*w)//sum(w) floor division
+    before the sum — the exact Spark shape)."""
+    from ..corpus import HOST_MOD, LINK_COEFFS, MEGA_LT, MEGA_MOD
+
+    scale, num, den = 1_000_000, 85, 100
+    base = (scale * (den - num)) // den
+
+    def h(col: str) -> str:
+        return (
+            f"CASE WHEN {col} % {MEGA_MOD} < {MEGA_LT} THEN 0"
+            f" ELSE {col} % {HOST_MOD} END"
+        )
+
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {h('doc_id')} AS s_host,"
+        f" {h(f'(({a} * doc_id + {b}) % nn.n)')} AS d_host"
+        f" FROM documents, nn"
+        for a, b in LINK_COEFFS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"he AS (\n  SELECT s_host, d_host, count(*) AS w FROM (\n{unions}\n  ) GROUP BY s_host, d_host\n)",
+        f"hosts AS (SELECT DISTINCT {h('doc_id')} AS node FROM documents)",
+        "odeg AS (SELECT s_host, sum(w) AS od FROM he GROUP BY s_host)",
+        f"s0 AS (SELECT node, {scale}::BIGINT AS score FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.d_host AS dst, sum((s.score * e.w) // o.od) AS inc
+  FROM he e JOIN s{i-1} s ON s.node = e.s_host JOIN odeg o ON o.s_host = e.s_host
+  GROUP BY e.d_host
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.node, ({base} + ({num} * coalesce(c.inc, 0)) // {den})::BIGINT AS score
+  FROM s{i-1} s LEFT JOIN c{i} c ON c.dst = s.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node AS host_id, 'h' || node || '.example.com' AS host, score\n"
+        f"FROM s{iters} ORDER BY node"
+    )
+
+
+@q("host_pagerank", _host_pagerank_sql())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level authority by GRAPH CONTRACTION: aggregate the page
+    link graph to weighted host→host edges (one groupBy carrying
+    (int, int, count) triples), then weighted integer PageRank over the
+    contracted graph. The standard domain-authority signal for crawl
+    scheduling and corpus curation (RefinedWeb/C4-style domain scoring)
+    — at 10^10 pages the page graph has ~10^10 nodes but only ~10^7
+    hosts, so contraction turns an intractable per-page fixpoint into a
+    cheap one, and the contraction itself is the only page-scale
+    shuffle. Self-links (intra-host links) are kept: they model a
+    host's internal link mass deterministically on both engines."""
+    from ..corpus import _doc_count, LINK_COEFFS, host_id_for_doc
+    from ..operators.graph import pagerank_int
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    targets = F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+    hedges = (
+        docs.select(
+            host_id_for_doc(d).alias("src"), F.explode(targets).alias("t")
+        )
+        .select("src", host_id_for_doc(F.col("t")).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    hosts = docs.select(host_id_for_doc(d).alias("node")).distinct()
+    scores = pagerank_int(hosts, hedges, iters=5, weight="w")
+    return scores.select(
+        F.col("node").alias("host_id"),
+        F.concat(F.lit("h"), F.col("node").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        "score",
+    ).orderBy("host_id")
+
+
+def _canonical_clusters_sql() -> str:
+    """Oracle for canonical_clusters: the generator's canonical rule is
+    arithmetic (doc_id % CANON_MOD >= CANON_MIN_REMAINDER → block base),
+    so the expected clusters come from a pages self-join — the Spark
+    side must recover exactly these from the raw HTML bytes."""
+    from ..corpus import CANON_MIN_REMAINDER, CANON_MOD
+
+    model = _MODEL.rstrip().rstrip(",")
+    return f"""WITH {model},
+canon AS (
+  SELECT pt.url AS canonical_url, p.url AS variant_url
+  FROM pages p
+  JOIN pages pt ON pt.doc_id = p.doc_id - (p.doc_id % {CANON_MOD})
+  WHERE p.doc_id % {CANON_MOD} >= {CANON_MIN_REMAINDER}
+)
+SELECT canonical_url,
+       count(*)::BIGINT AS n_variants,
+       string_agg(variant_url, ' ' ORDER BY variant_url) AS variants
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url"""
+
+
+@q("canonical_clusters", _canonical_clusters_sql())
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical duplicate clustering over the REAL html corpus:
+    extract each page's declared canonical with one native JVM regex
+    (functions.extract.canonical_url_expr — no Python in the scan),
+    then one hash aggregation on the canonical target. The crawl-side
+    duplicate channel content hashing misses (variant pages declare a
+    shared canonical without byte-equal bodies); the reference keeps
+    only exact-URL dedup (master_node.py:69-70). Scale shape: scan →
+    regex → filter → single groupBy shuffle carrying (url, url) pairs;
+    the corpus bytes never shuffle."""
+    from ..functions.extract import canonical_url_expr
+
+    corpus = _cached_html_corpus(spark, sf_dir)
+    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    can = pages.select(
+        F.col("url").alias("variant_url"),
+        canonical_url_expr(F.col("html")).alias("canonical_url"),
+    ).filter(F.col("canonical_url") != "")
+    return (
+        can.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.concat_ws(" ", F.array_sort(F.collect_list("variant_url"))).alias(
+                "variants"
+            ),
+        )
+        .orderBy("canonical_url")
+    )
+
+
 def _frontier_priority_sql(budget: int = 100) -> str:
     """Oracle for frontier_priority: round-0 schedule (url-asc budget —
     seeds carry no graph signal yet), then the round-1 frontier with the
@@ -2187,11 +2399,11 @@ def _cached_html_corpus(spark: SparkSession, sf_dir: str) -> str:
     the parse path end-to-end."""
     import tempfile
 
-    from ..corpus import build_html_corpus
+    from ..corpus import CORPUS_FORMAT, build_html_corpus
 
     corpus = os.path.join(
         tempfile.gettempdir(),
-        "dcs_query_corpus_"
+        f"dcs_query_corpus_v{CORPUS_FORMAT}_"
         + os.path.basename(sf_dir.rstrip("/"))
         + "_"
         + _table_fingerprint(sf_dir, "documents"),
@@ -4257,6 +4469,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # ingestion — first driver rows
     "redirect_resolve",
     "sitemap_urls",
+    "canonical_clusters",
+    "host_pagerank",
+    "bpe_learn",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4275,14 +4490,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # distinct_ids, time_range_filter, freshness_boost) rest past the
     # window this round to make room for the first-row queries above —
     # the local DuckDB sweep re-verifies them every pytest run.
-    "url_features",
     "normalize_urls",
     "sliding_rate",
-    "search_tf",
     "search_tf_stemmed",
     "search_bm25_indexed",
     "search_bm25_stemmed",
-    "search_bm25",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dup_span_stats",
@@ -4305,6 +4517,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # DuckDB sweep each pytest run
     "search_substring",
     "minhash_signatures",
+    "search_bm25",
+    "search_tf",
+    "url_features",
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",

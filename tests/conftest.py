@@ -5,7 +5,15 @@ import os
 import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
-CORPUS_DIR = "/tmp/dcs_test_corpus"
+
+
+def _corpus_dir() -> str:
+    from distributed_crawler_spark.corpus import CORPUS_FORMAT
+
+    return f"/tmp/dcs_test_corpus_v{CORPUS_FORMAT}"
+
+
+CORPUS_DIR = _corpus_dir()
 
 
 @pytest.fixture(scope="session")

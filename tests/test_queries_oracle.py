@@ -140,6 +140,9 @@ def test_driver_window_priority_names_all_registered():
         # round-6 fourth continuation: first driver rows
         "redirect_resolve",
         "sitemap_urls",
+        "canonical_clusters",
+        "host_pagerank",
+        "bpe_learn",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
