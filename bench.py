@@ -93,6 +93,11 @@ HEADLINE = [
     "crawl_delta",
     "recrawl_priority",
     "recrawl_queue",
+    "redirect_resolve",
+    "sitemap_urls",
+    "canonical_clusters",
+    "host_pagerank",
+    "bpe_learn",
 ]
 
 

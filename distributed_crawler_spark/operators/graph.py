@@ -347,6 +347,14 @@ def hits_int(
     )
 
 
+def doubling_rounds(max_hops: int) -> int:
+    """Self-join rounds pointer doubling needs to follow max_hops hops:
+    ceil(log2(max_hops)) — 5 rounds for 32 hops, 10 for 1024."""
+    import math
+
+    return max(1, math.ceil(math.log2(max_hops)))
+
+
 def resolve_chains(
     nodes: DataFrame,
     redirects: DataFrame,
@@ -395,7 +403,7 @@ def resolve_chains(
             F.col("ptr").isNull().alias("done"),
         )
     )
-    rounds = max(1, math.ceil(math.log2(max_hops)))
+    rounds = doubling_rounds(max_hops)
     for _ in range(rounds):
         partner = state.select(
             F.col("id").alias("p_id"),

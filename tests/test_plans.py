@@ -365,3 +365,72 @@ def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
     # count agg partials combine map-side; the corpus row flow joins
     # broadcast-side without an Exchange of its own
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_redirect_resolution_progress_is_exponential_per_round(spark):
+    """Behavioral proof of pointer doubling (the executed plan hides
+    earlier rounds behind checkpoints): a 1000-hop chain resolves with
+    EXACT hops under doubling_rounds(1024) = 10 self-join rounds — a
+    hop-at-a-time loop would have followed only 10 hops. Also JVM-only:
+    no Python in the final plan."""
+    from distributed_crawler_spark.operators.graph import (
+        doubling_rounds,
+        resolve_chains,
+    )
+
+    assert doubling_rounds(32) == 5
+    assert doubling_rounds(1024) == 10
+    n = 1001
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    redirects = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id long, dst long"
+    )
+    res = resolve_chains(nodes, redirects, max_hops=1024)
+    row = {r["id"]: r for r in res.collect()}
+    assert (row[0]["final_id"], row[0]["hops"], row[0]["resolved"]) == (
+        n - 1,
+        n - 1,
+        True,
+    )
+    assert "EvalPython" not in _plan(
+        resolve_chains(nodes, redirects, max_hops=32)
+    )
+
+
+def test_bpe_pair_counts_partial_aggregate_no_python(spark, sf_dir):
+    """The per-round pair count must map-side combine (partial + final
+    HashAggregate pair) and stay JVM-only — the round's only shuffle
+    carries (symbol, symbol, long) triples."""
+    import os
+
+    from distributed_crawler_spark.operators.bpe import (
+        _initial_seq,
+        _pair_counts,
+        word_freqs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    seqs = word_freqs(docs).select("word", "freq", _initial_seq().alias("seq"))
+    syms = seqs.select(
+        "freq", F.filter(F.split("seq", r"\|\|"), lambda x: x != "").alias("syms")
+    )
+    plan = _plan(_pair_counts(syms))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final for the sum
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_host_pagerank_contraction_prunes_to_doc_id(spark, sf_dir):
+    """The host-graph contraction must read ONLY doc_id from the corpus
+    (column pruning: text/lang never enter the scan) — the contraction
+    is the page-scale step, everything after runs on ~100 hosts."""
+    from distributed_crawler_spark.plans import registry
+
+    df = registry.QUERIES["host_pagerank"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "documents" not in ln
+    ] + [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, "no parquet scan in plan"
+    for ln in scans:
+        assert "text" not in ln, ln
