@@ -98,6 +98,7 @@ HEADLINE = [
     "canonical_clusters",
     "host_pagerank",
     "bpe_learn",
+    "bpe_encode",
 ]
 
 

@@ -83,21 +83,18 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe(
-    docs: DataFrame, merges: int = 6, text_col: str = "text"
-) -> DataFrame:
-    """Learn the top-``merges`` BPE merges; returns one row per merge:
-    (rank, lhs, rhs, merged, pair_count), rank 1-based in learn order.
-    Ties broken (count DESC, lhs ASC, rhs ASC) so the result is
-    deterministic and engine-independent (counts are exact integers)."""
-    spark: SparkSession = docs.sparkSession
+def _learn(
+    docs: DataFrame, merges: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """Shared learn loop: returns (merge rows, final (word, freq, seq)
+    frame with all merges applied — persisted; caller unpersists)."""
     wf = word_freqs(docs, text_col).select(
         "word", "freq", _initial_seq().alias("seq")
     )
     # the (word, freq, seq) table is small relative to the corpus (one
     # row per DISTINCT word) and is re-read every round
     wf = wf.persist()
-    out = []
+    out: list[tuple] = []
     for rank in range(1, merges + 1):
         syms = wf.select(
             "freq",
@@ -124,10 +121,61 @@ def learn_bpe(
         ).persist()
         wf.unpersist()
         wf = nxt
+    return out, wf
+
+
+def learn_bpe(
+    docs: DataFrame, merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top-``merges`` BPE merges; returns one row per merge:
+    (rank, lhs, rhs, merged, pair_count), rank 1-based in learn order.
+    Ties broken (count DESC, lhs ASC, rhs ASC) so the result is
+    deterministic and engine-independent (counts are exact integers)."""
+    spark: SparkSession = docs.sparkSession
+    out, wf = _learn(docs, merges, text_col)
     wf.unpersist()
     return spark.createDataFrame(
         out, "rank long, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+def encode_bpe_stats(
+    docs: DataFrame,
+    merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ENCODE half of the tokenizer loop: apply the learned merges
+    back to the corpus and report per-doc (n_tokens_ws, n_tokens_bpe)
+    — whitespace words vs BPE symbols, the compression a vocabulary is
+    judged by.
+
+    Scale shape: the word→final-segmentation map already exists as the
+    learn loop's end state (one row per DISTINCT word), so encoding is
+    corpus → explode words → ONE equi-join against that map → one
+    per-doc aggregation; the merge loop itself never reruns over the
+    corpus.  Docs with no [a-z0-9]+ token yield no row (nothing to
+    encode) — mirrored by the oracle's inner join."""
+    _, wf = _learn(docs, merges, text_col)
+    n_syms = F.size(
+        F.filter(F.split("seq", r"\|\|"), lambda x: x != "")
+    ).cast("long")
+    seg = wf.select("word", n_syms.alias("n_syms"))
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+    doc_words = (
+        docs.select(F.col(id_col), F.explode(F.split(norm, " +")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    out = (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
+            F.sum("n_syms").cast("long").alias("n_tokens_bpe"),
+        )
+    )
+    wf.unpersist()
+    return out
 
 
 def _sql_str(s: str) -> str:

@@ -1294,14 +1294,15 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn_sql(merges: int = 6) -> str:
-    """Oracle for bpe_learn: the same M merge rounds unrolled as a CTE
-    chain — pair counts via 1-indexed list positions, argmax with the
-    identical (cnt DESC, l, r) tie-break, and the merge applied with
-    SQL replace() over the '||'-delimited encoding, whose '|a||b|' →
-    '|ab|' pattern keeps the shared boundary so back-to-back
-    occurrences merge in one left-to-right pass exactly like the Spark
-    side (and like BPE's greedy in-word order)."""
+def _bpe_ctes(merges: int = 6, with_final_seq: bool = False) -> list[str]:
+    """CTE chain for the unrolled BPE merge rounds — pair counts via
+    1-indexed list positions, argmax with the identical (cnt DESC, l,
+    r) tie-break, and the merge applied with SQL replace() over the
+    '||'-delimited encoding, whose '|a||b|' → '|ab|' pattern keeps the
+    shared boundary so back-to-back occurrences merge in one
+    left-to-right pass exactly like the Spark side (and like BPE's
+    greedy in-word order). ``with_final_seq`` additionally emits
+    s{merges}, the post-merge word segmentation (the encode map)."""
     ctes = [
         """w AS (
   SELECT word, count(*)::BIGINT AS freq
@@ -1330,7 +1331,7 @@ def _bpe_learn_sql(merges: int = 6) -> str:
         ctes.append(
             f"b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
         )
-        if i < merges:
+        if i < merges or with_final_seq:
             ctes.append(
                 f"""s{i} AS (
   SELECT s.word, s.freq,
@@ -1339,13 +1340,39 @@ def _bpe_learn_sql(merges: int = 6) -> str:
   FROM s{i-1} s, b{i} b
 )"""
             )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _bpe_learn_sql(merges: int = 6) -> str:
+    body = ",\n".join(_bpe_ctes(merges))
     selects = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS rank, l AS lhs, r AS rhs, l || r AS merged,"
         f" cnt::BIGINT AS pair_count FROM b{i}"
         for i in range(1, merges + 1)
     )
     return f"WITH {body}\nSELECT * FROM (\n{selects}\n) ORDER BY rank"
+
+
+def _bpe_encode_sql(merges: int = 6) -> str:
+    """Oracle for bpe_encode: the learn CTEs carried through to the
+    final segmentation s{merges}, then every doc's words joined against
+    it — whitespace token count vs summed BPE symbol count per doc."""
+    body = ",\n".join(_bpe_ctes(merges, with_final_seq=True))
+    return f"""WITH {body}
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_tokens_ws,
+       sum(len(list_filter(string_split(s.seq, '||'), x -> x <> '')))::BIGINT
+         AS n_tokens_bpe
+FROM (SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +')) AS word
+            FROM documents)
+      WHERE word <> '') d
+JOIN s{merges} s USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
 
 
 @q("bpe_learn", _bpe_learn_sql())
@@ -1361,6 +1388,22 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe
 
     return learn_bpe(_read(spark, sf_dir, "documents"), merges=6).orderBy("rank")
+
+
+@q("bpe_encode", _bpe_encode_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer loop: apply the 6 learned
+    merges back to the corpus and report per-doc whitespace-token vs
+    BPE-symbol counts — the compression a vocabulary is judged by.
+    Encoding never reruns the merge loop over the corpus: the learn end
+    state IS the word→segmentation map (one row per distinct word), so
+    encode = explode words → one equi-join → one per-doc aggregation."""
+    from ..operators.bpe import encode_bpe_stats
+
+    return (
+        encode_bpe_stats(_read(spark, sf_dir, "documents"), merges=6)
+        .orderBy("doc_id")
+    )
 
 
 def _host_pagerank_sql(iters: int = 5) -> str:
@@ -4472,6 +4515,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "canonical_clusters",
     "host_pagerank",
     "bpe_learn",
+    "bpe_encode",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4496,7 +4540,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25_indexed",
     "search_bm25_stemmed",
     "minhash_lsh_pairs",
-    "ngram_jaccard",
     "dup_span_stats",
     "rep_signals",
     "hash_sample",
@@ -4520,6 +4563,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25",
     "search_tf",
     "url_features",
+    "ngram_jaccard",
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",

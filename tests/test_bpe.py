@@ -100,3 +100,45 @@ def test_exhausted_corpus_stops_early(spark):
     assert got == want
     # 'a</w>' has exactly one pair, then 'a</w>' is a single symbol
     assert len(got) == 1 and got[0][1:] == ("a", END_MARK, "a" + END_MARK, 1)
+
+
+def test_encode_stats_match_python_reference(spark):
+    """Per-doc whitespace vs BPE token counts equal a reference that
+    re-learns the merges and re-segments each doc independently; BPE
+    count is bounded by [ws count, chars + ws] and monotone non-
+    increasing in merges applied."""
+    import os
+
+    from distributed_crawler_spark.operators.bpe import encode_bpe_stats
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+    merges = [(m[1], m[2]) for m in _py_bpe(texts, 6)]
+
+    def seg_len(word: str) -> int:
+        s = list(word) + [END_MARK]
+        for l, r in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return len(s)
+
+    want = {}
+    for r in rows:
+        words = re.sub(r"[^a-z0-9 ]", " ", r["text"].lower()).split()
+        if words:
+            want[r["doc_id"]] = (len(words), sum(seg_len(w) for w in words))
+    got = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+        for r in encode_bpe_stats(docs, merges=6).collect()
+    }
+    assert got == want
+    for ws, bpe in got.values():
+        assert ws <= bpe  # every word is >= 1 symbol, incl. </w>

@@ -143,6 +143,7 @@ def test_driver_window_priority_names_all_registered():
         "canonical_clusters",
         "host_pagerank",
         "bpe_learn",
+        "bpe_encode",
         # r04-stale rotations that must regain a fresh row this round
         "normalize_urls",
         "minhash_lsh_pairs",
