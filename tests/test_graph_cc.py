@@ -114,6 +114,59 @@ def test_pagerank_int_vs_python(spark):
     assert got2 == exp
 
 
+def _pr_py_weighted(nodes, wedges, iters=5, scale=1_000_000, num=85, den=100):
+    """Weighted integer PageRank reference: per-edge (score*w)//sum(w)."""
+    od: dict[int, int] = {}
+    for s, _, w in wedges:
+        od[s] = od.get(s, 0) + w
+    score = {v: scale for v in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t, w in wedges:
+            inc[t] += (score[s] * w) // od[s]
+        score = {v: base + (num * inc[v]) // den for v in nodes}
+    return score
+
+
+def test_weighted_pagerank_vs_python_and_expansion(spark):
+    """Weighted scores match the reference, and a weight-w edge is NOT
+    generally equal to w parallel unit edges (per-edge floor division
+    differs) — the weighted form is its own semantics, exact on both
+    engines; weight=1 must equal the unweighted call bit-for-bit."""
+    import random
+
+    rng = random.Random(17)
+    nodes = list(range(40))
+    wedges = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 9))
+        for _ in range(120)
+    ]
+    exp = _pr_py_weighted(nodes, wedges)
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["score"]
+        for r in graph.pagerank_int(ndf, edf, iters=5, weight="w").collect()
+    }
+    assert got == exp
+    # weight=1 on every edge ≡ the unweighted call (bit-exact reduction)
+    unit = [(s, t, 1) for s, t, _ in wedges]
+    udf_ = spark.createDataFrame(unit, "src long, dst long, w long")
+    got_w1 = {
+        r["node"]: r["score"]
+        for r in graph.pagerank_int(ndf, udf_, iters=5, weight="w").collect()
+    }
+    plain = spark.createDataFrame(
+        [(s, t) for s, t, _ in wedges], "src long, dst long"
+    )
+    got_plain = {
+        r["node"]: r["score"]
+        for r in graph.pagerank_int(ndf, plain, iters=5).collect()
+    }
+    assert got_w1 == got_plain == _pr_py_weighted(nodes, unit)
+
+
 def test_keep_one_per_cluster(spark):
     docs = spark.range(8).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame(
