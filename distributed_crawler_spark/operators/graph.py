@@ -310,20 +310,33 @@ def hits_int(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
     ns = nodes.select(F.col(node_col).cast("long").alias("node"))
+    # n*scale as a driver literal: one count action up front instead of
+    # a lazy 1-row aggregate re-evaluated inside every half-iteration
+    n_scale = ns.count() * scale
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        # rescale to sum = n*scale; nodes missing from raw hold 0
-        tot = raw.agg(F.sum(col).alias("__tot"))
-        n_scale = ns.agg((F.count(F.lit(1)) * scale).alias("__ns"))
-        return (
+        # rescale to sum = n*scale; nodes missing from raw hold 0.
+        # raw is persisted and its total is taken as a 1-row ACTION so
+        # the rescale divides by a literal — a lazy broadcast aggregate
+        # here would nest 2 full-lineage re-evaluations per
+        # half-iteration (6x per HITS round), the difference between a
+        # ~1 s and a ~10 s plan at sf0.1. Bit-exact either way: the
+        # total is an exact integer sum.
+        raw = raw.persist()
+        tot = raw.agg(F.sum(col)).collect()[0][0]
+        out = (
             ns.join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(n_scale))
             .select(
                 "node",
-                F.expr(f"(coalesce({col}, 0L) * __ns) DIV __tot").alias(col),
+                F.expr(f"(coalesce({col}, 0L) * {n_scale}L) DIV {tot}L").alias(col),
             )
+            # eager: materialize while raw is cached, then release it —
+            # per-round state is one (node, long) frame, never a
+            # growing persist set
+            .localCheckpoint(eager=True)
         )
+        raw.unpersist()
+        return out
 
     hub = ns.select("node", F.lit(scale).cast("long").alias("h"))
     auth = None
