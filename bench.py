@@ -99,6 +99,10 @@ HEADLINE = [
     "host_pagerank",
     "bpe_learn",
     "bpe_encode",
+    "url_blocklist",
+    "cdx_lookup",
+    "c4_line_filter",
+    "dust_rules",
 ]
 
 

@@ -127,6 +127,28 @@ def url_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    sort key of web-archive CDX indexes (Common Crawl's cdx-toolkit /
+    IA's OpenWayback): lowercase the authority, drop the scheme and a
+    leading 'www.', REVERSE the host labels comma-joined, then ')' + the
+    path+query. 'https://Sub.Example.com/a/b?q=1' ->
+    'com,example,sub)/a/b?q=1'. Reversed-host ordering makes every page
+    of a host — and of a whole registrable domain — one CONTIGUOUS key
+    range, so host/domain lookups over a sorted index are prefix scans
+    (min/max-pruned at the parquet row-group level, partition-pruned
+    under a range layout) instead of full scans. Pure native expressions.
+    """
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), rest)
+
+
 # ---------------------------------------------------------------------------
 # Arrow pandas UDFs (exact-parity path; vectorized, no per-row Python UDF).
 # ---------------------------------------------------------------------------

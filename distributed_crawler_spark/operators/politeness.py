@@ -216,3 +216,70 @@ def crawl_delay_schedule(
         .withColumn("fetch_offset_ms", (F.col("slot") * F.col("delay_ms")).cast("long"))
         .select(*out_cols, "slot", "delay_ms", "fetch_offset_ms")
     )
+
+
+def blocklist_filter(
+    candidates: DataFrame,
+    blocked_domains: DataFrame,
+    path_keywords: list[str] | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """UT1/RefinedWeb-style URL blocklist gate — the curated adult/spam
+    domain+keyword filter every Common-Crawl pipeline applies before (or
+    instead of) content-based quality scoring (RefinedWeb §3.1, FineWeb).
+    The reference has no notion of it: its frontier accepts any host the
+    seed graph reaches (master_node.py's only gates are robots + budget).
+
+    ``blocked_domains`` is a one-column (domain) table; an entry blocks
+    the exact host AND every subdomain of it (UT1 list semantics).
+    ``path_keywords`` block any URL whose path contains one of them.
+
+    Scale shape — the candidate side NEVER shuffles: a UT1-class list is
+    ~10^6 domains (a few tens of MB) → broadcast; parent-domain matching
+    is decomposed into ``max_suffix_labels`` map-side equi-joins, one per
+    label-suffix length (host 'a.b.example.com' probes 'a.b.example.com',
+    'b.example.com', 'example.com', ...), instead of an un-joinable LIKE
+    or an explode+regroup that would re-shuffle 10^10 rows on url. The
+    keyword gate is one in-JVM array `exists` over a literal array.
+
+    Returns the candidates with ``blocked_domain`` (the matching list
+    entry, longest suffix wins, null if none), ``kw_blocked``, and
+    ``allowed``; gate with ``.filter("allowed")``.
+    """
+    out_cols = candidates.columns
+    labels = F.split(F.col(host_col), r"\.")
+    out = candidates
+    match_cols = []
+    for k in range(max_suffix_labels, 1, -1):
+        # the k-label suffix of the host, null when the host is shorter
+        # (a k-label host is probed at exactly k..2, so nothing is missed)
+        suffix = F.when(
+            F.size(labels) >= k,
+            F.array_join(F.slice(labels, -k, k), "."),
+        )
+        blk = blocked_domains.select(
+            F.col(blocked_domains.columns[0]).alias(f"__blk_{k}")
+        ).distinct()
+        out = out.withColumn(f"__sfx_{k}", suffix).join(
+            F.broadcast(blk),
+            F.col(f"__sfx_{k}") == F.col(f"__blk_{k}"),
+            "left",
+        )
+        match_cols.append(F.col(f"__blk_{k}"))
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    kw = F.lit(False)
+    if path_keywords:
+        kw = F.exists(
+            F.array(*[F.lit(k) for k in path_keywords]),
+            lambda k: F.contains(path, k),
+        )
+    return (
+        out.withColumn("blocked_domain", F.coalesce(*match_cols, F.lit(None).cast("string")))
+        .withColumn("kw_blocked", kw)
+        .withColumn(
+            "allowed", F.col("blocked_domain").isNull() & ~F.col("kw_blocked")
+        )
+        .select(*out_cols, "blocked_domain", "kw_blocked", "allowed")
+    )

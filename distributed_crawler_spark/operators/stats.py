@@ -234,3 +234,85 @@ def host_trap_stats(
             & (ratio >= F.lit(float(max_dup_ratio)))
         ).alias("trap_flag"),
     )
+
+
+def dust_rule_mining(
+    pages: DataFrame,
+    rules: list[tuple[str, str, str]],
+    url_col: str = "url",
+    ck_col: str = "ck",
+    min_support: int = 2,
+    min_precision: float = 0.95,
+) -> DataFrame:
+    """DUST — "Different URLs with Similar Text" rule mining (Bar-Yossef
+    et al., WWW 2007 / the DustBuster idea, restricted to a fixed rule
+    grammar the way production crawlers deploy it): given crawled pages
+    with a content key, VALIDATE each candidate URL-rewrite rule (strip
+    query string, strip /index.html, strip trailing slash, ...) by
+    counting, over every URL the rule rewrites, whether the rewritten
+    URL was also crawled and served the SAME content (support) or
+    DIFFERENT content (violation). Rules that hold become frontier-side
+    canonicalizers — alias URLs are collapsed BEFORE fetch, the one
+    dedup channel content hashing can never provide (it needs the fetch
+    it would save). The reference normalizes scheme/fragment only
+    (utils.py:15-36); it refetches every session-id alias.
+
+    ``rules`` is (name, java_regex_pattern, replacement) — patterns
+    should anchor so Spark's replace-all semantics equal replace-first.
+    ``pages`` must be one row per url (post URL-dedup).
+
+    Returns one row per rule: n_candidates (urls the rule rewrites),
+    n_evidence (rewritten url also crawled), support, violations,
+    rule_precision = support/n_evidence, valid.
+
+    Scale shape: rule application is a map-only projection; the only
+    shuffle is ONE url equi-join of the rewritten slice (urls a rule
+    actually changes — a small fraction of the corpus) against the page
+    table, then a k-row aggregate. Nothing pairwise, nothing content-
+    sized in flight."""
+    base = pages.select(
+        F.col(url_col).alias("__u"), F.col(ck_col).alias("__ck")
+    )
+    cands = None
+    for name, pat, rep in rules:
+        t = F.regexp_replace(F.col("__u"), pat, rep)
+        c = base.select(
+            F.lit(name).alias("rule"),
+            F.col("__u").alias("src_url"),
+            t.alias("dst_url"),
+            F.col("__ck").alias("src_ck"),
+        ).filter(F.col("dst_url") != F.col("src_url"))
+        cands = c if cands is None else cands.unionByName(c)
+    targets = base.select(
+        F.col("__u").alias("dst_url"), F.col("__ck").alias("dst_ck")
+    )
+    ev = cands.join(targets, "dst_url", "left")
+    agg = ev.groupBy("rule").agg(
+        F.count("*").alias("n_candidates"),
+        F.count("dst_ck").alias("n_evidence"),
+        F.coalesce(
+            F.sum((F.col("dst_ck") == F.col("src_ck")).cast("int")), F.lit(0)
+        ).alias("support"),
+        F.coalesce(
+            F.sum(
+                (F.col("dst_ck").isNotNull() & (F.col("dst_ck") != F.col("src_ck"))).cast("int")
+            ),
+            F.lit(0),
+        ).alias("violations"),
+    )
+    prec = F.when(
+        F.col("n_evidence") > 0,
+        F.round(F.col("support") / F.col("n_evidence"), 4),
+    )
+    return agg.select(
+        "rule",
+        "n_candidates",
+        "n_evidence",
+        "support",
+        "violations",
+        prec.alias("rule_precision"),
+        F.coalesce(
+            (F.col("support") >= min_support) & (prec >= min_precision),
+            F.lit(False),
+        ).alias("valid"),
+    )

@@ -620,3 +620,65 @@ def bigram_lm_score(
         .otherwise(F.lit("tail"))
     )
     return per_doc.select(id_col, "n_bigrams", "nll", bucket.alias("ppl_bucket"))
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020 §2.2 — the
+    rule set behind C4/mC4 and the first stage of most CC pipelines):
+    keep only lines that (a) end in a terminal punctuation mark, (b) have
+    at least ``min_words`` words, (c) contain no 'lorem ipsum', no curly
+    brace '{', and no 'javascript' (case-insensitive for the phrases);
+    then drop documents with fewer than ``min_kept_lines`` surviving
+    lines. The reference indexes extracted text raw (indexer_node.py) —
+    it has no notion of boilerplate-line removal.
+
+    Returns (id, n_lines, n_kept, kept_doc, text_clean) — one row per
+    input document, ``text_clean`` the kept lines re-joined with
+    newlines in original order.
+
+    Scale shape: predicates are all in-JVM string ops evaluated in the
+    scan projection; the ONLY shuffle is the per-doc reassembly
+    aggregate, and dropped lines enter it as NULL structs (collect_list
+    skips them) so the shuffle carries surviving text only — a page of
+    boilerplate costs its line count, not its byte count."""
+    line = F.col("__line")
+    words = F.size(F.filter(F.split(line, " "), lambda x: x != ""))
+    kept = (
+        F.substring(line, -1, 1).isin(".", "!", "?", '"')
+        & (words >= min_words)
+        & ~F.contains(F.lower(line), F.lit("lorem ipsum"))
+        & ~F.contains(line, F.lit("{"))
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    ).select(
+        id_col,
+        "__idx",
+        kept.alias("__kept"),
+        F.when(kept, F.struct(F.col("__idx"), F.col("__line"))).alias("__kl"),
+    )
+    agg = lines.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("__kept").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__kl")), lambda s: s["__line"]
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        (F.col("n_kept") >= min_kept_lines).alias("kept_doc"),
+        "text_clean",
+    )

@@ -144,11 +144,16 @@ def test_driver_window_priority_names_all_registered():
         "host_pagerank",
         "bpe_learn",
         "bpe_encode",
+        # round-6 fifth continuation: first driver rows (displaced
+        # normalize_urls/sliding_rate/rep_signals/hash_sample — r04-green
+        # map-only trivia, swept locally every pytest run, re-rotated in
+        # the r07 window per NEXT.md)
+        "url_blocklist",
+        "cdx_lookup",
+        "c4_line_filter",
+        "dust_rules",
         # r04-stale rotations that must regain a fresh row this round
-        "normalize_urls",
         "minhash_lsh_pairs",
         "dup_span_stats",
-        "rep_signals",
-        "hash_sample",
     ):
         assert n in window, f"{n} fell out of the driver window"
