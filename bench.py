@@ -103,6 +103,7 @@ HEADLINE = [
     "cdx_lookup",
     "c4_line_filter",
     "dust_rules",
+    "warc_revisit",
 ]
 
 

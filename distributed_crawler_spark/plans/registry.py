@@ -4685,6 +4685,7 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     ck = F.concat(F.lit("c:"), d.cast("string"))
     base = pages.select(F.col("url"), ck.alias("ck"))
+    # aliases and the pagination counterexample are appended below
     a_sess = pages.filter(d % 9 == 4).select(
         F.concat(F.col("url"), F.lit("?sessionid=s"), d.cast("string")).alias("url"),
         ck.alias("ck"),
@@ -4709,6 +4710,62 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("strip_trailing_slash", r"/$", ""),
         ],
     )
+
+
+@q(
+    "warc_revisit",
+    f"""
+WITH {_MODEL},
+caps AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+         {phash_sql("CASE WHEN host_id % 13 = 2 THEN 'dup:' || host_id ELSE 'u:' || doc_id END")}
+           AS digest
+  FROM pages),
+r AS (
+  SELECT url, ts, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY ts, url) AS rn,
+         first_value(url) OVER (PARTITION BY digest ORDER BY ts, url) AS f_url
+  FROM caps)
+SELECT url, ts, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn = 1 THEN '' ELSE f_url END AS refers_to_url
+FROM r
+""",
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record classification (warc.revisit_plan — WARC 1.1
+    §6.7.2 "identical payload digest"): the first capture of each
+    payload digest is a full response record, every later identical
+    capture a zero-body revisit pointing at it — the archive-write
+    content dedup Heritrix/Common Crawl run, which the reference's
+    S3-put-per-page path never does. Content identity is injected
+    deterministically (trap-host family: host_id % 13 == 2 serves one
+    body under all its URLs). The Spark plan is a map-side-combined
+    min(struct) on digest + one equi-join — never a window — so a
+    boilerplate digest captured 10^6 times costs a combinable min, not
+    a single-partition sort; the oracle computes the same firsts with
+    window functions, so the aggregate/join decomposition itself is
+    what's verified. The file sink half (export_warc_dedup: real
+    revisit records with WARC-Refers-To-Target-URI / WARC-Payload-
+    Digest / WARC-Profile headers, read_warc round trip) is
+    pytest-verified in tests/test_warc.py."""
+    from ..sources.warc import revisit_plan
+
+    pages = model_pages_df(spark, sf_dir)
+    ck = F.when(
+        F.pmod(F.col("host_id"), F.lit(13)) == 2,
+        F.concat(F.lit("dup:"), F.col("host_id").cast("string")),
+    ).otherwise(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+    caps = pages.select(
+        "url",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+        phash(ck).alias("digest"),
+    )
+    return revisit_plan(caps, url_col="url", ts_col="ts", digest_col="digest")
 
 
 # =========================================================================
@@ -4798,6 +4855,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdx_lookup",
     "c4_line_filter",
     "dust_rules",
+    "warc_revisit",
     # first-ever hash oracles this round that must sit INSIDE the
     # 50-query window to earn their first hash-green driver row:
     # search_bm25f (rows-only since r02), crawl_html_round0 (rows-only
@@ -4820,14 +4878,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "search_bm25_indexed",
     "search_bm25_stemmed",
     "minhash_lsh_pairs",
-    "dup_span_stats",
     # past the 50-entry window from here: normalize_urls / sliding_rate /
-    # rep_signals / hash_sample were rotated out mid-round to make room
+    # rep_signals / hash_sample / dup_span_stats were rotated out
+    # mid-round to make room
     # for the fifth-continuation first-row queries above (all four are
     # r04-green map-only/windowed trivia the local DuckDB sweep
     # re-verifies every pytest run; their newest driver row is exactly
     # 2 rounds old at r06 — the r07 window must rotate them back in,
     # noted in NEXT.md)
+    "dup_span_stats",
     "normalize_urls",
     "sliding_rate",
     "rep_signals",

@@ -130,11 +130,18 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def _record_bytes(
-    record_type: str, url: str, iso_date: str, body: bytes, http_envelope: bool
+    record_type: str,
+    url: str,
+    iso_date: str,
+    body: bytes,
+    http_envelope: bool,
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One serialized WARC record (the framing _parse_warc_bytes reads
     back); response records get the HTTP envelope Common-Crawl captures
-    carry, conversion (WET) records the bare payload."""
+    carry, conversion (WET) records the bare payload. ``extra_headers``
+    adds named WARC headers (revisit records carry WARC-Refers-To-* and
+    WARC-Payload-Digest)."""
     if http_envelope:
         body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
     headers = (
@@ -142,8 +149,10 @@ def _record_bytes(
         b"WARC-Type: " + record_type.encode() + b"\r\n"
         b"WARC-Target-URI: " + url.encode() + b"\r\n"
         b"WARC-Date: " + iso_date.encode() + b"\r\n"
-        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
     )
+    for k, v in (extra_headers or {}).items():
+        headers += k.encode() + b": " + v.encode() + b"\r\n"
+    headers += b"Content-Length: " + str(len(body)).encode() + b"\r\n"
     return headers + b"\r\n" + body + b"\r\n\r\n"
 
 
@@ -305,3 +314,140 @@ def write_wet(rows: list[tuple[str, str, str]], path: str) -> str:
         for url, date, text in rows:
             f.write(_record_bytes("conversion", url, date, text.encode("utf-8"), False))
     return path
+
+
+def revisit_plan(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify captures into WARC ``response`` vs ``revisit`` records —
+    the archive-write content dedup Heritrix and Common Crawl apply
+    (WARC 1.1 §6.7.2, profile "identical payload digest"): the FIRST
+    capture of each payload digest (order: ts, then url) is stored in
+    full; every later identical capture is a zero-body revisit record
+    pointing at it. At CC scale this is the difference between storing
+    a boilerplate page once vs millions of times.
+
+    Input must be unique on (url, ts). Adds ``record_type`` and
+    ``refers_to_url`` ('' on responses, the keeper's url on revisits).
+
+    Scale shape: one map-side-combined min(struct(ts, url)) aggregate
+    keyed on digest plus one equi-join back on digest — never a window,
+    so a mega-digest (one boilerplate body captured 10^6 times) costs a
+    combinable min, not a single-partition sort."""
+    from pyspark.sql import functions as F
+
+    f = F.struct(F.col(ts_col).alias("__ts"), F.col(url_col).alias("__url"))
+    firsts = captures.groupBy(digest_col).agg(F.min(f).alias("__f"))
+    joined = captures.join(firsts, digest_col)
+    is_first = (F.col(ts_col) == F.col("__f.__ts")) & (
+        F.col(url_col) == F.col("__f.__url")
+    )
+    return joined.select(
+        *captures.columns,
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(is_first, F.lit("")).otherwise(F.col("__f.__url")).alias(
+            "refers_to_url"
+        ),
+    )
+
+
+def export_warc_dedup(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    compress: bool = True,
+) -> DataFrame:
+    """WARC export with revisit dedup: the first capture of each payload
+    digest is written as a full response record; every later identical
+    capture becomes a zero-body ``revisit`` record carrying
+    WARC-Refers-To-Target-URI and WARC-Payload-Digest (md5 here — the
+    spec says which algorithm via the digest's label prefix).
+    ``read_warc`` on the output returns exactly the keeper pages;
+    revisit records are recoverable from the same files by record type.
+    Same distributed sink shape as export_warc (per-partition streamed
+    shards, lazy manifest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    digest = F.concat(F.lit("md5:"), F.md5(F.col(html_col).cast("binary")))
+    planned = revisit_plan(
+        df.withColumn("__digest", digest), url_col, ts_col, "__digest"
+    )
+    iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    sel = planned.select(
+        F.coalesce(F.col(url_col), F.lit("")).alias("url"),
+        F.coalesce(
+            F.date_format(F.col(ts_col), iso),
+            F.date_format(F.current_timestamp(), iso),
+        ).alias("d"),
+        F.coalesce(F.col(html_col).cast("binary"), F.lit(b"")).alias("body"),
+        F.col("__digest").alias("digest"),
+        "record_type",
+        "refers_to_url",
+    )
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def run(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(
+            out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
+        )
+        f = None
+        n = n_rev = 0
+        for pdf in batches:
+            if len(pdf) and f is None:
+                f = gzip.open(path, "wb") if compress else open(path, "wb")
+            for url, d, body, dg, rt, ref in zip(
+                pdf["url"], pdf["d"], pdf["body"], pdf["digest"],
+                pdf["record_type"], pdf["refers_to_url"],
+            ):
+                if rt == "revisit":
+                    f.write(
+                        _record_bytes(
+                            "revisit", url, d, b"", False,
+                            {
+                                "WARC-Refers-To-Target-URI": ref,
+                                "WARC-Payload-Digest": dg,
+                                "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                            },
+                        )
+                    )
+                    n_rev += 1
+                else:
+                    f.write(
+                        _record_bytes(
+                            "response", url, d, bytes(body), True,
+                            {"WARC-Payload-Digest": dg},
+                        )
+                    )
+                n += 1
+        if f is not None:
+            f.close()
+            yield pd.DataFrame(
+                [{
+                    "path": path,
+                    "n_records": n,
+                    "n_revisits": n_rev,
+                    "n_bytes": os.path.getsize(path),
+                }]
+            )
+
+    return sel.mapInPandas(
+        run, "path STRING, n_records LONG, n_revisits LONG, n_bytes LONG"
+    )

@@ -152,8 +152,8 @@ def test_driver_window_priority_names_all_registered():
         "cdx_lookup",
         "c4_line_filter",
         "dust_rules",
-        # r04-stale rotations that must regain a fresh row this round
+        "warc_revisit",
+        # r04-stale rotation that must regain a fresh row this round
         "minhash_lsh_pairs",
-        "dup_span_stats",
     ):
         assert n in window, f"{n} fell out of the driver window"

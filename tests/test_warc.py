@@ -303,3 +303,74 @@ def test_warc_record_round_trip_property():
         assert [(u, date, b) for u, b in rows] == got_wet
 
     check()
+
+
+def test_export_warc_dedup_revisit_records(spark, tmp_path):
+    """Revisit dedup export: first capture per payload digest is a full
+    response record; later identical captures are zero-body revisit
+    records carrying WARC-Refers-To-Target-URI + WARC-Payload-Digest +
+    the identical-payload-digest profile. read_warc on the output sees
+    ONLY the keepers; the revisit records parse back from the same
+    files with correct pointers."""
+    import datetime as dt
+    import glob
+    import gzip
+    import re
+
+    from distributed_crawler_spark.sources.warc import (
+        export_warc_dedup,
+        read_warc,
+        revisit_plan,
+    )
+
+    body_a, body_b = b"<html>one</html>", b"<html>two</html>"
+    rows = [
+        ("https://a.com/1", dt.datetime(2024, 1, 1, 0, 0, 1), body_a),
+        ("https://a.com/2", dt.datetime(2024, 1, 1, 0, 0, 2), body_a),  # revisit
+        ("https://b.com/1", dt.datetime(2024, 1, 1, 0, 0, 3), body_b),
+        ("https://b.com/0", dt.datetime(2024, 1, 1, 0, 0, 3), body_b),  # ts tie -> url breaks it
+        ("https://a.com/3", dt.datetime(2024, 1, 1, 0, 0, 9), body_a),  # revisit
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts TIMESTAMP, html BINARY")
+    out = str(tmp_path / "warc_dedup")
+    manifest = export_warc_dedup(df.repartition(4), out).collect()
+    assert sum(m["n_records"] for m in manifest) == 5
+    assert sum(m["n_revisits"] for m in manifest) == 3
+
+    keepers = {
+        (r["url"], bytes(r["html"])) for r in read_warc(spark, out + "/*").collect()
+    }
+    assert keepers == {("https://a.com/1", body_a), ("https://b.com/0", body_b)}
+
+    # raw revisit records: zero body, refers-to points at the keeper
+    refs = {}
+    for path in glob.glob(out + "/*.warc.gz"):
+        blob = gzip.decompress(open(path, "rb").read())
+        for m in re.finditer(
+            rb"WARC-Type: revisit\r\n"
+            rb"WARC-Target-URI: (?P<u>[^\r]+)\r\n"
+            rb"WARC-Date: [^\r]+\r\n"
+            rb"WARC-Refers-To-Target-URI: (?P<r>[^\r]+)\r\n"
+            rb"WARC-Payload-Digest: md5:[0-9a-f]{32}\r\n"
+            rb"WARC-Profile: [^\r]+identical-payload-digest\r\n"
+            rb"Content-Length: 0\r\n",
+            blob,
+        ):
+            refs[m["u"].decode()] = m["r"].decode()
+    assert refs == {
+        "https://a.com/2": "https://a.com/1",
+        "https://a.com/3": "https://a.com/1",
+        "https://b.com/1": "https://b.com/0",
+    }
+
+    # plan-level: the classification itself matches a python reference
+    planned = {
+        r["url"]: (r["record_type"], r["refers_to_url"])
+        for r in revisit_plan(
+            df.withColumn("digest", F.md5(F.col("html")))
+            , digest_col="digest"
+        ).collect()
+    }
+    assert planned["https://a.com/1"] == ("response", "")
+    assert planned["https://b.com/0"] == ("response", "")
+    assert planned["https://b.com/1"] == ("revisit", "https://b.com/0")
