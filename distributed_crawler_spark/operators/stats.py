@@ -270,6 +270,8 @@ def dust_rule_mining(
     actually changes — a small fraction of the corpus) against the page
     table, then a k-row aggregate. Nothing pairwise, nothing content-
     sized in flight."""
+    if not rules:
+        raise ValueError("dust_rule_mining needs at least one candidate rule")
     base = pages.select(
         F.col(url_col).alias("__u"), F.col(ck_col).alias("__ck")
     )

@@ -656,9 +656,13 @@ def c4_line_filter(
         & ~F.contains(line, F.lit("{"))
         & ~F.contains(F.lower(line), F.lit("javascript"))
     )
+    # coalesce: a null text must behave like '' (one empty, dropped
+    # line), not silently remove the document from the output
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__idx", "__line"),
     ).select(
         id_col,
         "__idx",

@@ -150,6 +150,14 @@ def test_c4_line_filter_python_parity(spark):
     assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
 
 
+def test_c4_line_filter_null_text_behaves_like_empty(spark):
+    df = spark.createDataFrame([(0, None), (1, "good line with five words.")],
+                               "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in c4_line_filter(df, min_kept_lines=1).collect()}
+    assert out[0]["n_lines"] == 1 and out[0]["n_kept"] == 0 and out[0]["text_clean"] == ""
+    assert out[1]["kept_doc"] is True
+
+
 # ----------------------------------------------------------------- DUST
 
 
@@ -188,3 +196,21 @@ def test_dust_min_support_gate(spark):
     ).collect()[0]
     # precision 1.0 but support 1 < min_support -> not deployable
     assert out["support"] == 1 and out["rule_precision"] == 1.0 and out["valid"] is False
+
+
+# ------------------------------------------------------------- WARC revisit
+
+
+def test_revisit_plan_is_aggregate_join_not_window(spark):
+    """The firsts-per-digest decomposition must be a map-side-combined
+    min(struct) + equi-join — a Window over digest would single-partition
+    a mega-digest (one boilerplate body captured 10^6 times)."""
+    from distributed_crawler_spark.sources.warc import revisit_plan
+
+    caps = spark.createDataFrame(
+        [(f"https://a.com/{i}", i, f"d{i % 3}") for i in range(30)],
+        "url STRING, ts LONG, digest STRING",
+    )
+    plan = _plan(revisit_plan(caps, ts_col="ts"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
