@@ -247,6 +247,20 @@ def keep_one_per_cluster(
     return docs.join(drop, id_col, "left_anti")
 
 
+def keep_one_from_clusters(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``keep_one_per_cluster`` over a MATERIALIZED cluster-assignment
+    table (doc_id, cluster_id, ...) — the production shape: cluster
+    formation is the expensive iterative job and its assignments are
+    written once (dedup_clusters → parquet/Iceberg); every curation
+    action afterwards is one left-anti join against the tiny drop list,
+    never a re-clustering.  Equivalent to keep_one_per_cluster on the
+    pair frame the clusters came from (pytest-asserted)."""
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
 def anchor_text_agg(
     pages: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:

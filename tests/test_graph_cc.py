@@ -178,3 +178,26 @@ def test_keep_one_per_cluster(spark):
     )
     # cluster {1,3,5} keeps 1; {6,7} keeps 6; 0/2/4 are singletons
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_keep_one_from_materialized_clusters_equivalent(spark):
+    """keep_one over the materialized assignment table ≡ keep_one over
+    the pair frame it came from (the dedup_keep_one production split)."""
+    from distributed_crawler_spark.operators.graph import (
+        dedup_clusters,
+        keep_one_from_clusters,
+        keep_one_per_cluster,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a LONG, id_b LONG"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(25)], "doc_id LONG"
+    )
+    a = sorted(r["doc_id"] for r in keep_one_per_cluster(docs, pairs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in keep_one_from_clusters(docs, dedup_clusters(pairs)).collect()
+    )
+    assert a == b and 2 not in a and 3 not in a and 11 not in a
