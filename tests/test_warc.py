@@ -374,3 +374,33 @@ def test_export_warc_dedup_revisit_records(spark, tmp_path):
     assert planned["https://a.com/1"] == ("response", "")
     assert planned["https://b.com/0"] == ("response", "")
     assert planned["https://b.com/1"] == ("revisit", "https://b.com/0")
+
+
+def test_revisit_plan_random_parity(spark):
+    """Seeded random captures (shared digests, ts ties) vs a pure-Python
+    reference of the firsts-per-digest rule."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        d = f"d{rng.randrange(40)}"
+        ts = rng.randrange(20)
+        rows.append((f"https://h{rng.randrange(9)}.com/p/{i}", ts, d))
+    firsts = {}
+    for url, ts, d in rows:
+        if d not in firsts or (ts, url) < firsts[d]:
+            firsts[d] = (ts, url)
+    expect = {
+        url: ("response", "") if firsts[d] == (ts, url) else ("revisit", firsts[d][1])
+        for url, ts, d in rows
+    }
+
+    from distributed_crawler_spark.sources.warc import revisit_plan
+
+    caps = spark.createDataFrame(rows, "url STRING, ts LONG, digest STRING")
+    got = {
+        r["url"]: (r["record_type"], r["refers_to_url"])
+        for r in revisit_plan(caps.repartition(7), ts_col="ts").collect()
+    }
+    assert got == expect
