@@ -468,3 +468,78 @@ def resolve_chains(
         F.when(F.col("t_id").isNull(), F.col("hops")).alias("hops"),
         F.col("t_id").isNull().alias("resolved"),
     )
+
+
+def host_link_features(
+    edges: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host web-graph features — the domain-level link-spam /
+    quality signals (RefinedWeb-style domain gating, TrustRank-adjacent
+    heuristics) the reference never derives: for every host seen as a
+    link source or target,
+
+      out_edges / in_edges     page-level edge counts by direction
+      out_hosts / in_hosts     DISTINCT counterparty hosts
+      self_frac                fraction of out-edges staying on-host
+                               (navigation-heavy vs outward-linking)
+      recip_frac               fraction of distinct out-neighbors that
+                               link back (link-exchange rings sit near
+                               1.0; organic hosts much lower)
+
+    Scale shape: ONE page-scale shuffle contracts the 10^10-edge page
+    graph to weighted (src_host, dst_host, w) edges (map-side combined);
+    every feature after that — the two per-direction aggregates and the
+    reciprocity self-join — runs on the contracted host graph (~10^7
+    rows), the host_pagerank contraction argument applied to feature
+    extraction."""
+    hg = (
+        edges.groupBy(
+            F.col(src_host_col).alias("src"), F.col(dst_host_col).alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    inter = hg.filter(F.col("src") != F.col("dst"))
+    # reciprocity over DISTINCT inter-host neighbor pairs
+    back = inter.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        inter.select("src", "dst")
+        .join(back.select("src", "dst").distinct(), ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    outs = hg.groupBy("src").agg(
+        F.sum("w").alias("out_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), F.col("w")).otherwise(0)).alias(
+            "self_edges"
+        ),
+        F.count(F.when(F.col("src") != F.col("dst"), 1)).alias("out_hosts"),
+    )
+    ins = hg.filter(F.col("src") != F.col("dst")).groupBy(
+        F.col("dst").alias("host")
+    ).agg(
+        F.sum("w").alias("in_edges"),
+        F.count(F.lit(1)).alias("in_hosts"),
+    )
+    feats = (
+        outs.withColumnRenamed("src", "host")
+        .join(ins, "host", "full_outer")
+        .join(recip.withColumnRenamed("src", "host"), "host", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return feats.select(
+        "host",
+        z("out_edges").alias("out_edges"),
+        z("in_edges").alias("in_edges"),
+        z("out_hosts").alias("out_hosts"),
+        z("in_hosts").alias("in_hosts"),
+        F.when(
+            z("out_edges") > 0,
+            F.round(z("self_edges") / z("out_edges"), 4),
+        ).otherwise(F.lit(0.0)).alias("self_frac"),
+        F.when(
+            z("out_hosts") > 0,
+            F.round(z("n_recip") / z("out_hosts"), 4),
+        ).otherwise(F.lit(0.0)).alias("recip_frac"),
+    )
