@@ -218,6 +218,78 @@ def pagerank_int(
     return scores
 
 
+def trustrank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Integer-arithmetic TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport mass confined to a TRUSTED
+    seed set — trust flows out from hand-vetted hosts, so spam farms
+    that manufacture rank among themselves score near zero.  The
+    standard web-spam demotion signal; the reference's crawler treats
+    every discovered URL identically.
+
+    Same bit-exactness contract and per-iteration shape as pagerank_int
+    (one join + one map-side-combined sum + one left join; shuffles
+    carry (id, long) pairs), with two changes: the initial score and
+    the per-round base term are ``(scale*(den-num)) DIV den`` for seed
+    nodes and 0 for everything else (the uniform-over-seeds teleport,
+    up to the global 1/|S| normalization which cancels in ranking and
+    is kept OUT to stay in exact integers).  ``seeds`` is one column of
+    node ids; it is broadcast-joined (seed sets are tiny by
+    definition).  Weighted edges behave exactly as in pagerank_int."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
+    )
+    odeg = e.groupBy("src").agg(F.sum("w").alias("od"))
+    base = (scale * (damp_den - damp_num)) // damp_den
+    seed_col = seeds.columns[0]
+    sd = seeds.select(
+        F.col(seed_col).cast("long").alias("node"),
+        F.lit(True).alias("__seed"),
+    ).distinct()
+    ns = nodes.select(F.col(node_col).cast("long").alias("node")).join(
+        F.broadcast(sd), "node", "left"
+    )
+    base_expr = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
+    scores = ns.select(
+        "node",
+        "__seed",
+        F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("score"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(scores.select("node", "score"), F.col("src") == F.col("node"))
+            .join(odeg, "src")
+            .select("dst", F.expr("(score * w) DIV od").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        scores = (
+            scores.select("node", "__seed")
+            .join(incoming, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                "__seed",
+                (
+                    base_expr
+                    + F.expr(f"({damp_num} * coalesce(inc, 0L)) DIV {damp_den}")
+                ).alias("score"),
+            )
+        )
+    return scores.select("node", "score")
+
+
 def dedup_clusters(
     pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,203 @@
+"""Round-7 STAGED queries — implemented, oracled, and locally verified
+this round, but intentionally NOT registered in plans/registry.py yet.
+
+Why staged: the driver validates the FIRST 50 registry entries per
+round, and the round-6 window is exactly full of first-row queries (see
+registry._DRIVER_WINDOW_PRIORITY) — registering more now would either
+evict a query that still needs its first driver row or create entries
+that can never be rowed this round, breaking the cross-round freshness
+invariant ("every registry query has >= 1 driver row").  The same
+pattern banked graph.host_link_features for r07 (NEXT.md).
+
+Every entry here has the SAME contract as a registry entry — a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL with
+matching column aliases — and tests/test_staging_r07.py runs the exact
+driver-twin comparison (row count, schema, order-insensitive values)
+over them every pytest run.  Promotion at r07 is mechanical: move the
+entries into registry.py and add the names to the driver window.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =========================================================================
+# Generalized suffix array + exact substring dedup (operators/suffix.py)
+# =========================================================================
+# The oracle sorts suffix STRINGS directly (feasible at oracle scale);
+# joined-with-space string order equals token-wise order here because
+# every token character sorts above ' ' (corpus tokens are lowercase
+# words/digits — asserted in tests/test_suffix.py).
+
+_SA_CTES = """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE length(text) > 0),
+s AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM t),
+sa AS (SELECT doc_id, pos, toks,
+       row_number() OVER (ORDER BY array_to_string(list_slice(toks, pos, len(toks)), ' '), doc_id, pos) AS sa_rank
+       FROM s)"""
+
+_SA_SAMPLE_SQL = f"""WITH {_SA_CTES}
+SELECT sa_rank, doc_id, pos::INT AS pos
+FROM sa WHERE sa_rank % 97 = 1 ORDER BY sa_rank"""
+
+
+@q("suffix_array_sample", _SA_SAMPLE_SQL)
+def q_suffix_array_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 97th entry of the generalized token-level suffix array over
+    the documents table — a deterministic systematic sample that pins
+    the EXACT global rank of ~1% of all suffixes (a single wrong
+    comparison anywhere in the doubling reorders some sampled rank).
+    The Spark side never materializes suffix strings (prefix doubling,
+    operators/suffix.py); the oracle sorts them directly."""
+    from ..operators.suffix import suffix_array
+
+    docs = _read(spark, sf_dir, "documents")
+    sa = suffix_array(docs)
+    return (
+        sa.filter(F.col("sa_rank") % 97 == 1)
+        .select("sa_rank", "doc_id", F.col("pos").cast("int").alias("pos"))
+        .orderBy("sa_rank")
+    )
+
+
+_EXACT_DUPS_SQL = f"""WITH {_SA_CTES},
+edges AS (
+  SELECT a.sa_rank,
+         list_slice(a.toks, a.pos, len(a.toks)) AS ta,
+         list_slice(b.toks, b.pos, len(b.toks)) AS tb
+  FROM sa a JOIN sa b ON b.sa_rank = a.sa_rank + 1),
+lcps AS (
+  SELECT sa_rank, CASE WHEN fp = 0 THEN m ELSE fp - 1 END AS lcp
+  FROM (SELECT sa_rank,
+               list_position(list_transform(range(1, least(len(ta), len(tb))+1), i -> ta[i] = tb[i]), false) AS fp,
+               least(len(ta), len(tb)) AS m
+        FROM edges)),
+strong AS (SELECT * FROM lcps WHERE lcp >= 8),
+memb AS (SELECT sa_rank, lcp FROM strong UNION ALL SELECT sa_rank + 1, lcp FROM strong),
+mem AS (SELECT sa_rank, max(lcp) AS dup_len FROM memb GROUP BY sa_rank),
+flg AS (SELECT m.sa_rank, m.dup_len,
+        CASE WHEN EXISTS (SELECT 1 FROM strong st WHERE st.sa_rank = m.sa_rank - 1) THEN 0 ELSE 1 END AS strt
+        FROM mem m),
+isl AS (SELECT sa_rank, dup_len, sum(strt) OVER (ORDER BY sa_rank) AS island FROM flg),
+wd AS (SELECT i.*, s.doc_id FROM isl i JOIN sa s USING (sa_rank)),
+xd AS (SELECT island FROM wd GROUP BY island HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, count(*)::BIGINT AS n_dup_starts, max(dup_len)::BIGINT AS max_dup_len
+FROM wd WHERE island IN (SELECT island FROM xd)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+@q("exact_substr_dups", _EXACT_DUPS_SQL)
+def q_exact_substr_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document duplicated-substring report (ExactSubstr,
+    Lee et al. 2022) at min_len=8 tokens — the exact counterpart of the
+    probabilistic span-fingerprint gate (dedup.py dup_span_stats): per
+    doc, how many token positions start a >= 8-token span that also
+    appears in another document, and the longest such span.  Built on
+    the suffix array + rank-adjacent LCP; the oracle replays the same
+    run/island semantics over a directly-sorted suffix list."""
+    from ..operators.suffix import exact_substr_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_substr_dups(docs, min_len=8)
+
+
+# =========================================================================
+# TrustRank (graph.trustrank_int) over the generator link graph
+# =========================================================================
+
+_TRUST_MOD = 17  # seeds: doc_id % 17 == 0 — deterministic, SQL-mirrorable
+
+
+def _trustrank_ctes(iters: int = 5) -> list[str]:
+    """Unrolled integer TrustRank fixpoint — pagerank's CTE chain with
+    the teleport base confined to the seed set."""
+    from ..corpus import LINK_COEFFS
+
+    scale, num, den = 1_000_000, 85, 100
+    base = (scale * (den - num)) // den
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS src, ({a} * doc_id + {b}) % nn.n AS dst FROM documents, nn"
+        for a, b in LINK_COEFFS
+    )
+    seed = f"doc_id % {_TRUST_MOD} = 0"
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS (\n{unions}\n)",
+        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"s0 AS (SELECT doc_id AS node, (CASE WHEN {seed} THEN {scale} ELSE 0 END)::BIGINT AS score FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst, sum(s.score // o.od) AS inc
+  FROM edges e JOIN s{i-1} s ON s.node = e.src JOIN odeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.node,
+         ((CASE WHEN s.node % {_TRUST_MOD} = 0 THEN {base} ELSE 0 END)
+          + ({num} * coalesce(c.inc, 0)) // {den})::BIGINT AS score
+  FROM s{i-1} s LEFT JOIN c{i} c ON c.dst = s.node
+)"""
+        )
+    return ctes
+
+
+def _trustrank_sql(iters: int = 5) -> str:
+    body = ",\n".join(_trustrank_ctes(iters))
+    return f"WITH {body}\nSELECT node AS doc_id, score FROM s{iters} ORDER BY doc_id"
+
+
+@q("trustrank", _trustrank_sql())
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the crawl model's link graph: integer PageRank
+    with teleport mass confined to the trusted seed set (doc_id %
+    17 == 0), 5 iterations, damping 85/100 — the web-spam demotion
+    signal (Gyöngyi et al. 2004) to pair with [[host_pagerank]]'s
+    authority and host_link_features' spam ratios.  Bit-exact integer
+    arithmetic; the oracle unrolls the same 5 rounds with the
+    seed-conditional base."""
+    from ..corpus import _doc_count, LINK_COEFFS
+    from ..operators.graph import trustrank_int
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = docs.filter(d % _TRUST_MOD == 0).select(F.col("doc_id").alias("node"))
+    return (
+        trustrank_int(nodes, edges, seeds, iters=5)
+        .select(F.col("node").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )
