@@ -711,3 +711,88 @@ def remove_dup_paragraphs(
         )
     )
     return rebuilt
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    base: int = 31,
+    modulus: int = 1 << 20,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling hash — the
+    LBFS/rsync/venti lineage) plus cross-document chunk dedup stats:
+    a chunk boundary is cut after position i when a hash of the last
+    ``window`` characters satisfies H % divisor == 0, so boundaries
+    RESYNCHRONIZE after insertions — two near-identical documents share
+    most chunks even when every fixed-size block would shift (the
+    property that makes CDC the storage dedup for WARC archives and
+    snapshot stores; pytest demonstrates it with a 1-char prefix edit).
+
+    The hash is POSITIONAL, not sequential: H(i) = sum_{j<window}
+    code(c[i-j]) * base^j (mod modulus) depends only on the window
+    ending at i, so every position computes independently — one
+    whole-stage-codegen'd filter() over the char-code array, no scan
+    dependency, no UDF, and the identical arithmetic runs as the staged
+    DuckDB oracle.  Expected chunk length is ``divisor`` characters.
+
+    Output per non-empty doc: (doc_id, n_chunks, n_shared,
+    shared_chars) — n_shared counts this doc's chunk OCCURRENCES whose
+    content also appears in at least one OTHER doc; shared_chars sums
+    their lengths (the bytes a chunk store would not write twice).
+
+    Scale shape: chunking is a pure map; the dedup stat is ONE hash
+    shuffle keyed by chunk content with map-side combine, then one
+    join back on doc id.  (At petabyte scale key the shuffle by
+    xxhash64(chunk) instead of the raw string; kept raw here so the
+    oracle joins on identical keys.)"""
+    pows = ", ".join(str(pow(base, j, modulus)) for j in range(window))
+    sel = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).filter(F.length("__t") > 0)
+    sel = sel.withColumn(
+        "__codes", F.expr("transform(split(__t, ''), c -> CAST(ascii(c) AS BIGINT))")
+    )
+    sel = sel.withColumn(
+        "__cuts",
+        F.expr(
+            f"""filter(sequence({window}, greatest(length(__t), {window})),
+              i -> i < length(__t) AND
+                   aggregate(sequence(0, {window - 1}),
+                             CAST(0 AS BIGINT),
+                             (acc, j) -> acc + element_at(__codes, i - j)
+                                             * element_at(array({pows}), j + 1)
+                   ) % {modulus} % {divisor} = 0)"""
+        ),
+    )
+    chunks = sel.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """zip_with(concat(array(0), __cuts),
+                            concat(__cuts, array(length(__t))),
+                            (s, e) -> substring(__t, s + 1, e - s))"""
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.length("chunk")).otherwise(0)
+            )
+            .cast("long")
+            .alias("shared_chars"),
+        )
+    )

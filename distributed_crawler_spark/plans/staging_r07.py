@@ -201,3 +201,184 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "score")
         .orderBy("doc_id")
     )
+
+
+# =========================================================================
+# host_link_features (banked in graph.py since round 6 — NEXT.md asked for
+# a links-CTE oracle at r07 registration time; here it is, staged)
+# =========================================================================
+
+def _hlf_sql() -> str:
+    from ..corpus import HOST_MOD, MEGA_LT, MEGA_MOD
+    from ..plans.registry import _MODEL
+
+    dh = (
+        f"'h' || (CASE WHEN l.dst_doc_id % {MEGA_MOD} < {MEGA_LT} THEN 0 "
+        f"ELSE l.dst_doc_id % {HOST_MOD} END) || '.example.com'"
+    )
+    return f"""WITH {_MODEL},
+he AS (
+  SELECT p.host AS src, {dh} AS dst
+  FROM links l JOIN pages p ON p.url = l.src_url
+),
+hg AS (SELECT src, dst, count(*)::BIGINT AS w FROM he GROUP BY src, dst),
+inter AS (SELECT src, dst, w FROM hg WHERE src <> dst),
+recip AS (
+  SELECT i.src, count(*)::BIGINT AS n_recip
+  FROM inter i
+  WHERE EXISTS (SELECT 1 FROM inter b WHERE b.src = i.dst AND b.dst = i.src)
+  GROUP BY i.src),
+outs AS (
+  SELECT src AS host, sum(w)::BIGINT AS out_edges,
+         sum(CASE WHEN src = dst THEN w ELSE 0 END)::BIGINT AS self_edges,
+         sum(CASE WHEN src <> dst THEN 1 ELSE 0 END)::BIGINT AS out_hosts
+  FROM hg GROUP BY src),
+ins AS (
+  SELECT dst AS host, sum(w)::BIGINT AS in_edges, count(*)::BIGINT AS in_hosts
+  FROM inter GROUP BY dst),
+feats AS (
+  SELECT coalesce(o.host, i.host) AS host,
+         coalesce(o.out_edges, 0) AS out_edges,
+         coalesce(i.in_edges, 0) AS in_edges,
+         coalesce(o.out_hosts, 0) AS out_hosts,
+         coalesce(i.in_hosts, 0) AS in_hosts,
+         coalesce(o.self_edges, 0) AS self_edges
+  FROM outs o FULL OUTER JOIN ins i ON i.host = o.host)
+SELECT f.host,
+       f.out_edges, f.in_edges, f.out_hosts, f.in_hosts,
+       CASE WHEN f.out_edges > 0 THEN round(f.self_edges / f.out_edges, 4) ELSE 0.0 END AS self_frac,
+       CASE WHEN f.out_hosts > 0 THEN round(coalesce(r.n_recip, 0) / f.out_hosts, 4) ELSE 0.0 END AS recip_frac
+FROM feats f LEFT JOIN recip r ON r.src = f.host
+ORDER BY f.host"""
+
+
+@q("host_link_features", _hlf_sql())
+def q_host_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host web-graph spam/quality features (out/in edge and
+    distinct-counterparty counts, self-link fraction, reciprocity
+    fraction) over the crawl model's link graph — the RefinedWeb-style
+    domain gating signals.  graph.host_link_features contracts the page
+    graph to weighted host edges in ONE shuffle; the oracle re-derives
+    the same features from the model links CTE."""
+    from ..corpus import host_id_for_doc, _doc_count, LINK_COEFFS
+    from ..operators.graph import host_link_features
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    host = lambda c: F.concat(
+        F.lit("h"), host_id_for_doc(c).cast("string"), F.lit(".example.com")
+    )
+    edges = docs.select(
+        host(d).alias("src_host"),
+        F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("t"),
+    ).select("src_host", host(F.col("t")).alias("dst_host"))
+    return host_link_features(edges).orderBy("host")
+
+
+# =========================================================================
+# Writing-script profile (textstats.script_profile)
+# =========================================================================
+# The synthetic corpus is pure ASCII, so the query derives a
+# deterministic multiscript variant in-flight (vowels remapped per
+# doc_id residue — the SAME translate() on both engines) and profiles
+# that; the operator itself is corpus-agnostic.
+
+_SCRIPT_VARIANT_CASES = [
+    (1, "aeiou", "αεηιυ"),  # Greek vowels
+    (2, "aeiou", "аеиоу"),  # Cyrillic vowels
+    (3, "ot", "おた"),       # Hiragana on two frequent consonant letters
+]
+
+
+def _script_detect_sql() -> str:
+    from ..operators.textstats import DEFAULT_SCRIPTS
+
+    var = "CASE " + " ".join(
+        f"WHEN doc_id % 4 = {r} THEN translate(text, '{f}', '{t}')"
+        for r, f, t in _SCRIPT_VARIANT_CASES
+    ) + " ELSE text END"
+    counts = ",\n         ".join(
+        f"(length(t) - length(translate(t, '{alpha}', '')))::BIGINT AS n_{name}"
+        for name, alpha in sorted(DEFAULT_SCRIPTS.items())
+    )
+    names = sorted(DEFAULT_SCRIPTS)
+    structs = ", ".join(
+        f"{{'n': n_{name}, 's': '{name}'}}" for name in names
+    )
+    total = " + ".join(f"n_{name}" for name in names)
+    cols = ", ".join(f"n_{name}" for name in names)
+    return f"""WITH v AS (SELECT doc_id, {var} AS t FROM documents),
+c AS (SELECT doc_id,
+         {counts}
+      FROM v),
+b AS (SELECT doc_id, {cols}, {total} AS tot,
+             (SELECT max(p) FROM (SELECT unnest([{structs}]) AS p)) AS bp
+      FROM c)
+SELECT doc_id, {cols},
+       CASE WHEN bp.n > 0 THEN bp.s ELSE 'none' END AS script,
+       CASE WHEN tot > 0 THEN round(bp.n / tot, 4) ELSE 0.0 END AS confidence
+FROM b ORDER BY doc_id"""
+
+
+@q("script_detect", _script_detect_sql())
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script histogram + dominant script per document
+    (textstats.script_profile) over a deterministic multiscript variant
+    of the corpus — the CLD3-style script prior upstream of marker-word
+    language ID.  Pure map, zero shuffles, translate()-based counting
+    (no regex, no explode); identical translate arithmetic on both
+    engines."""
+    from ..operators.textstats import script_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    for r, src, dst in _SCRIPT_VARIANT_CASES:
+        t = F.when(F.col("doc_id") % 4 == r, F.translate(F.col("text"), src, dst)).otherwise(t)
+    variant = docs.select("doc_id", t.alias("text"))
+    return script_profile(variant).orderBy("doc_id")
+
+
+# =========================================================================
+# Content-defined chunking dedup (dedup.cdc_chunk_stats)
+# =========================================================================
+
+def _cdc_sql(window: int = 8, base: int = 31, modulus: int = 1 << 20, divisor: int = 64) -> str:
+    pows = [pow(base, j, modulus) for j in range(window)]
+    return f"""WITH c0 AS (SELECT doc_id, text AS t FROM documents WHERE length(text) > 0),
+c1 AS (SELECT doc_id, t,
+       list_transform(range(1, length(t)+1), i -> ord(t[i:i])::BIGINT) AS codes
+       FROM c0),
+c2 AS (SELECT doc_id, t,
+       list_filter(range({window}, greatest(length(t), {window})), i ->
+         i < length(t) AND
+         (list_sum(list_transform(range(0, {window}), j -> codes[i-j] * ({pows})[j+1])))::BIGINT % {modulus} % {divisor} = 0) AS cuts
+       FROM c1),
+chunks AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(cuts)+2), k ->
+     t[(CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END) + 1 :
+       CASE WHEN k <= len(cuts) THEN cuts[k] ELSE length(t) END])) AS chunk
+  FROM c2),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       sum(CASE WHEN f.nd >= 2 THEN length(c.chunk) ELSE 0 END)::BIGINT AS shared_chars
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+@q("cdc_chunks", _cdc_sql())
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (positional Rabin-style rolling hash,
+    window 8 / divisor 64) over the documents table with cross-document
+    chunk dedup stats — the storage-level dedup family member
+    (WARC/snapshot stores) beside the token-level ones.  Pure-map
+    chunking, one content-keyed shuffle for the dedup stat; identical
+    integer arithmetic on both engines."""
+    from ..operators.dedup import cdc_chunk_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs).orderBy("doc_id")

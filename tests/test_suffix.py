@@ -123,6 +123,34 @@ def test_exact_substr_dups_python_parity(spark, seed):
     assert all(d != 15 for d, _, _ in got)
 
 
+def test_suffix_array_pathological_repetition(spark):
+    """Worst case for prefix doubling: near-unary strings (massive rank
+    ties that survive many rounds, LCPs ~ doc length) and full-document
+    duplicates (ties that NEVER resolve and fall to the (doc,pos)
+    tie-break).  Also exercises early-stop never firing before the
+    final round."""
+    docs = [
+        (0, " ".join(["a"] * 30)),
+        (1, " ".join(["a"] * 30)),          # exact duplicate of 0
+        (2, " ".join(["a"] * 17 + ["b"] + ["a"] * 12)),
+        (3, "b " + " ".join(["a"] * 25)),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING").repartition(3)
+    got = sorted((r.doc_id, r.pos, r.sa_rank) for r in suffix_array(df).collect())
+    want = sorted(_py_suffix_array(docs))
+    assert got == want
+    dups = sorted(
+        (r.doc_id, r.n_dup_starts, r.max_dup_len)
+        for r in exact_substr_dups(df, min_len=8).collect()
+    )
+    want_dups = _py_exact_dups(docs, min_len=8)
+    assert dups == want_dups
+    # the full-duplicate pair must be reported with a 30-token span
+    by_doc = dict((d, (n, m)) for d, n, m in dups)
+    assert by_doc[0][1] == 30 and by_doc[1][1] == 30
+
+
 def test_lcp_edges_match_direct_compare(spark):
     docs = _mk_corpus(42, 10)
     df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
