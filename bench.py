@@ -821,9 +821,159 @@ DATA cost is what grows with sf, and 32 local cores absorb it.
     )
 
 
+def suffix_worker(cores: int, sf_dir: str) -> None:
+    """Time the staged suffix-array pipeline at one parallelism level
+    (fresh JVM per level, like frontier_worker): best-of-2 wall for the
+    full exact_substr_dups pipeline (suffix array + LCP + islands)."""
+    from distributed_crawler_spark.operators.suffix import exact_substr_dups
+    from distributed_crawler_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"suffix-bench-{cores}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    exact_substr_dups(docs.limit(200)).count()  # warm JIT/codegen paths
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = exact_substr_dups(docs).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    print(
+        "SUFFIX_RESULT "
+        + json.dumps({"cores": cores, "sec": round(best, 3), "rows": n})
+    )
+
+
+def _suffix_subprocess(cores: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--suffix-run",
+            str(cores),
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("SUFFIX_RESULT ")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:])
+        raise RuntimeError(f"suffix worker at {cores} cores failed")
+    return json.loads(line[-1].removeprefix("SUFFIX_RESULT "))
+
+
+def run_suffix() -> None:
+    """Scale evidence for the r07-staged generalized suffix array
+    (operators/suffix.py): corpus-size scaling (sf0.1 vs the 4x analytic
+    replica) at local[CPUS], plus the north-rule two-parallelism-level
+    scaling (local[8] vs local[32] on the 4x corpus, fresh JVM each) on
+    exact_substr_dups — the full pipeline: prefix-doubling suffix array,
+    rank-adjacent LCP, island segmentation.  Writes BENCH/SUFFIX.md."""
+    from distributed_crawler_spark.corpus import replicate_sf_dir
+    from distributed_crawler_spark.operators.suffix import (
+        exact_substr_dups,
+        suffix_array,
+    )
+    from distributed_crawler_spark.session import get_spark
+
+    calib0 = _calibrate()
+    spark = get_spark(cores=CPUS, app_name="bench-suffix")
+    reps = {}
+    for k in (4, 16):
+        dk = f"/tmp/dcs_scaled_{k}x_" + os.path.basename(SF_DIR.rstrip("/"))
+        if not os.path.exists(os.path.join(dk, "documents.parquet", "_SUCCESS")):
+            replicate_sf_dir(spark, SF_DIR, dk, k=k)
+        reps[k] = dk
+
+    sizes = {}
+    for label, d in (("sf0.1", SF_DIR), ("4x", reps[4]), ("16x", reps[16])):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_sfx = docs.selectExpr(
+            "sum(size(split(text, ' '))) AS n"
+        ).collect()[0][0]
+        t_sa = t_full = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            suffix_array(docs).count()
+            dt = time.monotonic() - t0
+            t_sa = dt if t_sa is None else min(t_sa, dt)
+        for _ in range(2):
+            t0 = time.monotonic()
+            nd = exact_substr_dups(docs).count()
+            dt = time.monotonic() - t0
+            t_full = dt if t_full is None else min(t_full, dt)
+        sizes[label] = {
+            "n_suffixes": int(n_sfx),
+            "t_sa": round(t_sa, 3),
+            "t_full": round(t_full, 3),
+            "dup_docs": nd,
+        }
+    spark.stop()
+
+    lo, hi = 8, CPUS
+    r_lo = _suffix_subprocess(lo, reps[16])
+    r_hi = _suffix_subprocess(hi, reps[16])
+    eff = round((r_lo["sec"] / r_hi["sec"]) / (hi / lo), 3)
+    calib1 = _calibrate()
+
+    ratio4 = round(sizes["4x"]["t_full"] / sizes["sf0.1"]["t_full"], 2)
+    ratio16 = round(sizes["16x"]["t_full"] / sizes["sf0.1"]["t_full"], 2)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SUFFIX.md", "w") as f:
+        f.write(
+            f"""# BENCH — generalized suffix array / exact substring dedup (r07-staged)
+
+`operators/suffix.py` (prefix-doubling suffix array -> rank-adjacent
+LCP -> cross-doc duplicate islands), timed best-of-2 on this box
+(calib_s {min(calib0, calib1):.3f} — see bench.py on host epochs).
+Per doubling round the pipeline is ONE range shuffle (global_dense_rank:
+boundary-merged partition summaries replace the textbook
+distinct + rank + join-back three-shuffle form) and the early-stop
+check is free (the rank's driver merge returns the distinct count).
+
+## Corpus-size scaling (local[{CPUS}])
+
+| corpus | suffixes | suffix array s | full exact_substr_dups s | dup docs | ratio vs sf0.1 |
+|---|---|---|---|---|---|
+| sf0.1 | {sizes['sf0.1']['n_suffixes']:,} | {sizes['sf0.1']['t_sa']} | {sizes['sf0.1']['t_full']} | {sizes['sf0.1']['dup_docs']} | 1.0 |
+| 4x | {sizes['4x']['n_suffixes']:,} | {sizes['4x']['t_sa']} | {sizes['4x']['t_full']} | {sizes['4x']['dup_docs']} | {ratio4} |
+| 16x | {sizes['16x']['n_suffixes']:,} | {sizes['16x']['t_sa']} | {sizes['16x']['t_full']} | {sizes['16x']['dup_docs']} | {ratio16} |
+
+Expected at-most-linear (the doubling adds one round only when max doc
+LENGTH grows, and analytic replicas keep doc length fixed, so total
+work is O(n log maxlen) with maxlen constant); ratios below k mean
+fixed per-round scheduling latency still dominates at the smaller
+sizes — the marginal cost per suffix is what the 4x->16x spread
+measures.
+
+## Parallelism scaling (16x corpus = {sizes['16x']['n_suffixes']:,} suffixes, fresh JVM per level)
+
+| cores | wall s | rows |
+|---|---|---|
+| local[{lo}] | {r_lo['sec']} | {r_lo['rows']} |
+| local[{hi}] | {r_hi['sec']} | {r_hi['rows']} |
+
+Scaling efficiency {lo}->{hi} cores: **{eff}** (t_lo/t_hi /
+({hi}/{lo})).  The pipeline is sort/join/aggregate rounds over
+(doc,pos,long) triples — pure shuffle parallelism, no driver-side
+loops over data; per-round stage barriers cap efficiency when rounds
+are sub-second, so the efficiency number is measured at the largest
+corpus this box holds comfortably.
+"""
+        )
+    print(json.dumps({"sizes": sizes, "lo": r_lo, "hi": r_hi, "eff": eff}))
+
+
 if __name__ == "__main__":
     if "--frontier-run" in sys.argv:
         frontier_worker(int(sys.argv[sys.argv.index("--frontier-run") + 1]))
+    elif "--suffix-run" in sys.argv:
+        i = sys.argv.index("--suffix-run")
+        suffix_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--suffix" in sys.argv:
+        run_suffix()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--skew" in sys.argv:

@@ -92,16 +92,63 @@ def global_row_number(
     ).drop("__one")
 
 
-def _dense_rank_join(
+def global_dense_rank(
     df: DataFrame, key_cols: list[str], out: str, partitions: int = 32
-) -> DataFrame:
-    """Dense rank of the key tuple, attached back to every row: rank the
-    DISTINCT keys with global_row_number (unique by construction), then
-    one hash join back.  The distinct + join pair is the standard
-    distributed dense-rank; both shuffles carry key tuples of longs."""
-    keys = df.select(*key_cols).distinct()
-    ranked = global_row_number(keys, key_cols, out, partitions)
-    return df.join(ranked, key_cols)
+) -> tuple[DataFrame, int]:
+    """Dense rank of the key tuple over ALL rows in ONE range shuffle
+    (vs the textbook distinct + rank + join-back, which is three):
+    range-partition + sort within partitions, per-partition new-key
+    flags and running flag counts, then a driver-side merge of the
+    #partitions boundary summaries (flag total + first/last key per
+    partition) that both offsets each partition and cancels the
+    double-counted run start when one key's run crosses a partition
+    boundary (RangePartitioner may split equal keys).  Returns
+    (ranked_df, n_distinct) — the merge computes the global distinct
+    count as a by-product, which the prefix-doubling loop uses as its
+    early-stop WITHOUT an extra job.
+
+    The returned frame is eagerly localCheckpoint'ed (it is scanned
+    twice: once for the summaries, once downstream)."""
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+    base = df.repartitionByRange(partitions, *key_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    prev = F.lag(key_struct).over(w)
+    base = base.withColumn(
+        "__flag",
+        F.when(prev.isNull() | (prev != key_struct), 1).otherwise(0),
+    )
+    base = base.withColumn(
+        "__cum",
+        F.sum("__flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).localCheckpoint(eager=True)
+    stats = (
+        base.groupBy("__pid")
+        .agg(
+            F.sum("__flag").alias("fl"),
+            F.min(key_struct).alias("fk"),
+            F.max(key_struct).alias("lk"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: r["__pid"])
+    offsets, offset, prev_last = [], 0, None
+    for r in stats:
+        corr = 1 if prev_last is not None and tuple(r["fk"]) == prev_last else 0
+        offsets.append((r["__pid"], offset, corr))
+        offset += r["fl"] - corr
+        prev_last = tuple(r["lk"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid INT, __off LONG, __corr INT")
+    ranked = (
+        base.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out, (F.col("__off") + F.col("__cum") - F.col("__corr")).cast("long")
+        )
+        .drop("__pid", "__flag", "__cum", "__off", "__corr")
+    )
+    return ranked, offset
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -125,10 +172,14 @@ def suffix_array(
     lexicographic order of ALL suffixes (token-wise comparison, ties
     between identical suffixes broken by (doc_id, pos)).
 
-    Prefix doubling with per-round eager localCheckpoint (the hits_int
-    pattern — per-round state is one (doc,pos,long) frame and the
-    lineage never grows), early-stopping as soon as every suffix holds
-    a distinct rank."""
+    Prefix doubling with the ONE-shuffle dense rank (global_dense_rank:
+    range-partition + boundary-merged partition summaries, vs the
+    textbook distinct + rank + join-back at three shuffles a round);
+    per-round state is checkpointed inside the rank (the hits_int
+    pattern — one (doc,pos,long) frame, lineage never grows).  The
+    rank's driver-side merge yields the global distinct count as a
+    by-product, so the loop early-stops the moment every suffix holds a
+    distinct rank WITHOUT any extra job."""
     toks = _tokens(docs, id_col, text_col)
     maxlen = toks.agg(F.max(F.size("toks"))).collect()[0][0]
     if maxlen is None:
@@ -138,26 +189,19 @@ def suffix_array(
     s = toks.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    cur = (
-        _dense_rank_join(s, ["tok"], "rk", partitions)
-        .select("doc_id", "pos", "rk")
-        .localCheckpoint(eager=True)
-    )
-    n = cur.count()
+    cur, n_distinct = global_dense_rank(s, ["tok"], "rk", partitions)
+    cur = cur.select("doc_id", "pos", "rk")
+    n_total = cur.count()  # one scan of the checkpointed frame
     k = 1
-    while k < maxlen:
-        if cur.agg(F.max("rk")).collect()[0][0] == n:
-            break  # all ranks distinct — the order is already total
+    while k < maxlen and n_distinct < n_total:
         right = cur.select(
             "doc_id", (F.col("pos") - k).alias("pos"), F.col("rk").alias("rk2")
         )
         pair = cur.join(right, ["doc_id", "pos"], "left").na.fill({"rk2": 0})
-        nxt = (
-            _dense_rank_join(pair, ["rk", "rk2"], "nrk", partitions)
-            .select("doc_id", "pos", F.col("nrk").alias("rk"))
-            .localCheckpoint(eager=True)
+        cur, n_distinct = global_dense_rank(
+            pair, ["rk", "rk2"], "nrk", partitions
         )
-        cur = nxt
+        cur = cur.select("doc_id", "pos", F.col("nrk").alias("rk"))
         k *= 2
     return global_row_number(
         cur, ["rk", "doc_id", "pos"], "sa_rank", partitions
@@ -229,18 +273,41 @@ def exact_substr_dups(
 
     Scale shape after the suffix array: the strong-edge frame (adjacent
     LCP >= min_len) is OUTPUT-bounded — proportional to duplicated
-    positions, not corpus size — and every step over it (member union,
-    island prefix-sum, cross-doc gate) shuffles only that small frame
-    plus one (sa_rank -> doc_id) join back to the array."""
-    sa = suffix_array(docs, id_col, text_col, partitions)
-    sa = sa.localCheckpoint(eager=True)  # reused by edges AND the doc join
+    positions, not corpus size — and every step over it (member
+    explode, island prefix-sum, cross-doc gate) shuffles only that
+    small frame plus one (sa_rank -> doc_id) join back to the array."""
+    spans = _dup_member_spans(docs, min_len, id_col, text_col, partitions)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
+            F.max("dup_len").cast("long").alias("max_dup_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_member_spans(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+    partitions: int,
+) -> DataFrame:
+    """Internal: (doc_id, pos, dup_len) for every suffix in a CROSS-DOC
+    duplicate island — the shared middle of exact_substr_dups and
+    remove_exact_spans (identical semantics, per-position output)."""
+    sa = suffix_array(docs, id_col, text_col, partitions).localCheckpoint(
+        eager=True
+    )
     edges = lcp_edges(docs, sa, id_col, text_col, partitions)
-    strong = edges.filter(F.col("lcp") >= min_len).select("sa_rank", "lcp")
-    strong = strong.localCheckpoint(eager=True)
-    # each strong edge (r, r+1) contributes BOTH endpoints; explode
-    # instead of a self-union (sidesteps a Catalyst constraint-rewrite
-    # crash on self-unions of checkpointed frames, and is one fewer
-    # scan anyway)
+    strong = edges.filter(F.col("lcp") >= min_len).select(
+        "sa_rank", "lcp"
+    ).localCheckpoint(eager=True)
+    # each strong edge (r, r+1) contributes BOTH endpoints; explode, NOT
+    # a self-union — a self-union of the checkpointed frame trips a
+    # Catalyst constraint-rewrite crash (UnionBase.rewriteConstraints,
+    # "key not found: sa_rank"), and the explode is one fewer scan
     members = (
         strong.select(
             F.explode(
@@ -259,19 +326,77 @@ def exact_substr_dups(
     members = prefix_sum(
         members, ["sa_rank"], "__flag", "island", partitions
     ).drop("__cont", "__flag")
-    withdoc = members.join(sa.select("sa_rank", "doc_id"), "sa_rank")
+    withdoc = members.join(sa.select("sa_rank", "doc_id", "pos"), "sa_rank")
     xdoc = (
         withdoc.groupBy("island")
         .agg(F.countDistinct("doc_id").alias("__nd"))
         .filter(F.col("__nd") >= 2)
         .select("island")
     )
+    return withdoc.join(xdoc, "island").select("doc_id", "pos", "dup_len")
+
+
+def remove_exact_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 32,
+) -> DataFrame:
+    """The ACTION for exact_substr_dups — Lee et al. 2022's ExactSubstr
+    removal, exactly: delete from every document each token span that
+    starts a >= min_len-token cross-document duplicate (span = [pos,
+    pos + dup_len), overlaps unioned), and rebuild the residual text in
+    original token order.  The exact counterpart of
+    dedup.remove_dup_spans (which fingerprint-samples the same
+    contract probabilistically).
+
+    Output: every input doc as (doc_id, n_tokens, n_removed,
+    text_dedup) — docs without duplicated spans pass through with
+    n_removed = 0; a fully-covered doc comes back with empty
+    text_dedup (the caller's length filter drops it, same convention
+    as remove_dup_spans).
+
+    Scale shape: duplicated-position spans are OUTPUT-bounded; the
+    coverage explode produces at most one row per COVERED token (never
+    more than corpus tokens, and only for docs that contain
+    duplicates); the rebuild is one anti-join from the exploded token
+    table against covered positions, then one per-doc ordered
+    aggregation — shuffles keyed by (doc_id) / (doc_id, pos) only."""
+    spans = _dup_member_spans(docs, min_len, id_col, text_col, partitions)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("dup_len") - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = _tokens(docs, id_col, text_col)
+    exploded = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = exploded.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
     return (
-        withdoc.join(xdoc, "island")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
-            F.max("dup_len").cast("long").alias("max_dup_len"),
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
         )
         .orderBy("doc_id")
     )

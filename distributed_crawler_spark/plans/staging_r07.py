@@ -83,7 +83,10 @@ def q_suffix_array_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_DUPS_SQL = f"""WITH {_SA_CTES},
+# island CTE chain shared by exact_substr_dups and exact_substr_removal:
+# direct suffix sort -> adjacent LCP -> >=8-token runs -> cross-doc
+# islands -> mspans = (doc_id, pos, dup_len) member spans
+_ISLAND_CTES = f"""{_SA_CTES},
 edges AS (
   SELECT a.sa_rank,
          list_slice(a.toks, a.pos, len(a.toks)) AS ta,
@@ -102,10 +105,13 @@ flg AS (SELECT m.sa_rank, m.dup_len,
         CASE WHEN EXISTS (SELECT 1 FROM strong st WHERE st.sa_rank = m.sa_rank - 1) THEN 0 ELSE 1 END AS strt
         FROM mem m),
 isl AS (SELECT sa_rank, dup_len, sum(strt) OVER (ORDER BY sa_rank) AS island FROM flg),
-wd AS (SELECT i.*, s.doc_id FROM isl i JOIN sa s USING (sa_rank)),
-xd AS (SELECT island FROM wd GROUP BY island HAVING count(DISTINCT doc_id) >= 2)
+wd AS (SELECT i.*, s.doc_id, s.pos FROM isl i JOIN sa s USING (sa_rank)),
+xd AS (SELECT island FROM wd GROUP BY island HAVING count(DISTINCT doc_id) >= 2),
+mspans AS (SELECT doc_id, pos, dup_len FROM wd WHERE island IN (SELECT island FROM xd))"""
+
+_EXACT_DUPS_SQL = f"""WITH {_ISLAND_CTES}
 SELECT doc_id, count(*)::BIGINT AS n_dup_starts, max(dup_len)::BIGINT AS max_dup_len
-FROM wd WHERE island IN (SELECT island FROM xd)
+FROM mspans
 GROUP BY doc_id ORDER BY doc_id"""
 
 
@@ -122,6 +128,36 @@ def q_exact_substr_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return exact_substr_dups(docs, min_len=8)
+
+
+_EXACT_REMOVAL_SQL = f"""WITH {_ISLAND_CTES},
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + dup_len)) AS p FROM mspans),
+toks2 AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS p, toks FROM t),
+kept AS (SELECT t2.doc_id, t2.p, t2.toks[t2.p] AS tok
+         FROM toks2 t2
+         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t2.doc_id AND c.p = t2.p)),
+reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS text_dedup
+        FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+SELECT b.doc_id, b.n_tokens,
+       (b.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id"""
+
+
+@q("exact_substr_removal", _EXACT_REMOVAL_SQL)
+def q_exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION for exact_substr_dups (suffix.remove_exact_spans):
+    delete every >= 8-token cross-document duplicated span (overlaps
+    unioned) and rebuild the residual text in token order — ExactSubstr
+    removal per Lee et al. 2022, the exact twin of the probabilistic
+    dedup_remove_spans.  Oracle replays the same island spans, coverage
+    union, and ordered rebuild in SQL."""
+    from ..operators.suffix import remove_exact_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_exact_spans(docs, min_len=8)
 
 
 # =========================================================================
@@ -368,6 +404,38 @@ SELECT c.doc_id,
        sum(CASE WHEN f.nd >= 2 THEN length(c.chunk) ELSE 0 END)::BIGINT AS shared_chars
 FROM chunks c JOIN freq f USING (chunk)
 GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+# =========================================================================
+# Index capacity planning (search.postings_gamma_size)
+# =========================================================================
+
+_GAMMA_SQL = """WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+p AS (SELECT DISTINCT doc_id, term FROM toks),
+g AS (SELECT term, doc_id,
+      coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), doc_id + 1) AS gap
+      FROM p),
+b AS (SELECT term, count(*) AS df, sum(2*length(printf('%b', gap)) - 1) AS bits FROM g GROUP BY term)
+SELECT term, df::BIGINT AS df, bits::BIGINT AS gamma_bits,
+       round(bits / df, 4) AS bits_per_posting
+FROM b ORDER BY gamma_bits DESC, term LIMIT 50"""
+
+
+@q("index_size_plan", _GAMMA_SQL)
+def q_index_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term Elias-gamma postings size (gap-encoded doc ids, exact
+    bit-length arithmetic — no float log2), top 50 terms by compressed
+    bits: the index capacity-planning query (Managing Gigabytes
+    arithmetic) for sizing a sharded index and spotting stopword-class
+    terms.  One postings shuffle + one term-partitioned window."""
+    from ..operators.search import postings_gamma_size
+
+    docs = _read(spark, sf_dir, "documents")
+    return postings_gamma_size(docs, topk=50)
 
 
 @q("cdc_chunks", _cdc_sql())

@@ -11,9 +11,11 @@ from pyspark.sql import functions as F
 
 from distributed_crawler_spark.operators.suffix import (
     exact_substr_dups,
+    global_dense_rank,
     global_row_number,
     lcp_edges,
     prefix_sum,
+    remove_exact_spans,
     suffix_array,
 )
 
@@ -94,6 +96,84 @@ def _py_exact_dups(docs, min_len=8):
             cnt, mx = out.get(d, (0, 0))
             out[d] = (cnt + 1, max(mx, members[r]))
     return sorted((d, c, m) for d, (c, m) in out.items())
+
+
+def _py_member_spans(docs, min_len=8):
+    """(doc, pos, dup_len) members of cross-doc islands — the shared
+    middle of the dups report and the removal action."""
+    sa = []
+    for d, text in docs:
+        toks = text.split(" ")
+        for p in range(1, len(toks) + 1):
+            sa.append((tuple(toks[p - 1 :]), d, p))
+    sa.sort()
+    lcp = []
+    for i in range(len(sa) - 1):
+        a, b = sa[i][0], sa[i + 1][0]
+        m = min(len(a), len(b))
+        j = 0
+        while j < m and a[j] == b[j]:
+            j += 1
+        lcp.append(j)
+    members = {}
+    for i, v in enumerate(lcp):
+        if v >= min_len:
+            members[i] = max(members.get(i, 0), v)
+            members[i + 1] = max(members.get(i + 1, 0), v)
+    spans = []
+    ranks = sorted(members)
+    island = []
+    islands = []
+    for r in ranks:
+        if island and r == island[-1] + 1 and lcp[r - 1] >= min_len:
+            island.append(r)
+        else:
+            if island:
+                islands.append(island)
+            island = [r]
+    if island:
+        islands.append(island)
+    for isl in islands:
+        if len({sa[r][1] for r in isl}) < 2:
+            continue
+        spans += [(sa[r][1], sa[r][2], members[r]) for r in isl]
+    return spans
+
+
+def _py_removal(docs, min_len=8):
+    spans = _py_member_spans(docs, min_len)
+    cov = {}
+    for d, pos, ln in spans:
+        cov.setdefault(d, set()).update(range(pos, pos + ln))
+    out = []
+    for d, text in docs:
+        if not text:
+            continue
+        toks = text.split(" ")
+        covered = cov.get(d, set())
+        kept = [t for i, t in enumerate(toks, start=1) if i not in covered]
+        out.append((d, len(toks), len(toks) - len(kept), " ".join(kept)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [13, 14])
+def test_remove_exact_spans_python_parity(spark, seed):
+    docs = _mk_corpus(seed, 14)
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING").repartition(6)
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_removed, r.text_dedup)
+        for r in remove_exact_spans(df, min_len=8).collect()
+    )
+    want = _py_removal(docs, min_len=8)
+    assert got == want
+    # the planted span must actually be gone from every affected doc
+    removed = [r for r in got if r[2] > 0]
+    assert removed, "no spans removed despite planted duplicates"
+    # untouched docs pass through byte-identical
+    by_doc = dict((d, t) for d, t in docs)
+    for d, n, nr, t in got:
+        if nr == 0:
+            assert t == by_doc[d]
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -186,6 +266,24 @@ def test_prefix_sum_and_row_number(spark):
     }
     for i, (k, _) in enumerate(sorted(rows)):
         assert rn[k] == i + 1
+
+
+@pytest.mark.parametrize("seed,nkeys", [(1, 3), (2, 50)])
+def test_global_dense_rank_vs_reference(spark, seed, nkeys):
+    """One-shuffle dense rank vs a python reference, with FEW distinct
+    keys over MANY partitions so key runs are guaranteed to cross range
+    partition boundaries (the double-start correction path)."""
+    rng = random.Random(seed)
+    rows = [(rng.randrange(nkeys), rng.randrange(nkeys), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG, rid LONG").repartition(11)
+    ranked, n_distinct = global_dense_rank(df, ["a", "b"], "rk", partitions=8)
+    got = {(r.a, r.b, r.rid): r.rk for r in ranked.collect()}
+    keys = sorted({(a, b) for a, b, _ in rows})
+    want_rank = {k: i + 1 for i, k in enumerate(keys)}
+    assert n_distinct == len(keys)
+    assert len(got) == len(rows)
+    for (a, b, rid), rk in got.items():
+        assert rk == want_rank[(a, b)], (a, b, rid)
 
 
 def test_sa_oracle_string_order_precondition(spark, sf_dir):
