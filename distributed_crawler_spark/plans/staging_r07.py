@@ -407,6 +407,59 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""
 
 
 # =========================================================================
+# Exact global quantiles + exact heavy hitters (operators/stats.py)
+# =========================================================================
+
+_QUANTILES_SQL = """WITH r AS (
+  SELECT value AS v, event_id AS t,
+         row_number() OVER (ORDER BY value, event_id) AS rn
+  FROM events),
+n AS (SELECT count(*) AS n FROM events),
+q AS (SELECT unnest([500, 900, 950, 990]) AS permille),
+tg AS (SELECT q.permille::INT AS permille,
+              greatest(1, (q.permille * n.n + 999) // 1000) AS rn
+       FROM q, n)
+SELECT tg.permille, r.v AS value
+FROM tg JOIN r USING (rn) ORDER BY tg.permille"""
+
+
+@q("exact_quantiles", _QUANTILES_SQL)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p95/p99 of the events value column (fetch-latency
+    analog) — stats.exact_quantiles: rank selection over a distributed
+    row number (range-partition + broadcast offsets, never a
+    single-partition sort), integer permille rank arithmetic so both
+    engines pick the identical existing element; the monitoring
+    contract approxQuantile's epsilon can't serve."""
+    from ..operators.stats import exact_quantiles
+
+    events = _read(spark, sf_dir, "events")
+    return exact_quantiles(events, "value", "event_id")
+
+
+_HEAVY_SQL = """WITH n AS (SELECT count(*) AS n FROM events)
+SELECT user_id, count(*)::BIGINT AS cnt
+FROM events, n
+GROUP BY user_id, n.n
+HAVING count(*) * 20 > n.n
+ORDER BY cnt DESC, user_id"""
+
+
+@q("heavy_hitters", _HEAVY_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count > n/20) over the events user column —
+    stats.heavy_hitters: bounded-memory Misra-Gries candidate sweep
+    (mapInPandas, k counters/partition, guaranteed-superset bound) then
+    broadcast-semi-join exact verification; the per-host/per-user skew
+    detector a crawl monitor runs continuously.  Output exact, so the
+    oracle is the plain SQL threshold query."""
+    from ..operators.stats import heavy_hitters
+
+    events = _read(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", k=20)
+
+
+# =========================================================================
 # Index capacity planning (search.postings_gamma_size)
 # =========================================================================
 
