@@ -615,3 +615,66 @@ def host_link_features(
             F.round(z("n_recip") / z("out_hosts"), 4),
         ).otherwise(F.lit(0.0)).alias("recip_frac"),
     )
+
+
+def related_hosts(
+    edges: DataFrame,
+    topk: int = 3,
+    max_out: int = 8,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+) -> DataFrame:
+    """Related-hosts by CO-CITATION (Dean & Henzinger WWW'99 "related
+    pages", contracted to hosts): two hosts are related when many
+    sources link to BOTH — the "similar sites" signal that needs no
+    content at all, only the link graph; complements content-side
+    similarity (minhash/SemDeDup) with a pure-graph view.
+
+    Scale discipline: raw co-citation is quadratic in source
+    out-degree (a source linking d hosts certifies d^2 pairs), so each
+    source's neighbor list is first CAPPED to its ``max_out`` strongest
+    edges (by link count, tie dst asc — row_number over a per-source
+    window, deterministic), the standard production cap that bounds
+    the pair explosion at #sources * max_out^2 regardless of hub size.
+    After the cap: one self-join on the source key, one (a, b) count
+    aggregate, one per-host top-k window — all hash-partitioned on
+    host-sized keys.
+
+    Output: (host, related, cocitations, rank) — topk related hosts
+    per host by common-source count (ties: smaller host name first)."""
+    from pyspark.sql import Window
+
+    hg = (
+        edges.groupBy(
+            F.col(src_host_col).alias("src"), F.col(dst_host_col).alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    w_cap = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    capped = (
+        hg.withColumn("__r", F.row_number().over(w_cap))
+        .filter(F.col("__r") <= max_out)
+        .select("src", "dst")
+    )
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), "src")
+        .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    cocite = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cocitations")
+    )
+    w_top = Window.partitionBy("a").orderBy(F.col("cocitations").desc(), "b")
+    return (
+        cocite.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("a").alias("host"),
+            F.col("b").alias("related"),
+            "cocitations",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("host", "rank")
+    )

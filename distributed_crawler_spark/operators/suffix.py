@@ -107,8 +107,10 @@ def global_dense_rank(
     count as a by-product, which the prefix-doubling loop uses as its
     early-stop WITHOUT an extra job.
 
-    The returned frame is eagerly localCheckpoint'ed (it is scanned
-    twice: once for the summaries, once downstream)."""
+    Key columns must be NON-NULL (a null key makes the new-key flag
+    comparison null; every caller here ranks tokens or coalesced
+    ranks).  The returned frame is eagerly localCheckpoint'ed (it is
+    scanned twice: once for the summaries, once downstream)."""
     key_struct = F.struct(*[F.col(c) for c in key_cols])
     base = df.repartitionByRange(partitions, *key_cols).withColumn(
         "__pid", F.spark_partition_id()

@@ -315,6 +315,241 @@ def q_host_link_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Related hosts by co-citation (graph.related_hosts)
+# =========================================================================
+
+def _related_hosts_sql(topk: int = 3, max_out: int = 8) -> str:
+    from ..corpus import HOST_MOD, MEGA_LT, MEGA_MOD
+    from ..plans.registry import _MODEL
+
+    dh = (
+        f"'h' || (CASE WHEN l.dst_doc_id % {MEGA_MOD} < {MEGA_LT} THEN 0 "
+        f"ELSE l.dst_doc_id % {HOST_MOD} END) || '.example.com'"
+    )
+    return f"""WITH {_MODEL},
+he AS (
+  SELECT p.host AS src, {dh} AS dst
+  FROM links l JOIN pages p ON p.url = l.src_url
+),
+hg AS (SELECT src, dst, count(*) AS w FROM he GROUP BY src, dst),
+inter AS (SELECT src, dst, w FROM hg WHERE src <> dst),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS r
+    FROM inter) WHERE r <= {max_out}),
+pairs AS (
+  SELECT x.dst AS a, y.dst AS b
+  FROM capped x JOIN capped y USING (src)
+  WHERE x.dst <> y.dst),
+cocite AS (SELECT a, b, count(*)::BIGINT AS cocitations FROM pairs GROUP BY a, b),
+ranked AS (
+  SELECT a, b, cocitations,
+         row_number() OVER (PARTITION BY a ORDER BY cocitations DESC, b) AS rnk
+  FROM cocite)
+SELECT a AS host, b AS related, cocitations, rnk::INT AS rank
+FROM ranked WHERE rnk <= {topk}
+ORDER BY host, rank"""
+
+
+@q("related_hosts", _related_hosts_sql())
+def q_related_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related hosts by co-citation over the crawl model's link graph
+    (graph.related_hosts — Dean & Henzinger related-pages contracted to
+    hosts): sources' neighbor lists capped to the 8 strongest edges
+    (bounding the pair explosion at sources * cap^2 regardless of hub
+    size), then one self-join + count + per-host top-3.  Pure graph
+    similarity — the no-content 'similar sites' signal."""
+    from ..corpus import host_id_for_doc, _doc_count, LINK_COEFFS
+    from ..operators.graph import related_hosts
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    host = lambda c: F.concat(
+        F.lit("h"), host_id_for_doc(c).cast("string"), F.lit(".example.com")
+    )
+    edges = docs.select(
+        host(d).alias("src_host"),
+        F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("t"),
+    ).select("src_host", host(F.col("t")).alias("dst_host"))
+    return related_hosts(edges, topk=3, max_out=8)
+
+
+# =========================================================================
+# Composed per-host quality report (authority x spam features x related)
+# =========================================================================
+
+def _host_report_sql() -> str:
+    """One oracle composing three independently-oracled derivations:
+    weighted host PageRank (unrolled integer CTEs), link spam/quality
+    features, and the top co-cited related host — the per-host table a
+    crawl scheduler and a corpus curator both read."""
+    from ..corpus import HOST_MOD, LINK_COEFFS, MEGA_LT, MEGA_MOD
+
+    scale, num, den = 1_000_000, 85, 100
+    base = (scale * (den - num)) // den
+
+    def h(col: str) -> str:
+        return (
+            f"CASE WHEN {col} % {MEGA_MOD} < {MEGA_LT} THEN 0"
+            f" ELSE {col} % {HOST_MOD} END"
+        )
+
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {h('doc_id')} AS s_host,"
+        f" {h(f'(({a} * doc_id + {b}) % nn.n)')} AS d_host"
+        f" FROM documents, nn"
+        for a, b in LINK_COEFFS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"he AS (\n  SELECT s_host, d_host, count(*) AS w FROM (\n{unions}\n  ) GROUP BY s_host, d_host\n)",
+        f"hosts AS (SELECT DISTINCT {h('doc_id')} AS node FROM documents)",
+        "odeg AS (SELECT s_host, sum(w) AS od FROM he GROUP BY s_host)",
+        f"s0 AS (SELECT node, {scale}::BIGINT AS score FROM hosts)",
+    ]
+    iters = 5
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.d_host AS dst, sum((s.score * e.w) // o.od) AS inc
+  FROM he e JOIN s{i-1} s ON s.node = e.s_host JOIN odeg o ON o.s_host = e.s_host
+  GROUP BY e.d_host
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.node, ({base} + ({num} * coalesce(c.inc, 0)) // {den})::BIGINT AS score
+  FROM s{i-1} s LEFT JOIN c{i} c ON c.dst = s.node
+)"""
+        )
+    ctes += [
+        "inter AS (SELECT s_host, d_host, w FROM he WHERE s_host <> d_host)",
+        """recip AS (
+  SELECT i.s_host, count(*)::BIGINT AS n_recip FROM inter i
+  WHERE EXISTS (SELECT 1 FROM inter b WHERE b.s_host = i.d_host AND b.d_host = i.s_host)
+  GROUP BY i.s_host)""",
+        """outs AS (
+  SELECT s_host AS node, sum(w)::BIGINT AS out_edges,
+         sum(CASE WHEN s_host = d_host THEN w ELSE 0 END)::BIGINT AS self_edges,
+         sum(CASE WHEN s_host <> d_host THEN 1 ELSE 0 END)::BIGINT AS out_hosts
+  FROM he GROUP BY s_host)""",
+        """ins AS (
+  SELECT d_host AS node, sum(w)::BIGINT AS in_edges, count(*)::BIGINT AS in_hosts
+  FROM inter GROUP BY d_host)""",
+        # tie-breaks use the HOST STRING form ('h'||id||'.example.com'),
+        # matching the Spark side, which caps/ranks string-keyed host
+        # frames ('h10...' sorts before 'h2...' as a string)
+        """capped AS (
+  SELECT s_host, d_host FROM (
+    SELECT s_host, d_host,
+           row_number() OVER (PARTITION BY s_host
+                              ORDER BY w DESC, 'h' || d_host || '.example.com') AS r
+    FROM inter) WHERE r <= 8)""",
+        """cocite AS (
+  SELECT x.d_host AS a, y.d_host AS b, count(*)::BIGINT AS cocitations
+  FROM capped x JOIN capped y USING (s_host)
+  WHERE x.d_host <> y.d_host GROUP BY a, b)""",
+        """rel1 AS (
+  SELECT a AS node, b AS top_related_id, cocitations FROM (
+    SELECT a, b, cocitations,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cocitations DESC, 'h' || b || '.example.com') AS r
+    FROM cocite) WHERE r = 1)""",
+        f"""rep AS (
+  SELECT s.node, s.score,
+         coalesce(o.out_edges, 0) AS out_edges,
+         coalesce(i.in_edges, 0) AS in_edges,
+         coalesce(i.in_hosts, 0) AS in_hosts,
+         CASE WHEN coalesce(o.out_edges, 0) > 0
+              THEN round(coalesce(o.self_edges, 0) / o.out_edges, 4) ELSE 0.0 END AS self_frac,
+         CASE WHEN coalesce(o.out_hosts, 0) > 0
+              THEN round(coalesce(r.n_recip, 0) / o.out_hosts, 4) ELSE 0.0 END AS recip_frac,
+         coalesce('h' || r1.top_related_id || '.example.com', '') AS top_related,
+         coalesce(r1.cocitations, 0) AS top_cocitations
+  FROM s{iters} s
+  LEFT JOIN outs o ON o.node = s.node
+  LEFT JOIN ins i ON i.node = s.node
+  LEFT JOIN recip r ON r.s_host = s.node
+  LEFT JOIN rel1 r1 ON r1.node = s.node)""",
+    ]
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT 'h' || node || '.example.com' AS host, score,
+       row_number() OVER (ORDER BY score DESC, 'h' || node || '.example.com') AS authority_rank,
+       out_edges, in_edges, in_hosts, self_frac, recip_frac,
+       top_related, top_cocitations
+FROM rep ORDER BY authority_rank"""
+
+
+@q("host_report", _host_report_sql())
+def q_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-host quality table (crawl-scheduler AND
+    corpus-curation view): weighted integer host PageRank + link
+    spam/quality features + top co-cited related host + a global
+    authority rank — three independently-oracled derivations joined on
+    the host key, with the global rank computed by the distributed
+    row-number (range-partition + broadcast offsets), never a
+    single-partition window.  All-integer/rounded-float columns, so
+    the composition is hash-exact across engines."""
+    from ..corpus import _doc_count, LINK_COEFFS, host_id_for_doc
+    from ..operators.graph import host_link_features, pagerank_int, related_hosts
+    from ..operators.suffix import global_row_number
+
+    docs = _read(spark, sf_dir, "documents")
+    n = F.lit(_doc_count(spark, sf_dir))
+    d = F.col("doc_id")
+    hid = host_id_for_doc(d)
+    host_str = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".example.com"))
+    hedges_id = (
+        docs.select(hid.alias("src"), F.explode(
+            F.array(*[(F.lit(a) * d + F.lit(b)) % n for a, b in LINK_COEFFS])
+        ).alias("t"))
+        .select("src", host_id_for_doc(F.col("t")).alias("dst"))
+    )
+    hosts = docs.select(hid.alias("node")).distinct()
+    pr = pagerank_int(
+        hosts,
+        hedges_id.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")),
+        iters=5,
+        weight="w",
+    ).select(host_str(F.col("node")).alias("host"), "score")
+    sedges = hedges_id.select(
+        host_str(F.col("src")).alias("src_host"),
+        host_str(F.col("dst")).alias("dst_host"),
+    )
+    feats = host_link_features(sedges).select(
+        "host", "out_edges", "in_edges", "in_hosts", "self_frac", "recip_frac"
+    )
+    rel1 = (
+        related_hosts(sedges, topk=1, max_out=8)
+        .select(
+            "host",
+            F.col("related").alias("top_related"),
+            F.col("cocitations").alias("top_cocitations"),
+        )
+    )
+    rep = (
+        pr.join(feats, "host", "left")
+        .join(rel1, "host", "left")
+        .na.fill({"out_edges": 0, "in_edges": 0, "in_hosts": 0,
+                  "top_related": "", "top_cocitations": 0})
+        .na.fill({"self_frac": 0.0, "recip_frac": 0.0})
+    )
+    ranked = global_row_number(
+        rep.withColumn("__neg", -F.col("score")), ["__neg", "host"],
+        "authority_rank",
+    ).drop("__neg")
+    return ranked.select(
+        "host", "score", "authority_rank", "out_edges", "in_edges",
+        "in_hosts", "self_frac", "recip_frac", "top_related",
+        "top_cocitations",
+    ).orderBy("authority_rank")
+
+
+# =========================================================================
 # Writing-script profile (textstats.script_profile)
 # =========================================================================
 # The synthetic corpus is pure ASCII, so the query derives a
