@@ -142,9 +142,48 @@ def parse_robots_txt_udf(bodies: pd.Series) -> pd.Series:
     )
 
 
+def _ordered_segments(s: str, parts: list[str]) -> bool:
+    """First segment anchored at the start, later segments found left to
+    right (greedy earliest match is complete for ordered-substring
+    existence)."""
+    if not s.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for seg in parts[1:]:
+        j = s.find(seg, pos)
+        if j < 0:
+            return False
+        pos = j + len(seg)
+    return True
+
+
+def pattern_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 §2.2.3 rule matching: '*' matches any character
+    sequence, a TRAILING '$' anchors the rule at the end of the path
+    ('$' anywhere else is literal), and an un-anchored rule matches any
+    path it prefixes.  urllib.robotparser has neither special
+    character, so the cross-check tests pin the RFC's own examples
+    (/fish*, /*.php$, ...) instead."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    if not anchored:
+        return _ordered_segments(path, parts)
+    last = parts[-1]
+    if not path.endswith(last):
+        return False
+    trimmed = path[: len(path) - len(last)]
+    if len(parts) == 1:
+        return trimmed == ""
+    return _ordered_segments(trimmed, parts[:-1])
+
+
 def evaluate(path: str, rules: list[dict], user_agent: str = "*") -> bool:
-    """True = allowed. Longest matching prefix wins; allow wins ties;
-    no match ⇒ allow (utils.py:64-66 default)."""
+    """True = allowed. Most specific match wins (longest RULE string,
+    the RFC 9309 / Googlebot measure — identical to longest-prefix for
+    wildcard-free rules); allow wins ties; no match ⇒ allow
+    (utils.py:64-66 default)."""
     applicable = [
         r for r in rules if r["user_agent"] in ("*", user_agent)
     ]
@@ -152,7 +191,7 @@ def evaluate(path: str, rules: list[dict], user_agent: str = "*") -> bool:
     allowed = True
     for r in applicable:
         p = r["path_prefix"]
-        if path.startswith(p):
+        if pattern_matches(path, p):
             if len(p) > best_len or (len(p) == best_len and r["rule"] == "allow"):
                 best_len = len(p)
                 allowed = r["rule"] == "allow"
@@ -166,18 +205,37 @@ def robots_filter_rules(
     host_col: str = "host",
 ) -> DataFrame:
     """Allow/deny filter with full (host, rule, path_prefix) rule tables:
-    longest-match, allow-wins-ties, default-allow. Same zero-shuffle
-    shape as politeness.robots_filter: rules aggregated per host into an
-    array of structs, broadcast, evaluated map-side with array lambdas."""
-    per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("rule", "path_prefix")).alias("__rules")
+    most-specific-match (longest rule string), allow-wins-ties,
+    default-allow, WITH the RFC 9309 special characters ('*' any
+    sequence, trailing '$' end anchor — pattern_matches is the python
+    twin).  Same zero-shuffle shape as politeness.robots_filter: rules
+    aggregated per host into an array of structs, broadcast, evaluated
+    map-side with array lambdas; each rule is pre-compiled ONCE to a
+    SQL LIKE pattern ('%'/'_'/'\\' escaped, '*'->'%', un-anchored rules
+    get a trailing '%'), so the per-candidate match is the JVM's native
+    LIKE — no regex compilation per row, no UDF."""
+    anchored = F.col("path_prefix").endswith("$")
+    core = F.when(
+        anchored,
+        F.expr("substring(path_prefix, 1, length(path_prefix) - 1)"),
+    ).otherwise(F.col("path_prefix"))
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    like_pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, like_pat).otherwise(
+        F.concat(like_pat, F.lit("%"))
+    )
+    prepped = rules.withColumn("__pat", like_pat)
+    per_host = prepped.groupBy("host").agg(
+        F.collect_list(F.struct("rule", "path_prefix", "__pat")).alias("__rules")
     ).withColumnRenamed("host", host_col)
     path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     joined = candidates.join(F.broadcast(per_host), on=host_col, how="left")
 
     matching = F.filter(
-        F.col("__rules"), lambda r: path.startswith(r["path_prefix"])
+        F.col("__rules"), lambda r: F.like(path, r["__pat"], F.lit("\\"))
     )
     # pick the winner: max by (prefix length, rule) — 'disallow' > 'allow'
     # lexicographically, so invert: rank allow higher by mapping rule to

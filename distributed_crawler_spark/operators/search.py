@@ -868,3 +868,47 @@ def postings_gamma_size(
         .orderBy(F.col("gamma_bits").desc(), "term")
         .limit(topk)
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """PERCOLATION — reverse search (Elasticsearch percolator /
+    saved-search alerting): match a table of STORED conjunctive term
+    queries against a document stream and emit every (query, doc) hit.
+    The crawl-pipeline use: standing alerts ("tell me when a crawled
+    page mentions all of X Y Z") evaluated per batch without
+    re-running ad-hoc searches.
+
+    Plan shape: explode each query's term list once (queries are tiny
+    relative to the corpus — broadcast), explode doc tokens to DISTINCT
+    (doc, term) postings, broadcast-join, then ONE count aggregate per
+    (query, doc) checking every required term matched (AND semantics).
+    The corpus-sized postings frame shuffles once, keyed (query, doc);
+    no per-query scan, no UDF."""
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("term"),
+    ).distinct()
+    nterms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("__need"))
+    postings = (
+        tokenize(docs.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("doc_id"), F.col("token").alias("term"))
+        .distinct()
+    )
+    hits = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__got"))
+    )
+    return (
+        hits.join(F.broadcast(nterms), "query_id")
+        .filter(F.col("__got") == F.col("__need"))
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    )

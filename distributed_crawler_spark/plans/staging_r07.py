@@ -695,6 +695,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Percolation / saved-search alerting (search.percolate)
+# =========================================================================
+
+_PERC_QUERIES = {
+    "q_fast_join": ["fast", "join"],
+    "q_spark_window_join": ["spark", "window", "join"],
+    "q_vector": ["vector"],
+    "q_never": ["zzznotinvocab"],
+}
+
+
+def _percolate_sql() -> str:
+    values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in sorted(_PERC_QUERIES.items()) for t in ts
+    )
+    return f"""WITH q AS (SELECT * FROM (VALUES {values}) v(query_id, term)),
+need AS (SELECT query_id, count(DISTINCT term) AS need FROM q GROUP BY query_id),
+toks AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''),
+hits AS (
+  SELECT q.query_id, toks.doc_id, count(DISTINCT toks.term) AS got
+  FROM toks JOIN q USING (term) GROUP BY q.query_id, toks.doc_id)
+SELECT h.query_id, h.doc_id FROM hits h JOIN need n USING (query_id)
+WHERE h.got = n.need ORDER BY h.query_id, h.doc_id"""
+
+
+@q("percolate", _percolate_sql())
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search / saved-search alerting (the Elasticsearch
+    percolator semantics): four stored conjunctive term queries —
+    including one that can never match — evaluated against the corpus
+    in ONE broadcast join + one (query, doc) aggregate
+    (search.percolate); no per-query scans."""
+    from ..operators.search import percolate
+
+    docs = _read(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(qid, ts) for qid, ts in sorted(_PERC_QUERIES.items())],
+        "query_id STRING, terms ARRAY<STRING>",
+    )
+    return percolate(docs, qdf)
+
+
+# =========================================================================
 # Index capacity planning (search.postings_gamma_size)
 # =========================================================================
 

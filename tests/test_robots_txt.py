@@ -190,3 +190,112 @@ def test_host_crawl_delays_dataframe(spark):
     assert got == {"h1.com": 0.25, "h2.com": 5.0}  # h3 absent (joins get default)
     got_star = {r.host: r.delay_s for r in host_crawl_delays(rules).collect()}
     assert got_star == {"h1.com": 2.0, "h2.com": 5.0}
+
+
+# ---- RFC 9309 §2.2.3 special characters ('*' and trailing '$') ---------
+
+def test_pattern_matches_rfc_examples():
+    """The RFC's / Google robots documentation's published example
+    matrix — urllib has no wildcard support, so the cross-check here is
+    the spec's own table."""
+    from distributed_crawler_spark.functions.robots_txt import pattern_matches
+
+    # /fish* is equivalent to /fish
+    for pat in ("/fish", "/fish*"):
+        assert pattern_matches("/fish", pat)
+        assert pattern_matches("/fish.html", pat)
+        assert pattern_matches("/fishheads/yummy.html", pat)
+        assert not pattern_matches("/Fish.asp", pat)
+        assert not pattern_matches("/catfish", pat)
+    # /fish/ prefix
+    assert pattern_matches("/fish/salmon.htm", "/fish/")
+    assert not pattern_matches("/fish", "/fish/")
+    # /*.php — contains .php anywhere after /
+    assert pattern_matches("/filename.php", "/*.php")
+    assert pattern_matches("/folder/filename.php", "/*.php")
+    assert pattern_matches("/folder/any.php.file.html", "/*.php")
+    assert not pattern_matches("/", "/*.php")
+    assert not pattern_matches("/windows.PHP", "/*.php")
+    # /*.php$ — ends with .php
+    assert pattern_matches("/filename.php", "/*.php$")
+    assert pattern_matches("/folder/filename.php", "/*.php$")
+    assert not pattern_matches("/filename.php?parameters", "/*.php$")
+    assert not pattern_matches("/filename.php/", "/*.php$")
+    assert not pattern_matches("/windows.PHP", "/*.php$")
+    # /fish*.php — .php after /fish
+    assert pattern_matches("/fish.php", "/fish*.php")
+    assert pattern_matches("/fishheads/catfish.php?parameters", "/fish*.php")
+    assert not pattern_matches("/Fish.PHP", "/fish*.php")
+    # plain anchored rule
+    assert pattern_matches("/exact", "/exact$")
+    assert not pattern_matches("/exactly", "/exact$")
+    # '$' not at the end is literal
+    assert pattern_matches("/a$b/c", "/a$b")
+
+
+def test_evaluate_wildcard_specificity():
+    from distributed_crawler_spark.functions.robots_txt import evaluate
+
+    rules = [
+        {"user_agent": "*", "rule": "disallow", "path_prefix": "/*.php$"},
+        {"user_agent": "*", "rule": "allow", "path_prefix": "/public/"},
+    ]
+    assert not evaluate("/x/page.php", rules)
+    assert evaluate("/x/page.php?y", rules)  # $ anchor fails -> no match
+    # /public/index.php: allow /public/ (len 8) vs disallow /*.php$
+    # (len 7) -> allow wins on specificity
+    assert evaluate("/public/index.php", rules)
+
+
+def test_robots_filter_rules_wildcards_match_python(spark):
+    """Spark LIKE-compiled matching ≡ python pattern_matches/evaluate
+    over a randomized rule x path matrix (incl. LIKE metacharacters
+    that must be escaped)."""
+    import random
+
+    from distributed_crawler_spark.functions.robots_txt import (
+        evaluate,
+        robots_filter_rules,
+    )
+
+    rng = random.Random(31)
+    pats = [
+        "/a/", "/a", "/*.php$", "/fish*", "/a*b$", "/x_y", "/p%q",
+        "/a*b*c", "/q$", "/exact$",
+    ]
+    rules_rows = []
+    for host in ("h1", "h2"):
+        for p in pats:
+            if rng.random() < 0.7:
+                rules_rows.append(
+                    (host, rng.choice(["allow", "disallow"]), p)
+                )
+    paths = [
+        "/a/", "/a/x.php", "/a", "/ab", "/axb", "/axbyc", "/x_y", "/xzy",
+        "/p%q", "/fish", "/fishy/z.php?k", "/q", "/q?x", "/exact",
+        "/exactly", "/folder/deep/file.php",
+    ]
+    cands = [
+        (h, f"https://{h}.example.com{p}")
+        for h in ("h1", "h2", "h3")  # h3 has no rules -> default allow
+        for p in paths
+    ]
+    cdf = spark.createDataFrame(cands, "host STRING, url STRING")
+    rdf = spark.createDataFrame(
+        rules_rows, "host STRING, rule STRING, path_prefix STRING"
+    )
+    got = {
+        (r.host, r.url)
+        for r in robots_filter_rules(cdf, rdf).collect()
+    }
+    by_host: dict = {}
+    for h, rule, p in rules_rows:
+        by_host.setdefault(h, []).append(
+            {"user_agent": "*", "rule": rule, "path_prefix": p}
+        )
+    want = {
+        (h, u)
+        for h, u in cands
+        if evaluate(u.split(".example.com", 1)[1] or "/", by_host.get(h, []))
+    }
+    assert got == want

@@ -312,6 +312,14 @@ def test_staged_queries_against_oracles(spark, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     assert staging_r07.QUERIES, "staging module must not be empty"
+    # r07 promotion is a move into the registry: names must be free
+    from distributed_crawler_spark.plans import registry
+
+    clash = set(staging_r07.QUERIES) & set(registry.QUERIES)
+    assert not clash, f"staged names already registered: {clash}"
+    # staged entries must ALL carry oracles (that is the point of
+    # staging: hash-verifiable on arrival)
+    assert set(staging_r07.ORACLES) == set(staging_r07.QUERIES)
     for name, fn in staging_r07.QUERIES.items():
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
