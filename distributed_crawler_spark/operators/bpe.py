@@ -180,3 +180,86 @@ def encode_bpe_stats(
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def unigram_viterbi_stats(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Unigram-LM tokenization (Kudo 2018 — the SentencePiece unigram
+    model, THE other production tokenizer family beside BPE): segment
+    every word into vocabulary pieces by VITERBI dynamic programming
+    minimizing total piece cost (integer-scaled -log p), tie-broken to
+    the fewest pieces.  Output per doc: token count, total segmentation
+    cost, total piece count — the corpus-level statistics a tokenizer
+    is judged by (pieces/word = compression; cost = LM fit).
+
+    The DP runs NATIVELY inside Catalyst — no UDF, no Python: per
+    distinct word, ``aggregate(sequence(1, len), [0], ...)`` builds the
+    dp array left to right, each step an ``array_min`` over the last
+    max_piece_len starts with an O(1) map-literal piece-cost lookup
+    (``element_at(map, substr)``).  Cost and piece count ride in ONE
+    long (combined = cost*64 + pieces, exact while pieces < 64 — words
+    are capped at max_word_len tokens' pieces), so min() is the
+    lexicographic (cost, pieces) argmin and every step is integer
+    arithmetic — bit-exact across engines; the oracle unrolls the same
+    DP as CTE steps.
+
+    Scale shape: the DP runs once per DISTINCT word (Zipf's law: far
+    fewer than occurrences); one hash join maps occurrences to their
+    word's stats, one per-doc aggregate.  Words longer than
+    max_word_len are excluded on BOTH engines (the oracle's unroll
+    depth); single-character vocab entries guarantee feasibility."""
+    max_piece = max(len(k) for k in vocab)
+    inf = 1 << 55
+    entries: list = []
+    for k in sorted(vocab):
+        entries += [F.lit(k), F.lit(int(vocab[k]) * 64 + 1).cast("long")]
+    vm = F.create_map(*entries)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter((F.col("word") != "") & (F.length("word") <= max_word_len))
+    words = toks.select("word").distinct()
+
+    word_col = F.col("word")
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.greatest(F.lit(1), i - max_piece + 1), i),
+                        lambda j: F.element_at(acc, j.cast("int"))
+                        + F.coalesce(
+                            F.element_at(vm, word_col.substr(j, i - j + 1)),
+                            F.lit(inf).cast("long"),
+                        ),
+                    )
+                )
+            ),
+        ),
+    )
+    seg = words.withColumn(
+        "__c", F.element_at(dp, (F.length(word_col) + 1).cast("int"))
+    ).select(
+        "word",
+        F.expr("__c DIV 64").alias("w_cost"),
+        F.pmod(F.col("__c"), F.lit(64)).cast("long").alias("w_pieces"),
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_cost").cast("long").alias("total_cost"),
+            F.sum("w_pieces").cast("long").alias("total_pieces"),
+        )
+        .orderBy("doc_id")
+    )

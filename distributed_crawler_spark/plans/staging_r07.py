@@ -695,6 +695,78 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Unigram-LM (SentencePiece) Viterbi segmentation (bpe.unigram_viterbi_stats)
+# =========================================================================
+
+_UNIGRAM_VOCAB = {
+    **{c: 100 for c in "abcdefghijklmnopqrstuvwxyz0123456789"},
+    **{p: 70 for p in [
+        "er", "in", "at", "st", "or", "an", "te", "co", "ro", "ha",
+        "fa", "jo", "ta", "al", "um", "as", "ow", "ve", "ue", "ey",
+    ]},
+    **{p: 90 for p in [
+        "ing", "ter", "ast", "col", "row", "dat", "has", "umn", "ord",
+        "que", "joi", "fas", "val", "vec", "tor", "ine",
+    ]},
+}
+_UNIGRAM_MAXW = 16
+
+
+def _unigram_sql(vocab: dict[str, int] = _UNIGRAM_VOCAB, max_w: int = _UNIGRAM_MAXW) -> str:
+    max_piece = max(len(k) for k in vocab)
+    keys = ", ".join(f"'{k}'" for k in sorted(vocab))
+    vals = ", ".join(str(int(vocab[k]) * 64 + 1) for k in sorted(vocab))
+    inf = 1 << 55
+    ctes = [
+        f"""toks AS (
+  SELECT doc_id, t.word FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS word) t
+  WHERE t.word <> '' AND length(t.word) <= {max_w})""",
+        "words AS (SELECT DISTINCT word FROM toks)",
+        "d0 AS (SELECT word, [0::BIGINT] AS dp FROM words)",
+    ]
+    for i in range(1, max_w + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT word, CASE WHEN length(word) >= {i} THEN list_append(dp,
+    list_min(list_transform(range(greatest(1, {i} - {max_piece} + 1), {i} + 1), j ->
+      dp[j] + coalesce(element_at(map([{keys}], [{vals}]), word[j:{i}])[1], {inf}::BIGINT))))
+  ELSE dp END AS dp FROM d{i-1})"""
+        )
+    ctes.append(
+        f"seg AS (SELECT word, dp[length(word)+1] AS c FROM d{max_w})"
+    )
+    ctes.append(
+        "ws AS (SELECT word, c // 64 AS w_cost, c % 64 AS w_pieces FROM seg)"
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(w.w_cost)::BIGINT AS total_cost,
+       sum(w.w_pieces)::BIGINT AS total_pieces
+FROM toks t JOIN ws w USING (word)
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+
+@q("unigram_segment", _unigram_sql())
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece, Kudo 2018) Viterbi segmentation stats
+    over a fixed integer-cost vocabulary — the other production
+    tokenizer family beside [[bpe_learn]]/bpe_encode: per doc, token
+    count, total min segmentation cost, and total piece count.  The
+    Viterbi DP runs NATIVELY in Catalyst (aggregate/transform/array_min
+    + one map-literal lookup per piece candidate — zero UDFs), once per
+    DISTINCT word; cost and piece count share one long (cost*64 +
+    pieces) so min() is the (cost, pieces) lexicographic argmin and the
+    oracle replays the identical DP as unrolled CTE steps."""
+    from ..operators.bpe import unigram_viterbi_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_viterbi_stats(
+        docs, _UNIGRAM_VOCAB, max_word_len=_UNIGRAM_MAXW
+    )
+
+
+# =========================================================================
 # Percolation / saved-search alerting (search.percolate)
 # =========================================================================
 
