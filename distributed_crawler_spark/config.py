@@ -53,6 +53,27 @@ class EngineConfig:
     shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or 0
     driver_memory: str = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     sf_dir: str = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # AQE partition-coalescing floor (spark.sql.adaptive.coalescePartitions.
+    # minPartitionSize, default 1m). The default is sized for I/O-bound
+    # shuffles; CPU-heavy post-shuffle stages (per-token hashing, regex,
+    # vote aggregates) deserve a task well below 1 MB of shuffle bytes, so
+    # a small floor keeps every core busy while AQE still coalesces truly
+    # empty partitions. Scale-adaptive by construction: once per-partition
+    # bytes exceed the floor (any real cluster input), coalescing behaves
+    # exactly as before — this only stops tiny-but-expensive stages from
+    # being serialized onto one or two cores.
+    min_coalesced_partition_bytes: str = os.environ.get(
+        "SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"
+    )
+    # Threshold below which a base-table scan is round-robin rebalanced to
+    # the session parallelism (plans/registry._read). Parquet row groups
+    # are the scan split unit and small tables are single-row-group files,
+    # so without this every map-heavy pipeline runs as ONE task until its
+    # first exchange. A table at or above the threshold already yields
+    # >= parallelism scan splits, so the rebalance is a no-op at scale.
+    small_table_rebalance_bytes: int = int(
+        os.environ.get("SPARK_GRAFT_SMALL_TABLE_BYTES", str(64 << 20))
+    )
 
     def resolved_shuffle_partitions(self) -> int:
         # match parallelism to cores in local mode, not the 200 default:

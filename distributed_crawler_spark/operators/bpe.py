@@ -33,10 +33,26 @@ normalization; the end marker is '</w>').
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 END_MARK = "</w>"
+
+# The distributed learn loop costs ONE Spark job per merge round (pair
+# count + argmax) — invisible at merges=6, but a production 32k-50k-merge
+# vocabulary would mean 32k+ sequential driver round-trips (~hours of
+# pure scheduling) even though each round's data work is one
+# map-side-combined aggregate.  The standard fix: after the ONE
+# corpus-scale shuffle (word_freqs), the distinct-word table is tiny by
+# Zipf's law, so when it fits the driver (<= this many rows) the merge
+# loop runs in plain Python over the collected table — bit-identical
+# arithmetic (exact integer counts, the same (cnt DESC, l ASC, r ASC)
+# tie-break, and str.replace == SQL replace: left-to-right
+# non-overlapping on the same delimited encoding).  Corpora whose
+# vocabulary exceeds the cap keep the distributed loop unchanged.
+COLLECT_WORDS_MAX = int(os.environ.get("SPARK_GRAFT_BPE_COLLECT_MAX", "2000000"))
 
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,14 +99,54 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _learn_collected(
+    rows: list, merges: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Pure-Python merge loop over the COLLECTED (word, freq, seq)
+    table — see COLLECT_WORDS_MAX.  Returns (merge rows, final
+    (word, freq, seq) rows).  Bit-identical to the distributed loop:
+    symbols are ASCII so Python/UTF8-binary string order agree, counts
+    are exact ints, and str.replace is the same left-to-right
+    non-overlapping replace as SQL replace()."""
+    table = [(r["word"], int(r["freq"]), r["seq"]) for r in rows]
+    out: list[tuple] = []
+    for rank in range(1, merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, seq in table:
+            syms = [s for s in seq.split("||") if s]
+            for i in range(1, len(syms)):
+                p = (syms[i - 1], syms[i])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, l + r, cnt))
+        pat, rep = f"|{l}||{r}|", f"|{l}{r}|"
+        table = [(w, f_, seq.replace(pat, rep)) for w, f_, seq in table]
+    return out, table
+
+
 def _learn(
     docs: DataFrame, merges: int, text_col: str
 ) -> tuple[list[tuple], DataFrame]:
     """Shared learn loop: returns (merge rows, final (word, freq, seq)
-    frame with all merges applied — persisted; caller unpersists)."""
+    frame with all merges applied — persisted; caller unpersists).
+    When the distinct-word table fits the driver (COLLECT_WORDS_MAX)
+    the merge rounds run driver-side in one collect instead of one
+    Spark job per round; the distributed loop below is the fallback
+    for larger vocabularies (same results either way)."""
+    spark: SparkSession = docs.sparkSession
     wf = word_freqs(docs, text_col).select(
         "word", "freq", _initial_seq().alias("seq")
     )
+    if COLLECT_WORDS_MAX > 0:
+        head = wf.limit(COLLECT_WORDS_MAX + 1).collect()
+        if len(head) <= COLLECT_WORDS_MAX:
+            out, table = _learn_collected(head, merges)
+            final = spark.createDataFrame(
+                table, "word string, freq long, seq string"
+            ).persist()
+            return out, final
     # the (word, freq, seq) table is small relative to the corpus (one
     # row per DISTINCT word) and is re-read every round
     wf = wf.persist()

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +61,42 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     toks = docs.select(F.col(id_col), token_array(F.col(text_col)).alias("_toks"))
     return (
         toks.select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_fps(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc as 128-BIT FINGERPRINTS
+    (id, k1, k2) — the Jaccard join/aggregation path never needs the
+    shingle TEXT, only identity, so each token is hashed once
+    (xxhash64) and a shingle's fingerprint is two independent xxhash64
+    folds over its n consecutive token hashes (the span_dup_stats
+    fingerprint contract; collision odds ~2^-128). Versus exploding
+    ~30-byte shingle strings this shuffles 16 bytes/shingle and skips
+    the per-shingle array_join/slice string builds entirely; the whole
+    derivation is one map-only projection ahead of the distinct —
+    no window, no extra shuffle."""
+    fwd = ", ".join(f"element_at(_th, i + {j})" for j in range(n))
+    rev = ", ".join(f"element_at(_th, i + {j})" for j in reversed(range(n)))
+    fps = (
+        f"CASE WHEN size(_th) >= {n} THEN "
+        f"transform(sequence(1, size(_th) - {n - 1}),"
+        f" i -> struct(xxhash64({fwd}) AS k1, xxhash64({rev}, 7) AS k2))"
+        f" ELSE array() END"
+    )
+    toks = docs.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.expr("transform(_t, t -> xxhash64(t))").alias("_th")
+    )
+    return (
+        toks.select(F.col(id_col), F.explode(F.expr(fps)).alias("_fp"))
+        .select(F.col(id_col), F.col("_fp.k1").alias("k1"), F.col("_fp.k2").alias("k2"))
         .distinct()
     )
 
@@ -137,13 +175,18 @@ def ngram_jaccard_for_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for given candidate (id_a, id_b)
-    pairs: |A∩B| via a shingle join, |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingles(docs, id_col, text_col, shingle_n)
+    pairs: |A∩B| via a shingle join, |A∪B| = |A|+|B|−|A∩B|.  Shingles
+    travel as 128-bit fingerprints (shingle_fps), never as strings, and
+    the fingerprint frame is EAGERLY materialized — it feeds the
+    intersection join twice plus the size aggregate, and those branches
+    run concurrently inside one job (a lazy persist would be computed
+    by each racing branch)."""
+    sh = shingle_fps(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "k1", "k2")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "k1", "k2")
     inter = (
-        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "k1", "k2"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -162,38 +205,184 @@ def ngram_jaccard_for_pairs(
     )
 
 
+def _jaccard_filter(cand: DataFrame, sizes: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """(id_a, id_b, n_inter) + per-doc sizes -> exact-Jaccard-filtered
+    pairs. The sizes table is one row per doc and broadcastable.
+
+    The raw double is compared FIRST and round(., 4) runs only on the
+    survivors: Spark's round(double) constructs a BigDecimal per row
+    (Double.toString -> BigDecimal -> setScale), ~13 us/row cold — with
+    ~10^8 candidate pairs that was the single hottest code path of the
+    whole suite (thread dumps showed all 32 task threads inside
+    BigDecimal.<init>). round(j,4) >= t implies j >= t - 5e-5, so the
+    eps-margin prefilter drops no row the rounded filter would keep."""
+    j_raw = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        cand.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(j_raw >= threshold - 1e-4)
+        .withColumn("jaccard", F.round(j_raw, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_counts_join(sh: DataFrame, id_col: str, n_part: int) -> DataFrame:
+    """(id_a < id_b, n_inter) shared-shingle counts via the inverted-
+    index self-join. The join EXPLODES (per-shingle doc-frequency d
+    emits d^2 rows) and AQE sizes partitions from the join's ~tens-of-MB
+    INPUT, so an explicit repartition on the key — exempt from AQE
+    coalescing, count derived from the session parallelism — keeps the
+    aggregate's per-task hash state bounded."""
+    sh_a = sh.repartition(n_part, "k1", "k2").select(
+        F.col(id_col).alias("id_a"), "k1", "k2"
+    )
+    sh_b = sh.repartition(n_part, "k1", "k2").select(
+        F.col(id_col).alias("id_b"), "k1", "k2"
+    )
+    return (
+        sh_a.join(sh_b, ["k1", "k2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hot_df: int | None = None,
 ) -> DataFrame:
     """All near-duplicate pairs by exact n-gram Jaccard ≥ threshold,
-    candidate-generated through the shared-shingle inverted index."""
-    sh = shingles(docs, id_col, text_col, shingle_n)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    cand = (
-        sh_a.join(sh_b, "shingle")
+    candidate-generated through the shared-shingle inverted index.
+    Shingles travel as 128-bit fingerprints (shingle_fps) — the
+    self-join and aggregates only need shingle IDENTITY, so nothing
+    string-shaped ever shuffles — and the fingerprint frame is EAGERLY
+    materialized (concurrent branches of one job would otherwise race a
+    lazy persist and recompute it).
+
+    HOT-SHINGLE handling (the stop-word problem of all-pairs similarity
+    joins, cf. Bayardo et al. WWW'07): a shingle shared by d docs emits
+    d^2 join rows in ONE partition — boilerplate shingles (d ~ 10^4
+    here; navigation chrome at web scale) serialize the whole job on a
+    few tasks and bloat the pair aggregate with millions of pairs that
+    share nothing else. Shingles with document frequency ≥ ``hot_df``
+    (default derived from the session parallelism; env override
+    SPARK_GRAFT_HOT_SHINGLE_DF) are therefore EXCLUDED from the
+    inverted-index join and their contribution is reconstructed
+    EXACTLY:
+
+      * cold-pair counts n_cold come from the normal join (per-key work
+        now bounded by hot_df^2);
+      * only candidates whose UPPER BOUND n_cold + min(h_a, h_b) — h_x
+        = the doc's hot-shingle count — can reach the threshold survive
+        (Jaccard is monotone in n_inter, so this drops no true pair);
+      * survivors get their exact hot intersection from a join against
+        the tiny (doc, hot-shingle) table, then the exact Jaccard
+        filter;
+      * pairs sharing ONLY hot shingles never appear in the cold join —
+        provably such a passing pair has h_x ≥ t/(1+t)·sz_x on BOTH
+        ends ("hot-dominated" docs), a set computed directly; all pairs
+        within it are verified exactly (and excluded from the cold path
+        so nothing is double-counted). If that set is implausibly large
+        the operator falls back to the plain exact join.
+
+    Every branch computes the same exact Jaccard; the hot path is a
+    pure execution-shape change (parity-tested against the plain path
+    with hot_df forced low)."""
+    sh = shingle_fps(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    spark = sh.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    n_part = dp * 8
+    if hot_df is None:
+        hot_df = int(os.environ.get("SPARK_GRAFT_HOT_SHINGLE_DF", "0")) or max(
+            256, 8 * dp
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hot_keys = (
+        sh.groupBy("k1", "k2")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= hot_df)
+        .select("k1", "k2")
+    )
+    hk = hot_keys.limit(1).collect()
+    if not hk:
+        # common case: no hot shingles — exactly the plain exact join
+        cand = _pair_counts_join(sh, id_col, n_part)
+        return _jaccard_filter(cand, sizes, id_col, threshold)
+
+    t_eff = threshold - 1e-4  # round(., 4) boundary guard for the BOUND filters
+    hot = sh.join(F.broadcast(hot_keys), ["k1", "k2"], "left_semi")
+    cold = sh.join(F.broadcast(hot_keys), ["k1", "k2"], "left_anti")
+    hsz = hot.groupBy(id_col).agg(F.count("*").alias("h"))
+    # hot-dominated docs: the only possible ends of a hot-only passing pair
+    hd = (
+        sizes.join(hsz, id_col)
+        .filter(F.col("h") * (1.0 + t_eff) >= t_eff * F.col("sz"))
+        .select(id_col)
+    )
+    hd_ids = [r[0] for r in hd.limit(5001).collect()]
+    if len(hd_ids) > 5000:
+        # degenerate corpus (most docs mostly boilerplate): plain path
+        cand = _pair_counts_join(sh, id_col, n_part)
+        return _jaccard_filter(cand, sizes, id_col, threshold)
+
+    n_cold = _pair_counts_join(cold, id_col, n_part)
+    hsz_a = hsz.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
+    hsz_b = hsz.select(F.col(id_col).alias("id_b"), F.col("h").alias("h_b"))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    n_up = F.col("n_inter") + F.least(
+        F.coalesce(F.col("h_a"), F.lit(0)), F.coalesce(F.col("h_b"), F.lit(0))
+    )
+    cand0 = (
+        n_cold.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .join(F.broadcast(hsz_a), "id_a", "left")
+        .join(F.broadcast(hsz_b), "id_b", "left")
+        .filter(n_up >= t_eff * (F.col("sz_a") + F.col("sz_b") - n_up))
+        .select("id_a", "id_b", "n_inter")
+    )
+    hot_a = hot.select(F.col(id_col).alias("id_a"), "k1", "k2")
+    hot_b = hot.select(F.col(id_col).alias("id_b"), "k1", "k2")
+    n_hot = (
+        cand0.select("id_a", "id_b")
+        .join(hot_a, "id_a")
+        .join(hot_b, ["id_b", "k1", "k2"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    exact_cold = (
+        cand0.join(n_hot, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                "n_inter"
+            ),
+        )
+    )
+    p1 = _jaccard_filter(exact_cold, sizes, id_col, threshold)
+    if not hd_ids:
+        return p1
+    # brute-exact pairs within the (tiny) hot-dominated set; the cold
+    # path excludes both-ends-hd pairs so the union never double-counts
+    p1 = p1.filter(
+        ~(F.col("id_a").isin(hd_ids) & F.col("id_b").isin(hd_ids))
+    )
+    shd = sh.filter(F.col(id_col).isin(hd_ids))
+    cand_hd = (
+        shd.select(F.col(id_col).alias("id_a"), "k1", "k2")
+        .join(shd.select(F.col(id_col).alias("id_b"), "k1", "k2"), ["k1", "k2"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    return (
-        cand.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    p2 = _jaccard_filter(cand_hd, sizes, id_col, threshold)
+    return p1.unionByName(p2)
 
 
 def simhash(

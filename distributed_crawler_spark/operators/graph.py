@@ -104,13 +104,17 @@ def connected_components(
     `max_iters` is a safety bound far above the O(log n) expectation
     (20 rounds covers n ~ 2^20 adversarial paths; dedup graphs are
     near-star-shaped and converge in 2-4)."""
-    # one narrow projection of the input, persisted so an expensive
-    # upstream pair pipeline (LSH banding, Jaccard verification) is
-    # evaluated exactly once — nodes, the canonical edge set, and the
-    # first signature all read from it
+    # one narrow projection of the input, EAGERLY materialized so an
+    # expensive upstream pair pipeline (LSH banding, Jaccard
+    # verification) is evaluated exactly once.  A lazy persist is not
+    # enough: nodes' unionAll references it twice and those branches'
+    # stages run CONCURRENTLY inside one job, racing the cache and
+    # computing the whole pair pipeline's post-shuffle tail twice
+    # (measured ~2x the pair aggregate's task-seconds at sf1.0); the
+    # eager checkpoint is one job and every consumer reads its blocks.
     base = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).persist()
+    ).localCheckpoint(eager=True)
     nodes = (
         base.select(F.col("a").alias("node"))
         .unionAll(base.select(F.col("b").alias("node")))
@@ -119,7 +123,6 @@ def connected_components(
     )
     cur = _canonical(base, "a", "b").persist()
     sig = _signature(cur)
-    base.unpersist()
     for _ in range(max_iters):
         # localCheckpoint truncates the per-round lineage (each round
         # is 2 joins + 2 aggs on top of the last; 20 rounds of stacked
@@ -187,12 +190,19 @@ def pagerank_int(
     headroom: score ≤ ~n·scale and the product multiplies by w, so
     score·w must stay under 2^63 — at scale=10^6 that allows
     n·w ~ 9·10^12, far past any host graph's needs.)"""
+    # the edge list and out-degree table are re-read by EVERY iteration's
+    # join (guide §5: reuse + recompute cost): without a persist the whole
+    # upstream edge pipeline — for host_pagerank a page-scale explode +
+    # contraction groupBy — re-runs iters+1 times inside the one final
+    # action. Persisted, it materializes once (MEMORY_AND_DISK) and each
+    # iteration reads the cache; the ContextCleaner drops the blocks when
+    # the returned frame is released.
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
-    )
-    odeg = e.groupBy("src").agg(F.sum("w").alias("od"))
+    ).persist()
+    odeg = e.groupBy("src").agg(F.sum("w").alias("od")).persist()
     base = (scale * (damp_den - damp_num)) // damp_den
     scores = nodes.select(
         F.col(node_col).cast("long").alias("node"), F.lit(scale).cast("long").alias("score")
@@ -247,12 +257,14 @@ def trustrank_int(
     is kept OUT to stay in exact integers).  ``seeds`` is one column of
     node ids; it is broadcast-joined (seed sets are tiny by
     definition).  Weighted edges behave exactly as in pagerank_int."""
+    # same persist rationale as pagerank_int: both frames are read once
+    # per iteration inside a single final action
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
-    )
-    odeg = e.groupBy("src").agg(F.sum("w").alias("od"))
+    ).persist()
+    odeg = e.groupBy("src").agg(F.sum("w").alias("od")).persist()
     base = (scale * (damp_den - damp_num)) // damp_den
     seed_col = seeds.columns[0]
     sd = seeds.select(
@@ -392,10 +404,12 @@ def hits_int(
     Scale shape per half-iteration: one (src or dst) join + one
     map-side-combined sum + one 1-row total broadcast — shuffles carry
     (id, long) pairs only, the pagerank_int shape run twice."""
+    # persisted: each half-iteration's join re-reads the edge list inside
+    # the normalize actions — 2x iters evaluations without the cache
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
-    ns = nodes.select(F.col(node_col).cast("long").alias("node"))
+    ).persist()
+    ns = nodes.select(F.col(node_col).cast("long").alias("node")).persist()
     # n*scale as a driver literal: one count action up front instead of
     # a lazy 1-row aggregate re-evaluated inside every half-iteration
     n_scale = ns.count() * scale
@@ -522,7 +536,12 @@ def resolve_chains(
             F.coalesce(F.col("p_done"), F.lit(True)).alias("done"),
         )
         # lineage truncation: each round stacks a join on the last —
-        # lazy so the next round's join is the materializing job
+        # lazy so the next round's join is the materializing job (the
+        # checkpoint truncates the PLAN at call time either way: all
+        # three downstream references — settled, pending, partner —
+        # share one RDD, so the round is computed once; eager=True was
+        # A/B'd in round 7 and only added 5 sequential driver jobs,
+        # 1.5 -> 2.8 s at sf1.0)
         state = settled.unionByName(stepped).localCheckpoint(eager=False)
     # Final classification is by MEMBERSHIP, not the in-loop done flag:
     # the flag lags the pointer by one round (a row landing on the

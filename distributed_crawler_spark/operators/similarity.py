@@ -167,22 +167,37 @@ def lsh_bucket_ids(
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     prefix = "" if table == 0 else f"t{table}:"
+    # The plane MATRIX is one constant-folded array<array<double>> literal
+    # and the projection loop is a fold over the plane index — versus the
+    # earlier per-plane unrolled chain (planes x dim expression nodes,
+    # re-planned and re-codegen'd per table and per plane count) this
+    # keeps the generated code structurally IDENTICAL across invocations
+    # (literals codegen as object references, so the multi-table path and
+    # repeated queries hit the codegen cache instead of recompiling
+    # multi-thousand-node projections). Arithmetic is the same fold in
+    # the same order — bit-identical buckets, and the passing
+    # ann_lsh_buckets oracle pins it.
+    comps = [
+        [
+            (_phash_py(f"{prefix}{p},{j}") % 2001 - 1000) / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+    arr_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in comps
+    ) + ")"
+    bucket = F.expr(
+        f"""aggregate(sequence(0, {planes - 1}), 0L, (acc, p) ->
+          acc + IF(aggregate(zip_with(_v, element_at({arr_sql}, p + 1),
+                                      (x, y) -> x * y),
+                   0.0D, (a, v) -> a + v) > 0D,
+                   shiftleft(1L, p), 0L))"""
+    )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        comps = F.array(
-            *[
-                F.lit((_phash_py(f"{prefix}{p},{j}") % 2001 - 1000) / 1000.0)
-                for j in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0))
-    return vectors.select(F.col(id_col), bucket.alias("bucket"))
+    return vectors.select(F.col(id_col), vec.alias("_v")).select(
+        F.col(id_col), bucket.alias("bucket")
+    )
 
 
 def embedding_neardup_pairs(
@@ -205,7 +220,11 @@ def embedding_neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(va, vb), 4).alias("score"))
+        .select("id_a", "id_b", cosine(va, vb).alias("_raw"))
+        # raw-double prefilter before round(): round(x,4) builds a
+        # BigDecimal per row, and round(x,4) >= t implies x >= t - 5e-5
+        .filter(F.col("_raw") >= threshold - 1e-4)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -242,7 +261,10 @@ def lsh_neardup_pairs(
     return (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(va, vb), 4).alias("score"))
+        .select("id_a", "id_b", cosine(va, vb).alias("_raw"))
+        # raw-double prefilter before round() — see embedding_neardup_pairs
+        .filter(F.col("_raw") >= threshold - 1e-4)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("score"))
         .filter(F.col("score") >= threshold)
         .distinct()
     )
@@ -270,14 +292,25 @@ def ivf_assign_fixed(
         "cid int, cv array<double>",
     )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # cosine as the generic fold over the broadcast centroid ROWS (not a
+    # k x dim literal-unrolled chain): the unrolled form re-planned and
+    # re-Janino-compiled a multi-thousand-node projection on EVERY
+    # invocation — fatal inside the Lloyd iteration loop and the bulk of
+    # ann_ivf_topk_fixed's wall — while this shape keeps the generated
+    # code identical across iterations/queries (centroid VALUES live in
+    # the broadcast relation, not the plan). The fold adds left-to-right
+    # exactly like the unrolled chain (0.0 + x == x in IEEE), so scores
+    # and the argmax tie-break are bit-identical — the k-means and fixed
+    # IVF oracles pin that.
+    sim = F.expr(
+        "aggregate(zip_with(_va, cv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+        " / (sqrt(aggregate(_va, 0.0D, (a, v) -> a + v * v))"
+        " * sqrt(aggregate(cv, 0.0D, (a, v) -> a + v * v)))"
+    )
     scored = (
         vectors.select(F.col(id_col), vec.alias("_va"))
         .crossJoin(F.broadcast(cdf))
-        .select(
-            F.col(id_col),
-            F.col("cid"),
-            cosine_flat("_va", "cv", len(centroids[0])).alias("sim"),
-        )
+        .select(F.col(id_col), F.col("cid"), sim.alias("sim"))
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -606,11 +639,11 @@ def semantic_dedup_removed(
     pairs = (
         a.join(b, ["centroid", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid", "id_a", "id_b", cosine(va, vb).alias("_raw"))
+        # raw-double prefilter before round() — see embedding_neardup_pairs
+        .filter(F.col("_raw") >= threshold - 1e-4)
         .select(
-            "centroid",
-            "id_a",
-            "id_b",
-            F.round(cosine(va, vb), 4).alias("score"),
+            "centroid", "id_a", "id_b", F.round(F.col("_raw"), 4).alias("score")
         )
         .filter(F.col("score") >= threshold)
         .distinct()

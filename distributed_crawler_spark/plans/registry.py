@@ -41,8 +41,33 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _MODEL = model_sql_ctes().strip().rstrip()
 
 
+def _table_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # Parquet ROW GROUPS are the scan-split unit, and small tables are
+    # single-row-group files — without a rebalance every map-heavy
+    # pipeline over them (regex scrub, shingling, codec decode, vote
+    # aggregates) runs as ONE task until its first exchange, serializing
+    # the whole stage onto one core. One tiny round-robin exchange
+    # spreads the scan across the session's parallelism; tables at or
+    # above the threshold already split into >= parallelism scan tasks,
+    # so this is a no-op at scale (threshold env-parameterized —
+    # EngineConfig.small_table_rebalance_bytes).
+    from ..config import EngineConfig
+
+    if _table_bytes(path) < EngineConfig().small_table_rebalance_bytes:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _table_fingerprint(sf_dir: str, name: str) -> str:
@@ -1705,8 +1730,15 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    scrub = pii_scrub(noisy).join(
-        noisy.select("doc_id", "source", "lang"), "doc_id"
+    # EAGER materialization of the scrub stage (VERDICT r06 wrong #1 /
+    # next #2): it feeds ev (decontamination grams) and the whole tr
+    # pipeline, whose branches run concurrently inside one job — a lazy
+    # persist is computed by each racing branch, re-running the 6-pass
+    # regex chain up to 4x (measured; see OPTIMIZATION_r07.md).
+    scrub = (
+        pii_scrub(noisy)
+        .join(noisy.select("doc_id", "source", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     ev = scrub.filter(F.col("doc_id") % 23 == 0)
     tr = scrub.filter(F.col("doc_id") % 23 != 0)
@@ -1725,10 +1757,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the scrub->quality->keepers chain feeds four downstream stages
     # (pair generation twice via shingles+sizes, keep-one's doc side,
-    # decontamination's gram side) — persist it or the whole regex
-    # pipeline re-runs per stage (measured 25.8 s -> ~8 s at sf0.1);
-    # ContextCleaner drops the cache when the frame goes out of scope
-    cand = qual.join(keepers, "doc_id").persist()
+    # decontamination's survivor side twice) — materialized EAGERLY so
+    # every consumer reads the checkpoint blocks instead of racing to
+    # recompute it (measured 25.8 s -> ~8 s at sf0.1 for the original
+    # persist; the eager checkpoint additionally stops concurrent
+    # branches within one job from duplicating the computation)
+    cand = qual.join(keepers, "doc_id").localCheckpoint(eager=True)
     pairs = dedup.ngram_jaccard_pairs(
         cand, text_col="scrubbed", shingle_n=3, threshold=0.5
     )

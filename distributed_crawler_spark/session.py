@@ -36,7 +36,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(engine.resolved_shuffle_partitions() if cores is None else max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep CPU-heavy tiny shuffles parallel (see EngineConfig note);
+        # identical to the default behavior once partitions carry real bytes
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            engine.min_coalesced_partition_bytes,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash joins when the
+        # per-partition build side fits (and let AQE rewrite SMJ->SHJ at
+        # runtime); sort-merge remains the fallback for big build sides
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", engine.driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
