@@ -79,14 +79,15 @@ def shingle_fps(
     fingerprint contract; collision odds ~2^-128). Versus exploding
     ~30-byte shingle strings this shuffles 16 bytes/shingle and skips
     the per-shingle array_join/slice string builds entirely; the whole
-    derivation is one map-only projection ahead of the distinct —
-    no window, no extra shuffle."""
+    derivation — per-doc DISTINCT included (array_distinct on the
+    fingerprint array before the explode, so no dedup exchange ever
+    runs) — is map-only: zero shuffles, zero windows."""
     fwd = ", ".join(f"element_at(_th, i + {j})" for j in range(n))
     rev = ", ".join(f"element_at(_th, i + {j})" for j in reversed(range(n)))
     fps = (
         f"CASE WHEN size(_th) >= {n} THEN "
-        f"transform(sequence(1, size(_th) - {n - 1}),"
-        f" i -> struct(xxhash64({fwd}) AS k1, xxhash64({rev}, 7) AS k2))"
+        f"array_distinct(transform(sequence(1, size(_th) - {n - 1}),"
+        f" i -> struct(xxhash64({fwd}) AS k1, xxhash64({rev}, 7) AS k2)))"
         f" ELSE array() END"
     )
     toks = docs.select(
@@ -97,7 +98,6 @@ def shingle_fps(
     return (
         toks.select(F.col(id_col), F.explode(F.expr(fps)).alias("_fp"))
         .select(F.col(id_col), F.col("_fp.k1").alias("k1"), F.col("_fp.k2").alias("k2"))
-        .distinct()
     )
 
 
@@ -652,29 +652,15 @@ def span_dup_stats(
     pairwise product anywhere. Span STRINGS are never built: counting
     only needs identity, so each token is hashed once and a span's
     128-bit fingerprint is xxhash64 over its n consecutive token hashes
-    (window lead() — 6x faster than materializing+hashing 25M n-gram
-    strings at sf0.1, and the same fingerprint-identity standard
-    MinHash/span-dedup pipelines use; collision odds ~2^-128).
+    (derived MAP-SIDE from the per-doc token-hash array — round 7: the
+    earlier window-lead() form paid a full-corpus sort shuffle on the
+    doc id before any span existed; the array transform needs no
+    exchange at all and produces the identical fingerprints).
     Returns (id, n_spans, n_dup_spans, dup_frac)."""
-    from pyspark.sql import Window
-
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-    th = docs.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "token")
-    ).select(F.col(id_col), "pos", F.xxhash64("token").alias("h0"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for j in range(1, n):
-        th = th.withColumn(f"h{j}", F.lead("h0", j).over(w))
-    hs = [f"h{j}" for j in range(n)]
-    sh = (
-        th.filter(F.col(hs[-1]).isNotNull())
-        .select(
-            F.col(id_col),
-            F.xxhash64(*hs).alias("k1"),
-            F.xxhash64(*reversed(hs), F.lit(7)).alias("k2"),
-        )
-        .distinct()
-    )
+    # eager: the frame feeds the doc-frequency aggregate AND the join
+    # back — shingle_fps is exchange-free by design, so without a
+    # materialization point both consumers recompute the map pipeline
+    sh = shingle_fps(docs, id_col, text_col, n).localCheckpoint(eager=True)
     per_span = sh.groupBy("k1", "k2").agg(F.count("*").alias("n_docs"))
     return (
         sh.join(per_span, ["k1", "k2"])
@@ -707,33 +693,37 @@ def remove_dup_spans(
     operator here uses). Returns (id, clean_text, n_tokens, n_removed);
     clean_text = '' when the whole doc was duplicated spans.
 
-    Shape: the span_dup_stats inverted index (token hashed once,
-    lead() windows, 128-bit span fingerprints — no span strings in the
-    shuffles) -> dup-key join back -> coverage explode -> anti-join ->
-    ordered rebuild. Shuffles on the span key and the doc id only; no
+    Shape (round 7 — windows removed): per-doc token-hash ARRAY, span
+    fingerprints as a map-side transform (no sort shuffle on the doc id
+    — the earlier lead()-window form paid two), dup-key inverted index,
+    covered positions folded back to ONE int-set per doc, and the text
+    re-sliced from the token array in the same map. Shuffles carry only
+    (doc, position, long) triples on the span key and doc id; no
     pairwise product anywhere."""
-    from pyspark.sql import Window
-
-    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    fwd = ", ".join(f"element_at(_th, i + {j})" for j in range(n))
+    rev = ", ".join(f"element_at(_th, i + {j})" for j in reversed(range(n)))
+    span_expr = (
+        f"CASE WHEN size(_th) >= {n} THEN "
+        f"transform(sequence(1, size(_th) - {n - 1}),"
+        f" i -> struct(i AS p, xxhash64({fwd}) AS k1, xxhash64({rev}, 7) AS k2))"
+        f" ELSE array() END"
+    )
     base = docs.select(
-        F.col(id_col), F.posexplode(toks_arr).alias("pos0", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos0")
-    seq = base.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("_t")
+    ).select(
         F.col(id_col),
-        F.col("tok"),
-        F.row_number().over(w).alias("p"),
-        F.xxhash64("tok").alias("h0"),
-    )
-    sp = seq
-    for j in range(1, n):
-        sp = sp.withColumn(f"h{j}", F.lead("h0", j).over(w.orderBy("p")))
-    hs = [f"h{j}" for j in range(n)]
-    spans = sp.filter(F.col(hs[-1]).isNotNull()).select(
+        "_t",
+        F.expr("transform(_t, t -> xxhash64(t))").alias("_th"),
+        # eager: consumed by the span branches AND the final rebuild —
+        # exchange-free upstream means nothing else dedupes the work
+    ).localCheckpoint(eager=True)
+    spans = base.select(
+        F.col(id_col), F.explode(F.expr(span_expr)).alias("_s")
+    ).select(
         F.col(id_col),
-        "p",
-        F.xxhash64(*hs).alias("k1"),
-        F.xxhash64(*reversed(hs), F.lit(7)).alias("k2"),
+        F.col("_s.p").alias("p"),
+        F.col("_s.k1").alias("k1"),
+        F.col("_s.k2").alias("k2"),
     )
     dup_keys = (
         spans.select(id_col, "k1", "k2")
@@ -749,27 +739,28 @@ def remove_dup_spans(
             F.col(id_col),
             F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))).alias("p"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_cov"))
     )
-    kept = seq.join(covered, [id_col, "p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
+    clean = F.when(F.size("_t") == 0, F.lit("")).otherwise(
+        F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
+                F.filter(
+                    F.sequence(F.lit(1), F.size("_t")),
+                    lambda p: ~F.array_contains(
+                        F.coalesce(F.col("_cov"), F.array().cast("array<int>")), p
+                    ),
+                ),
+                lambda p: F.element_at("_t", p.cast("int")),
             ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
+            " ",
+        )
     )
-    totals = docs.select(F.col(id_col), F.size(toks_arr).alias("n_tokens"))
-    return totals.join(rebuilt, id_col, "left").select(
+    return base.join(covered, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+        clean.alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_removed"),
     )
 
 

@@ -177,6 +177,12 @@ def lsh_bucket_ids(
     # multi-thousand-node projections). Arithmetic is the same fold in
     # the same order — bit-identical buckets, and the passing
     # ann_lsh_buckets oracle pins it.
+    if planes <= 0:
+        # degenerate single-bucket table (used by tests to force the
+        # all-in-one-bucket case) — the fold below needs >= 1 plane
+        return vectors.select(
+            F.col(id_col), F.lit(0).cast("long").alias("bucket")
+        )
     comps = [
         [
             (_phash_py(f"{prefix}{p},{j}") % 2001 - 1000) / 1000.0
@@ -253,20 +259,36 @@ def lsh_neardup_pairs(
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
-    v = vectors.join(buckets, id_col)
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "bucket")
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    return (
+    # candidate (id_a, id_b) pairs are DEDUPED across tables BEFORE any
+    # vector travels or any cosine runs: the multi-table union re-finds
+    # the same pair in up to n_tables buckets, and the earlier shape
+    # scored every rediscovery (and carried both 64-float arrays through
+    # the bucket join) only to distinct() at the end. Pairs are two
+    # longs; vectors attach afterwards by id equi-join.
+    a = buckets.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(va, vb).alias("_raw"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va_t = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+    )
+    vb_t = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+    )
+    return (
+        cand.join(va_t, "id_a")
+        .join(vb_t, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("_raw"))
         # raw-double prefilter before round() — see embedding_neardup_pairs
         .filter(F.col("_raw") >= threshold - 1e-4)
         .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("score"))
         .filter(F.col("score") >= threshold)
-        .distinct()
     )
 
 
