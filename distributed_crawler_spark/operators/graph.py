@@ -29,10 +29,52 @@ CTE — intermediate states never surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import phash
+
+# When the pair graph fits the driver, transitive closure runs as one
+# collect + union-find instead of O(log n) alternating-star rounds (each
+# round ~6 small shuffles + a signature action — pure latency once the
+# edge set is thousands of rows, which is what near-dup thresholds
+# produce even from huge corpora).  Connected components with min-id
+# labels are unique, so both paths return identical assignments; the
+# distributed fixpoint remains the path for graphs over the cap
+# (parity-tested both ways).
+COLLECT_EDGES_MAX = int(os.environ.get("SPARK_GRAFT_CC_COLLECT_MAX", "2000000"))
+
+
+def _components_collected(rows) -> dict[int, int]:
+    """Union-find with path compression over collected (a, b) rows;
+    labels = the component's smallest node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        if r not in label or x < label[r]:
+            label[r] = x
+    return {x: label[find(x)] for x in parent}
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -97,13 +139,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    max_collect: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
-    component = the smallest node id reachable from it.  Alternates
-    large-star / small-star until the edge-set signature is stable;
+    component = the smallest node id reachable from it.  Edge sets that
+    fit the driver (<= max_collect rows; default COLLECT_EDGES_MAX)
+    close in one collect + union-find; larger graphs alternate
+    large-star / small-star until the edge-set signature is stable —
     `max_iters` is a safety bound far above the O(log n) expectation
     (20 rounds covers n ~ 2^20 adversarial paths; dedup graphs are
-    near-star-shaped and converge in 2-4)."""
+    near-star-shaped and converge in 2-4).  Components with min-id
+    labels are unique, so the two paths agree exactly
+    (tests/test_graph_cc.py parity-checks them)."""
     # one narrow projection of the input, EAGERLY materialized so an
     # expensive upstream pair pipeline (LSH banding, Jaccard
     # verification) is evaluated exactly once.  A lazy persist is not
@@ -115,6 +162,16 @@ def connected_components(
     base = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).localCheckpoint(eager=True)
+    if max_collect is None:
+        max_collect = COLLECT_EDGES_MAX
+    if max_collect > 0:
+        head = base.limit(max_collect + 1).collect()
+        if len(head) <= max_collect:
+            comp = _components_collected(head)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                sorted(comp.items()), "node long, component long"
+            )
     nodes = (
         base.select(F.col("a").alias("node"))
         .unionAll(base.select(F.col("b").alias("node")))

@@ -177,7 +177,12 @@ def bm25_scores(
         postings = build_postings_stemmed(docs, id_col, text_col).persist()
         _BM25_LIVE_CACHES.append(postings)
     else:
-        postings = build_postings(docs, id_col, text_col)
+        # eager: stats, df, avgdl and the scoring join all consume this
+        # frame — several as independent broadcast-subquery jobs that
+        # would each recompute the tokenize+aggregate pipeline
+        postings = build_postings(docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
     # dl = Σ tf over the doc's terms — identical to a separate token-count
     # pass but reuses the postings (zero-token docs are absent from both)
     stats = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))

@@ -65,6 +65,25 @@ def test_randomized_vs_union_find(spark):
         assert _cc(spark, pairs) == _uf_components(pairs)
 
 
+def test_distributed_path_matches_collected(spark):
+    """The round-7 collect+union-find fast path and the alternating-star
+    distributed fixpoint (forced via max_collect=0) must return
+    identical assignments — component min-id labels are unique."""
+    rng = random.Random(987)
+    pairs = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df, max_collect=0).collect()
+    }
+    assert fast == dist == _uf_components(pairs)
+
+
 def test_long_path_converges_within_bound(spark):
     # a 200-node path is the adversarial diameter case for star
     # contraction; O(log n) rounds must find the single component
