@@ -481,6 +481,14 @@ def hits_int(
         # total is an exact integer sum.
         raw = raw.persist()
         tot = raw.agg(F.sum(col)).collect()[0][0]
+        if not tot:
+            # empty/edgeless graph: the sum aggregate returns NULL and the
+            # rescale literal would be invalid SQL (ADVICE r06) — every
+            # node simply scores zero
+            raw.unpersist()
+            return ns.select(
+                "node", F.lit(0).cast("long").alias(col)
+            ).localCheckpoint(eager=True)
         out = (
             ns.join(raw, "node", "left")
             .select(

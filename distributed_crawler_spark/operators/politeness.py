@@ -252,7 +252,17 @@ def blocklist_filter(
     labels = F.split(F.col(host_col), r"\.")
     out = candidates
     match_cols = []
-    for k in range(max_suffix_labels, 1, -1):
+    # probe range derived from the list's ACTUAL label-count span
+    # (ADVICE r06: a fixed [2, max_suffix_labels] silently ignored
+    # single-label entries and entries longer than the cap). The list is
+    # broadcast-small by contract, so the 1-row min/max action is free;
+    # an empty list keeps the default range (no probe can match anyway).
+    span = blocked_domains.select(
+        F.size(F.split(F.col(blocked_domains.columns[0]), r"\.")).alias("n")
+    ).agg(F.min("n").alias("lo"), F.max("n").alias("hi")).collect()[0]
+    k_lo = span["lo"] or 2
+    k_hi = span["hi"] or max_suffix_labels
+    for k in range(k_hi, k_lo - 1, -1):
         # the k-label suffix of the host, null when the host is shorter
         # (a k-label host is probed at exactly k..2, so nothing is missed)
         suffix = F.when(

@@ -61,7 +61,10 @@ def sitemap_url_entries(sitemaps: DataFrame) -> DataFrame:
     ents = allsets.select(
         "host",
         F.explode(
-            F.regexp_extract_all("body", F.lit("<url>(.*?)</url>"), 1)
+            # (?s): Java regex '.' does not match newlines — without
+            # DOTALL a pretty-printed (multi-line) <url> element would
+            # silently yield zero entries (ADVICE r06)
+            F.regexp_extract_all("body", F.lit("(?s)<url>(.*?)</url>"), 1)
         ).alias("ent"),
     )
     return ents.select(

@@ -377,8 +377,13 @@ def heavy_hitters(
        classic bound).  Any value with partition count > n_p/(k+1)
        survives; a global heavy hitter (> n/k) exceeds n_p/k in at
        least one partition by pigeonhole, so the union of partition
-       survivors is a GUARANTEED superset.  Candidate set size is
-       bounded by #partitions * k — broadcastable by construction.
+       survivors is a GUARANTEED superset.  The candidate set handed to
+       phase 2 is bounded by #partitions * k; WITHIN a partition the
+       counter dict transiently grows to one Arrow batch's distinct
+       values between per-batch decrements (the decrement subtracts the
+       (k+1)-th largest count, leaving <= k survivors) — the practical
+       memory bound is k + maxRecordsPerBatch, not k (ADVICE r06).
+       Candidates remain broadcastable by construction.
     2. Exact verification: broadcast-semi-join the corpus to the
        candidates, one map-side-combined count, keep count * k > n.
 

@@ -339,9 +339,15 @@ def revisit_plan(
     combinable min, not a single-partition sort."""
     from pyspark.sql import functions as F
 
+    # NULL digests (md5 of a NULL payload) would never equi-join back and
+    # their captures silently vanish from the export (ADVICE r06) —
+    # coalesce to a sentinel so null-payload captures dedup as one group
+    cap = captures.withColumn(
+        "__dg", F.coalesce(F.col(digest_col), F.lit("__null_digest__"))
+    )
     f = F.struct(F.col(ts_col).alias("__ts"), F.col(url_col).alias("__url"))
-    firsts = captures.groupBy(digest_col).agg(F.min(f).alias("__f"))
-    joined = captures.join(firsts, digest_col)
+    firsts = cap.groupBy("__dg").agg(F.min(f).alias("__f"))
+    joined = cap.join(firsts, "__dg")
     is_first = (F.col(ts_col) == F.col("__f.__ts")) & (
         F.col(url_col) == F.col("__f.__url")
     )

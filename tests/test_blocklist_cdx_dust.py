@@ -90,7 +90,31 @@ def test_blocklist_candidate_side_never_sort_merge_joins(spark):
     blk = spark.createDataFrame([("h3.example.com",)], "domain STRING")
     plan = _plan(blocklist_filter(cands, blk))
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 3  # suffix lengths 4, 3, 2
+    # probe range derives from the list's actual label span (ADVICE r06
+    # fix): a single 3-label entry needs exactly ONE suffix probe
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_blocklist_matches_outside_old_probe_range(spark):
+    """Entries with 1 label or more labels than the old [2, 4] cap were
+    silently ignored before the ADVICE r06 fix — both must block now."""
+    cands = spark.createDataFrame(
+        [
+            ("https://localhost/p/1", "localhost"),
+            ("https://a.b.c.d.example.com/p/2", "a.b.c.d.example.com"),
+            ("https://ok.example.com/p/3", "ok.example.com"),
+        ],
+        "url STRING, host STRING",
+    )
+    blk = spark.createDataFrame(
+        [("localhost",), ("a.b.c.d.example.com",)], "domain STRING"
+    )
+    rows = {r["host"]: r["allowed"] for r in blocklist_filter(cands, blk).collect()}
+    assert rows == {
+        "localhost": False,
+        "a.b.c.d.example.com": False,
+        "ok.example.com": True,
+    }
 
 
 # ------------------------------------------------------------ C4 line rules
