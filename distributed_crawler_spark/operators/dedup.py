@@ -657,10 +657,10 @@ def span_dup_stats(
     doc id before any span existed; the array transform needs no
     exchange at all and produces the identical fingerprints).
     Returns (id, n_spans, n_dup_spans, dup_frac)."""
-    # eager: the frame feeds the doc-frequency aggregate AND the join
-    # back — shingle_fps is exchange-free by design, so without a
-    # materialization point both consumers recompute the map pipeline
-    sh = shingle_fps(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    # two consumers (doc-frequency aggregate + join back) recompute the
+    # map pipeline; A/B'd a checkpoint here — the map re-evaluation is
+    # cheaper than materializing 2.6M rows (within noise), so stay lazy
+    sh = shingle_fps(docs, id_col, text_col, n)
     per_span = sh.groupBy("k1", "k2").agg(F.count("*").alias("n_docs"))
     return (
         sh.join(per_span, ["k1", "k2"])
@@ -714,9 +714,11 @@ def remove_dup_spans(
         F.col(id_col),
         "_t",
         F.expr("transform(_t, t -> xxhash64(t))").alias("_th"),
-        # eager: consumed by the span branches AND the final rebuild —
-        # exchange-free upstream means nothing else dedupes the work
-    ).localCheckpoint(eager=True)
+    )
+    # the NARROW span frame is the one worth materializing (two
+    # consumers: dup-key aggregate + coverage join) — checkpointing
+    # `base` instead would write the full token-string AND token-hash
+    # arrays (~20x the bytes) for one saved cheap map re-evaluation
     spans = base.select(
         F.col(id_col), F.explode(F.expr(span_expr)).alias("_s")
     ).select(
@@ -724,7 +726,7 @@ def remove_dup_spans(
         F.col("_s.p").alias("p"),
         F.col("_s.k1").alias("k1"),
         F.col("_s.k2").alias("k2"),
-    )
+    ).localCheckpoint(eager=True)
     dup_keys = (
         spans.select(id_col, "k1", "k2")
         .distinct()
