@@ -884,7 +884,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs via shared-token inverted
     index (no cross product)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.8)
+    # hot_df hint: the slice is <= 100 docs, so no shingle can reach the
+    # derived hot threshold (>= 256) — skip the hot-probe action
+    return dedup.ngram_jaccard_pairs(
+        docs, shingle_n=1, threshold=0.8, hot_df=1 << 30
+    )
 
 
 _CLUSTER_CC_CTES = f"""
