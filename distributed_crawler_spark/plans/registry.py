@@ -51,9 +51,18 @@ def _table_bytes(path: str) -> int:
     return total
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    # rebalance=False: callers whose use of the table is pure id
+    # arithmetic or a bounded slice (graph models, <=100-doc test
+    # slices) skip the exchange — for them the one-task scan is trivial
+    # at ANY scale and the rebalance is pure overhead (A/B'd: ~0.3-1.5 s
+    # per query at sf1.0)
+    if not rebalance:
+        return df
     # Parquet ROW GROUPS are the scan-split unit, and small tables are
     # single-row-group files — without a rebalance every map-heavy
     # pipeline over them (regex scrub, shingling, codec decode, vote
@@ -858,7 +867,9 @@ WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 4) >= 0.7
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle→minhash→band→bucket-join near-dup pairs, exact-Jaccard
     verified (1-gram shingles, 16 hashes, 8 bands, threshold 0.7)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = _read(spark, sf_dir, "documents", rebalance=False).filter(
+        F.col("doc_id") < 60
+    )
     return dedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=8, shingle_n=1, jaccard_threshold=0.7
     )
@@ -883,7 +894,9 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.8
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs via shared-token inverted
     index (no cross product)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = _read(spark, sf_dir, "documents", rebalance=False).filter(
+        F.col("doc_id") < 100
+    )
     # hot_df hint: the slice is <= 100 docs, so no shingle can reach the
     # derived hot threshold (>= 256) — skip the hot-probe action
     return dedup.ngram_jaccard_pairs(
@@ -976,7 +989,7 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running pair generation + the CC fixpoint per curation action;
     equivalence with the recompute-from-pairs form is pytest-asserted
     (tests/test_graph_cc.py)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", rebalance=False)
     clusters = spark.read.parquet(_cached_clusters(spark, sf_dir))
     return (
         graph.keep_one_from_clusters(docs, clusters)
@@ -1194,7 +1207,7 @@ def _model_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..corpus import _doc_count, LINK_COEFFS
     from ..operators.graph import pagerank_int
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", rebalance=False)
     n = F.lit(_doc_count(spark, sf_dir))
     d = F.col("doc_id")
     edges = docs.select(
@@ -1273,7 +1286,7 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..corpus import REDIR_MAX_HOPS, model_redirects_df, url_for_doc
     from ..operators.graph import resolve_chains
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", rebalance=False)
     nodes = docs.select(F.col("doc_id").alias("id"))
     redirects = model_redirects_df(spark, sf_dir).select(
         F.col("src_doc_id").alias("id"), F.col("dst_doc_id").alias("dst")
@@ -4235,7 +4248,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..corpus import _doc_count, LINK_COEFFS
     from ..operators.graph import hits_int
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", rebalance=False)
     n = F.lit(_doc_count(spark, sf_dir))
     d = F.col("doc_id")
     edges = docs.select(
