@@ -322,21 +322,25 @@ def test_ivf_assignment_broadcasts_codebook(spark, sf_dir):
 
 
 def test_paragraph_dedup_shuffle_carries_hashes_not_text(spark, sf_dir):
-    """remove_dup_paragraphs' first-occurrence window shuffles (hash, id,
-    idx) triples only: neither the raw text nor any paragraph string
-    column may appear in the exchange feeding the Window — at 100 TB the
-    dedup shuffle is ~24 bytes/paragraph, not the corpus."""
+    """remove_dup_paragraphs' first-occurrence selection shuffles (hash,
+    id, idx) triples only: neither the raw text nor any paragraph string
+    column may appear in any Exchange output — at 100 TB the dedup
+    shuffle is ~24 bytes/paragraph, not the corpus.  Round 7 replaced
+    the row_number Window with a map-side-combinable min(struct(id,
+    idx)) aggregate (same total order, no sort): the plan must now have
+    NO Window at all, and the keeper selection must appear as a partial
+    min() aggregate so only one row per distinct paragraph hash crosses
+    the exchange."""
     from distributed_crawler_spark.operators.dedup import remove_dup_paragraphs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _formatted_plan(remove_dup_paragraphs(docs, para_tokens=8))
-    # locate the Window node's exchange input columns
     lines = plan.splitlines()
-    win = [i for i, line in enumerate(lines) if "Window" in line]
-    assert win, plan
-    # the formatted plan lists each node's Output — the window's
-    # row_number input must be exactly {doc_id, idx, h}-shaped (no
-    # string column named text/para in any upstream Exchange output)
+    # the sort-based window form is gone for good
+    assert not any("Window" in line for line in lines), plan
+    # first-occurrence = min(struct) aggregate with a map-side partial
+    assert "partial_min" in plan, plan
+    # no string column named text/para in any Exchange output
     exch_out = [
         line
         for i, line in enumerate(lines)
