@@ -128,9 +128,12 @@ def _learn_collected(
 
 def _learn(
     docs: DataFrame, merges: int, text_col: str
-) -> tuple[list[tuple], DataFrame]:
+) -> tuple[list[tuple], DataFrame, bool]:
     """Shared learn loop: returns (merge rows, final (word, freq, seq)
-    frame with all merges applied — persisted; caller unpersists).
+    frame with all merges applied — persisted; caller unpersists,
+    and a flag telling whether the vocabulary is KNOWN driver-small —
+    i.e. the collected fast path ran, so the frame is a LocalRelation
+    of <= COLLECT_WORDS_MAX rows and safe to broadcast-hint).
     When the distinct-word table fits the driver (COLLECT_WORDS_MAX)
     the merge rounds run driver-side in one collect instead of one
     Spark job per round; the distributed loop below is the fallback
@@ -146,7 +149,7 @@ def _learn(
             final = spark.createDataFrame(
                 table, "word string, freq long, seq string"
             ).persist()
-            return out, final
+            return out, final, True
     # the (word, freq, seq) table is small relative to the corpus (one
     # row per DISTINCT word) and is re-read every round
     wf = wf.persist()
@@ -177,7 +180,7 @@ def _learn(
         ).persist()
         wf.unpersist()
         wf = nxt
-    return out, wf
+    return out, wf, False
 
 
 def learn_bpe(
@@ -188,7 +191,7 @@ def learn_bpe(
     Ties broken (count DESC, lhs ASC, rhs ASC) so the result is
     deterministic and engine-independent (counts are exact integers)."""
     spark: SparkSession = docs.sparkSession
-    out, wf = _learn(docs, merges, text_col)
+    out, wf, _small = _learn(docs, merges, text_col)
     wf.unpersist()
     return spark.createDataFrame(
         out, "rank long, lhs string, rhs string, merged string, pair_count long"
@@ -211,12 +214,23 @@ def encode_bpe_stats(
     corpus → explode words → ONE equi-join against that map → one
     per-doc aggregation; the merge loop itself never reruns over the
     corpus.  Docs with no [a-z0-9]+ token yield no row (nothing to
-    encode) — mirrored by the oracle's inner join."""
-    _, wf = _learn(docs, merges, text_col)
+    encode) — mirrored by the oracle's inner join.
+
+    The map side is explicitly ``F.broadcast`` when the collected learn
+    path ran (vocabulary KNOWN <= COLLECT_WORDS_MAX rows — tens of MB):
+    the segmentation frame is a LocalRelation whose stats Catalyst
+    cannot estimate, and without the hint the planner broadcast the
+    EXPLODED CORPUS word list instead (the parquet scan's pre-explode
+    size estimate looked small) — a driver-serial build of a multi-
+    million-row hash relation, and the exactly wrong side at any real
+    scale.  Larger vocabularies keep the planner's choice."""
+    _, wf, vocab_small = _learn(docs, merges, text_col)
     n_syms = F.size(
         F.filter(F.split("seq", r"\|\|"), lambda x: x != "")
     ).cast("long")
     seg = wf.select("word", n_syms.alias("n_syms"))
+    if vocab_small:
+        seg = F.broadcast(seg)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
     doc_words = (
         docs.select(F.col(id_col), F.explode(F.split(norm, " +")).alias("word"))
