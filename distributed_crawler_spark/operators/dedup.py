@@ -302,22 +302,36 @@ def ngram_jaccard_pairs(
             256, 8 * dp
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # the df aggregate is the hot-key PROBE; checkpointing its (tiny —
+    # at most n_shingle_rows/hot_df keys by construction) result means
+    # the existence check below, the hot-dominated probe, and the main
+    # job's semi/anti splits all read the materialized keys instead of
+    # each re-running the full-frame aggregation (measured: the lazy
+    # form re-aggregated the fingerprint frame 3-4x per execution)
     hot_keys = (
         sh.groupBy("k1", "k2")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= hot_df)
         .select("k1", "k2")
+        .localCheckpoint(eager=True)
     )
     hk = hot_keys.limit(1).collect()
     if not hk:
         # common case: no hot shingles — exactly the plain exact join
+        # (the checkpoint above cost the same one aggregation pass the
+        # previous probe did)
         cand = _pair_counts_join(sh, id_col, n_part)
         return _jaccard_filter(cand, sizes, id_col, threshold)
 
     t_eff = threshold - 1e-4  # round(., 4) boundary guard for the BOUND filters
+    # hot path: sizes/hsz are one row per doc and referenced by the hd
+    # probe plus four broadcast joins each — materialize once
+    sizes = sizes.localCheckpoint(eager=True)
     hot = sh.join(F.broadcast(hot_keys), ["k1", "k2"], "left_semi")
     cold = sh.join(F.broadcast(hot_keys), ["k1", "k2"], "left_anti")
-    hsz = hot.groupBy(id_col).agg(F.count("*").alias("h"))
+    hsz = hot.groupBy(id_col).agg(F.count("*").alias("h")).localCheckpoint(
+        eager=True
+    )
     # hot-dominated docs: the only possible ends of a hot-only passing pair
     hd = (
         sizes.join(hsz, id_col)
@@ -788,23 +802,28 @@ def ngram_decontaminate(
     Scale shape: benchmarks are tiny relative to the corpus (10^4-10^6
     distinct grams vs 10^10 docs), so the eval gram set is explicitly
     ``F.broadcast``; the training side is one scan with the in-JVM
-    shingle transform (shingle_array — tokens never leave the JVM), a
-    per-doc distinct, and a map-side-combined per-doc aggregate. The
-    corpus never shuffles on gram; only the (doc, matched-gram) hits
-    reach the final per-doc aggregation."""
+    shingle transform (tokens never leave the JVM) joined STRAIGHT into
+    the broadcast gram set — the per-doc gram distinct runs AFTER the
+    join, on the surviving hits only (a distinct-before-join form paid
+    a corpus-wide (doc, gram-string) exchange for rows the join was
+    about to drop; distinct-gram intersection counts are identical
+    either way). The corpus never shuffles on gram; only the
+    (doc, matched-gram) hits reach the final per-doc aggregation."""
     ev_grams = (
         eval_docs.select(token_array(F.col(text_col)).alias("_toks"))
         .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
-    tr_grams = shingles(train, id_col, text_col, n).withColumnRenamed(
-        "shingle", "gram"
+    toks = train.select(F.col(id_col), token_array(F.col(text_col)).alias("_toks"))
+    tr_grams = toks.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram"),
     )
     return (
         tr_grams.join(F.broadcast(ev_grams), "gram")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_contaminated"),
+            F.countDistinct("gram").alias("n_contaminated"),
             F.min("gram").alias("example_gram"),
         )
     )
