@@ -302,6 +302,12 @@ def ngram_jaccard_pairs(
             256, 8 * dp
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if hot_df >= (1 << 30):
+        # caller-asserted "no hot shingles possible" (bounded slices):
+        # skip the probe ACTION entirely, not just guarantee its
+        # emptiness — the plain join is exact either way
+        cand = _pair_counts_join(sh, id_col, n_part)
+        return _jaccard_filter(cand, sizes, id_col, threshold)
     # the df aggregate is the hot-key PROBE; checkpointing its (tiny —
     # at most n_shingle_rows/hot_df keys by construction) result means
     # the existence check below, the hot-dominated probe, and the main
