@@ -761,12 +761,14 @@ def remove_dup_spans(
         F.col("_s.k1").alias("k1"),
         F.col("_s.k2").alias("k2"),
     ).localCheckpoint(eager=True)
+    # "appears in >= 2 DISTINCT docs" ⟺ min(doc) != max(doc) over the
+    # RAW span occurrences (a span repeating only within one doc has
+    # min == max) — one map-side-combinable aggregate instead of a
+    # full-frame (id, k1, k2) distinct exchange followed by the count
     dup_keys = (
-        spans.select(id_col, "k1", "k2")
-        .distinct()
-        .groupBy("k1", "k2")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        spans.groupBy("k1", "k2")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("k1", "k2")
     )
     covered = (
@@ -1000,19 +1002,27 @@ def cdc_chunk_stats(
             )
         ).alias("chunk"),
     )
-    freq = chunks.groupBy("chunk").agg(
-        F.countDistinct("doc_id").alias("__nd")
+    # the distinct-doc count is only ever thresholded at 2, and
+    # "appears in >= 2 distinct docs" ⟺ min(doc) != max(doc) over the
+    # raw occurrences — a map-side-combinable min/max pair instead of
+    # the two-exchange countDistinct rewrite
+    freq = (
+        chunks.groupBy("chunk")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .select(
+            "chunk", (F.col("__mn") != F.col("__mx")).alias("__shared")
+        )
     )
     return (
         chunks.join(freq, "chunk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("__shared"), 1).otherwise(0))
             .cast("long")
             .alias("n_shared"),
             F.sum(
-                F.when(F.col("__nd") >= 2, F.length("chunk")).otherwise(0)
+                F.when(F.col("__shared"), F.length("chunk")).otherwise(0)
             )
             .cast("long")
             .alias("shared_chars"),
