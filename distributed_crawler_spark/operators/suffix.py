@@ -329,10 +329,12 @@ def _dup_member_spans(
         members, ["sa_rank"], "__flag", "island", partitions
     ).drop("__cont", "__flag")
     withdoc = members.join(sa.select("sa_rank", "doc_id", "pos"), "sa_rank")
+    # "spans >= 2 distinct docs" ⟺ min(doc) != max(doc) over the raw
+    # island members — map-side-combinable, no countDistinct rewrite
     xdoc = (
         withdoc.groupBy("island")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("island")
     )
     return withdoc.join(xdoc, "island").select("doc_id", "pos", "dup_len")
