@@ -31,17 +31,25 @@ PHONE_TOKEN = "<PHONE>"
 
 
 def pii_scrub(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_emails, n_ips, n_phones, scrubbed): redaction counts per
-    type plus the scrubbed text.  One projection — no shuffle at all;
-    at 100 TB this is a map-only pass that AQE never has to touch."""
+    """(id, [keep...,] n_emails, n_ips, n_phones, scrubbed): redaction
+    counts per type plus the scrubbed text.  One projection — no
+    shuffle at all; at 100 TB this is a map-only pass that AQE never
+    has to touch.  ``keep`` carries extra passthrough columns so a
+    caller never needs a self-join to re-attach metadata it already
+    had (the join form evaluated the input twice and paid a join for a
+    pure map)."""
     t0 = F.col(text_col)
     t1 = F.regexp_replace(t0, EMAIL_RE, EMAIL_TOKEN)
     t2 = F.regexp_replace(t1, IPV4_RE, IP_TOKEN)
     t3 = F.regexp_replace(t2, PHONE_RE, PHONE_TOKEN)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
         F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),

@@ -1752,10 +1752,11 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline, whose branches run concurrently inside one job — a lazy
     # persist is computed by each racing branch, re-running the 6-pass
     # regex chain up to 4x (measured; see OPTIMIZATION_r07.md).
-    scrub = (
-        pii_scrub(noisy)
-        .join(noisy.select("doc_id", "source", "lang"), "doc_id")
-        .localCheckpoint(eager=True)
+    # source/lang ride through the scrub projection itself (keep=) —
+    # the earlier self-join to re-attach them evaluated noisy twice
+    # and paid a join for a pure map.
+    scrub = pii_scrub(noisy, keep=["source", "lang"]).localCheckpoint(
+        eager=True
     )
     ev = scrub.filter(F.col("doc_id") % 23 == 0)
     tr = scrub.filter(F.col("doc_id") % 23 != 0)
